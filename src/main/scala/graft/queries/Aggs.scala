@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sql.Det._
+import graft.sql.{DetSql => D}
+
+/** Aggregation operators (SURVEY.md §2.B "Aggregations").
+  * Reference analog: the Gibbs sweep's per-entity sufficient statistics
+  * and residual accumulations (BPMF §3.1) are group-by aggregates over
+  * COO triplets; RMSE/variance evaluation uses the same shapes.
+  * All measures flow through exact DECIMAL (order-independent) and are
+  * exported as DOUBLE — see graft.sql.Det. */
+object Aggs {
+
+  /** TPC-H Q1 shape — the flagship minimum slice (SURVEY.md §7.2). */
+  def qAggPricing(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val discPrice = (dec(col("l_extendedprice")) *
+      (dec(lit(1)) - dec(col("l_discount")))).cast(DecT)
+    // Exactly 6 actual decimal digits (4dp disc-price x 2dp tax), so the
+    // scale-6 cast is lossless and the summed unscaled value stays below
+    // 2^53 — both engines then do a single correct decimal->double rounding.
+    val charge = (discPrice * (dec(lit(1)) + dec(col("l_tax"))))
+      .cast(DecT)
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  def qAggDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nd_part"),
+           countDistinct(col("l_suppkey")).as("nd_supp"),
+           count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** GROUPING SETS ((rf,ls),(rf),()) with an explicit grouping-level id. */
+  def qAggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    l.createOrReplaceTempView("gs_lineitem")
+    s.sql(s"""
+      SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+             COALESCE(l_linestatus, 'ALL') AS ls,
+             GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      FROM gs_lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY gid, rf, ls""")
+  }
+
+  def qAggRollup(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+              coalesce(col("n_name"), lit("ALL")).as("nation"),
+              col("n_cust"), col("sum_bal"))
+      .orderBy("region", "nation")
+  }
+
+  def qAggCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              col("n"), col("sum_price"))
+      .orderBy("priority", "status")
+
+  /** min/max/count + manual variance from exact decimal sums (engine
+    * var_pop is incremental-double => order-dependent => not hash-safe). */
+  def qAggStats(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val n = count(lit(1))
+    val sq = sum(dec(col("l_quantity"))).cast("double")
+    val sq2 = sum((dec(col("l_quantity")) * dec(col("l_quantity")))
+      .cast(DecT)).cast("double")
+    l.groupBy("l_returnflag")
+      .agg(min(col("l_quantity")).as("min_qty"),
+           max(col("l_quantity")).as("max_qty"),
+           n.as("n"),
+           sq.as("sum_qty"),
+           (sq2 / n - (sq / n) * (sq / n)).as("var_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** HLL approximate distinct — no oracle (sketches differ per engine);
+    * driver records a rows-only check. */
+  def qAggApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_part"))
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_pricing" -> (qAggPricing _),
+    "q_agg_distinct" -> (qAggDistinct _),
+    "q_agg_groupingsets" -> (qAggGroupingSets _),
+    "q_agg_rollup" -> (qAggRollup _),
+    "q_agg_cube" -> (qAggCube _),
+    "q_agg_stats" -> (qAggStats _),
+    "q_agg_approx_distinct" -> (qAggApproxDistinct _),
+  )
+
+  private val discPriceSql =
+    s"CAST(${D.dec("l_extendedprice")} * (CAST(1 AS DECIMAL(18,6)) - ${D.dec("l_discount")}) AS DECIMAL(18,6))"
+  private val chargeSql =
+    s"CAST($discPriceSql * (CAST(1 AS DECIMAL(18,6)) + ${D.dec("l_tax")}) AS DECIMAL(18,6))"
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${D.dsum("l_quantity")} AS sum_qty,
+         |  ${D.dsum("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM($discPriceSql) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM($chargeSql) AS DOUBLE) AS sum_charge,
+         |  ${D.davg("l_quantity")} AS avg_qty,
+         |  ${D.davg("l_extendedprice")} AS avg_price,
+         |  ${D.davg("l_discount")} AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS nd_part,
+        |  COUNT(DISTINCT l_suppkey) AS nd_supp,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_groupingsets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, rf, ls""".stripMargin,
+    "q_agg_rollup" ->
+      s"""SELECT COALESCE(r_name, 'ALL') AS region,
+         |       COALESCE(n_name, 'ALL') AS nation,
+         |       COUNT(*) AS n_cust,
+         |       ${D.dsum("c_acctbal")} AS sum_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY region, nation""".stripMargin,
+    "q_agg_cube" ->
+      s"""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+         |       COALESCE(o_orderstatus, 'ALL') AS status,
+         |       COUNT(*) AS n,
+         |       ${D.dsum("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+         |ORDER BY priority, status""".stripMargin,
+    "q_agg_stats" ->
+      s"""SELECT l_returnflag,
+         |  MIN(l_quantity) AS min_qty,
+         |  MAX(l_quantity) AS max_qty,
+         |  COUNT(*) AS n,
+         |  ${D.dsum("l_quantity")} AS sum_qty,
+         |  CAST(SUM(CAST(${D.dec("l_quantity")} * ${D.dec("l_quantity")} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         |    - (${D.dsum("l_quantity")} / COUNT(*)) * (${D.dsum("l_quantity")} / COUNT(*)) AS var_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}
