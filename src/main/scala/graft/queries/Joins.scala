@@ -1,0 +1,224 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sql.Det._
+import graft.sql.{DetSql => D}
+
+/** Join operators (SURVEY.md §2.B "Joins").
+  * Reference analog: the prediction/evaluation path joins test cells
+  * with per-entity latent factors (test ⨝ U ⨝ V, BPMF §4), and the
+  * Gibbs sweep gathers "cells of entity i" — a co-partitioned join of
+  * COO data with factor tables. Small dimension sides (region/nation,
+  * hyperparameter tables) are broadcast; big-big joins shuffle on the
+  * equi key and AQE picks the physical strategy. */
+object Joins {
+
+  def qJoinInner(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Explicit broadcast hint — at 100 TB the 5-row region dim must
+    * never shuffle the probe side. */
+  def qJoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name")
+      .orderBy("n_nationkey")
+  }
+
+  /** TPC-H Q5 shape: revenue per nation through a 5-table join chain. */
+  def qJoinMultiway(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    val discPrice = (dec(col("l_extendedprice")) *
+      (dec(lit(1)) - dec(col("l_discount")))).cast(DecT)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(discPrice).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  def qJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("o_orderkey")).as("n_matched"),
+           sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_no_order"))
+      .orderBy("c_mktsegment")
+  }
+
+  def qJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey").as("ck")).distinct()
+    val o = Tables.orders(s, dir).select(col("o_custkey").as("ok")).distinct()
+    c.join(o, c("ck") === o("ok"), "full")
+      .select(coalesce(col("ck"), col("ok")).as("custkey"),
+              col("ck").isNotNull.cast("int").as("has_cust"),
+              col("ok").isNotNull.cast("int").as("has_order"))
+      .orderBy("custkey")
+  }
+
+  def qJoinSemi(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  def qJoinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  def qJoinCross(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+      .select("r_name", "n_name")
+      .orderBy("r_name", "n_name")
+
+  /** Equi key + theta residual: intra-order lineitem pairs. */
+  def qJoinThetaRange(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val a = l.select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln1"),
+                     col("l_quantity").as("q1"))
+    val b = l.select(col("l_orderkey").as("ok2"), col("l_linenumber").as("ln2"),
+                     col("l_quantity").as("q2"))
+    a.join(b, a("ok") === b("ok2") && a("ln1") < b("ln2"))
+      .groupBy("ok")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(dec(col("q1")) + dec(col("q2"))).cast("double").as("sum_q"))
+      .orderBy("ok")
+  }
+
+  /** As-of join: for each purchase, the most recent strictly-earlier
+    * view by the same user. Spark lacks a built-in as-of join; a RANGE
+    * frame ending at -1 over epoch-micros gives exactly "strictly
+    * earlier", distributed per user partition (no driver loop). */
+  def qJoinAsof(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tsu"))
+    val w = Window.partitionBy("user_id").orderBy("tsu")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    e.withColumn("prior_view_tsu",
+        max(when(col("event_type") === "view", col("tsu"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "tsu", "prior_view_tsu")
+      .orderBy("event_id")
+  }
+
+  /** Interval/range join: follower events within 5 minutes, same user. */
+  def qJoinInterval(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsu"))
+    val a = e.select(col("event_id").as("aid"), col("user_id").as("auser"),
+                     col("tsu").as("atsu"))
+    val b = e.select(col("event_id").as("bid"), col("user_id").as("buser"),
+                     col("tsu").as("btsu"))
+    a.join(b, col("auser") === col("buser") && col("btsu") > col("atsu") &&
+              col("btsu") <= col("atsu") + lit(300000000L))
+      .groupBy(col("aid"))
+      .agg(count(lit(1)).as("n_follow"), min(col("bid")).as("first_follow_id"))
+      .orderBy("aid")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner" -> (qJoinInner _),
+    "q_join_broadcast" -> (qJoinBroadcast _),
+    "q_join_multiway" -> (qJoinMultiway _),
+    "q_join_left" -> (qJoinLeft _),
+    "q_join_full" -> (qJoinFull _),
+    "q_join_semi" -> (qJoinSemi _),
+    "q_join_anti" -> (qJoinAnti _),
+    "q_join_cross" -> (qJoinCross _),
+    "q_join_theta_range" -> (qJoinThetaRange _),
+    "q_join_asof" -> (qJoinAsof _),
+    "q_join_interval" -> (qJoinInterval _),
+  )
+
+  private val discPriceSql =
+    s"CAST(${D.dec("l_extendedprice")} * (CAST(1 AS DECIMAL(18,6)) - ${D.dec("l_discount")}) AS DECIMAL(18,6))"
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n, ${D.dsum("o_totalprice")} AS sum_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_join_multiway" ->
+      s"""SELECT n_name, CAST(SUM($discPriceSql) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_matched,
+        |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_no_order
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_full" ->
+      """SELECT COALESCE(ck, ok) AS custkey,
+        |  CAST(ck IS NOT NULL AS INTEGER) AS has_cust,
+        |  CAST(ok IS NOT NULL AS INTEGER) AS has_order
+        |FROM (SELECT DISTINCT c_custkey AS ck FROM customer) c
+        |FULL OUTER JOIN (SELECT DISTINCT o_custkey AS ok FROM orders) o
+        |  ON c.ck = o.ok
+        |ORDER BY custkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_join_theta_range" ->
+      s"""SELECT a.l_orderkey AS ok, COUNT(*) AS n_pairs,
+         |  CAST(SUM(CAST(a.l_quantity AS DECIMAL(18,6)) + CAST(b.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_q
+         |FROM lineitem a JOIN lineitem b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+         |GROUP BY a.l_orderkey ORDER BY ok""".stripMargin,
+    "q_join_asof" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS tsu,
+        |  (SELECT MAX(epoch_us(v.ts)) FROM events v
+        |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |     AND epoch_us(v.ts) < epoch_us(p.ts)) AS prior_view_tsu
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+    "q_join_interval" ->
+      """SELECT a.event_id AS aid, COUNT(*) AS n_follow,
+        |  MIN(b.event_id) AS first_follow_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
+        |GROUP BY a.event_id ORDER BY aid""".stripMargin,
+  )
+}

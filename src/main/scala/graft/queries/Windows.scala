@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sql.Det._
+import graft.sql.{DetSql => D}
+
+/** Window-function operators (SURVEY.md §2.B "Window functions").
+  * Reference analog: AUC evaluation ranks predictions (Mann-Whitney,
+  * see Bdf.qBdfAuc); running posterior means accumulate over ordered
+  * Gibbs samples. Every window ORDER BY carries a unique tiebreak so
+  * results are deterministic (SURVEY.md §7.4.4). */
+object Windows {
+
+  def qWinRank(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val wRank = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+    val wRn = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+             rank().over(wRank).as("rnk"),
+             row_number().over(wRn).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  def qWinAnalytic(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsu"),
+      col("value"))
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    e.select(col("event_id"), col("user_id"), col("tsu"), col("value"),
+             lag(col("value"), 1).over(w).as("prev_value"),
+             lead(col("value"), 1).over(w).as("next_value"))
+      .orderBy("event_id")
+  }
+
+  def qWinFrameRows(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsu"),
+      col("value"))
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.select(col("event_id"), col("user_id"),
+             sum(dec(col("value"))).over(w).cast("double").as("running_value"))
+      .orderBy("event_id")
+  }
+
+  /** Numeric RANGE frame: per customer, sum of order totalprice over a
+    * trailing 30-epoch-day window. */
+  def qWinFrameRange(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      expr("unix_timestamp(o_orderdate) DIV 86400").as("day_num"))
+    val w = Window.partitionBy("o_custkey").orderBy("day_num")
+      .rangeBetween(-30, 0)
+    o.select(col("o_custkey"), col("o_orderkey"), col("day_num"),
+             sum(dec(col("o_totalprice"))).over(w).cast("double").as("sum_30d"))
+      .orderBy("o_orderkey")
+  }
+
+  def qWinNtileDense(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val wFull = Window.orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    val wVal = Window.orderBy(col("c_acctbal").asc)
+    c.select(col("c_custkey"), col("c_acctbal"),
+             ntile(4).over(wFull).as("quartile"),
+             dense_rank().over(wVal).as("dr"),
+             percent_rank().over(wVal).as("pr"))
+      .orderBy("c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rank" -> (qWinRank _),
+    "q_win_analytic" -> (qWinAnalytic _),
+    "q_win_frame_rows" -> (qWinFrameRows _),
+    "q_win_frame_range" -> (qWinFrameRange _),
+    "q_win_ntile_dense" -> (qWinNtileDense _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_win_analytic" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS tsu, value,
+        |  LAG(value, 1) OVER w AS prev_value,
+        |  LEAD(value, 1) OVER w AS next_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_win_frame_rows" ->
+      s"""SELECT event_id, user_id,
+         |  CAST(SUM(${D.dec("value")}) OVER (
+         |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+         |FROM events ORDER BY event_id""".stripMargin,
+    "q_win_frame_range" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) // 86400 AS day_num,
+         |  CAST(SUM(${D.dec("o_totalprice")}) OVER (
+         |    PARTITION BY o_custkey
+         |    ORDER BY CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) // 86400
+         |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_win_ntile_dense" ->
+      """SELECT c_custkey, c_acctbal,
+        |  NTILE(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile,
+        |  DENSE_RANK() OVER (ORDER BY c_acctbal ASC) AS dr,
+        |  PERCENT_RANK() OVER (ORDER BY c_acctbal ASC) AS pr
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+  )
+}
