@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sql.Det._
+import graft.sql.{DetSql => D}
+
+/** BDF-semantic operators (SURVEY.md §2.B "BDF-semantic") — the
+  * reference's Gibbs-factorization math (BPMF ICML'08 §3-4, Macau
+  * arXiv:1509.04610 §2-3) re-expressed as relational queries over the
+  * testdata's COO-shaped fact tables:
+  *  A3 inverted index -> q_bdf_relation_index; A4 split -> q_bdf_split;
+  *  A7 SpMV kernel -> q_bdf_spmv; A5/A7 Gram -> q_bdf_gram;
+  *  A11 prediction -> q_bdf_dot_predict / q_bdf_posterior_mean /
+  *  q_bdf_clamp; A12 RMSE -> q_bdf_rmse; A13 AUC -> q_bdf_auc;
+  *  A9 tensor -> q_bdf_tensor_agg; A10 multi-relation -> q_bdf_multirel.
+  * The full iterative Gibbs engine lives in graft.bdf. */
+object Bdf {
+
+  /** A3: per-entity observation count + mean (the inverted-index build
+    * statistic), lineitem-as-COO keyed by l_partkey. */
+  def qBdfRelationIndex(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), davg(col("l_quantity")).as("mean_qty"))
+      .orderBy("l_partkey")
+
+  /** A4: deterministic 80/20 train/test cell split via an integer
+    * multiplicative hash (assignToTest! analog, reproducible across
+    * engines — never engine hash()). */
+  def qBdfSplit(s: SparkSession, dir: String): DataFrame = {
+    val key = col("l_orderkey") * 8 + col("l_linenumber")
+    Tables.lineitem(s, dir)
+      .select((lcgBucket(key, 10) < 8).cast("int").as("is_train"),
+              dec(col("l_quantity")).as("q"))
+      .groupBy("is_train")
+      .agg(count(lit(1)).as("n"), sum(col("q")).cast("double").as("sum_qty"))
+      .orderBy("is_train")
+  }
+
+  /** A7 kernel: sparse matrix-vector product — lineitem COO x
+    * part.retailprice vector -> per-order accumulation. */
+  def qBdfSpmv(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    l.join(p, l("l_partkey") === p("p_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sum((dec(col("l_quantity")) * dec(col("p_retailprice"))).cast(DecT))
+             .cast("double").as("y"),
+           count(lit(1)).as("nnz"))
+      .orderBy("l_orderkey")
+  }
+
+  /** A5/A7 kernel: Gram matrix X^T X over the first 8 embedding dims
+    * (36 upper-triangular entries). */
+  def qBdfGram(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .filter(col("pos") < 8)
+    val a = e.select(col("vec_id"), col("pos").as("i"), col("x").as("xi"))
+    val b = e.select(col("vec_id").as("vid2"), col("pos").as("j"), col("x").as("xj"))
+    a.join(b, col("vec_id") === col("vid2") && col("i") <= col("j"))
+      .groupBy((col("i") + 1).as("gi"), (col("j") + 1).as("gj"))
+      .agg(sum(decf(col("xi")) * decf(col("xj"))).cast("double").as("g"))
+      .orderBy("gi", "gj")
+  }
+
+  /** A11: prediction dot products u_i . v_j for the 20x20 leading
+    * vec_id pairs. */
+  def qBdfDotPredict(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .filter(col("vec_id") < 20)
+    val a = e.select(col("vec_id").as("ia"), col("pos"), col("x").as("xa"))
+    val b = e.select(col("vec_id").as("ib"), col("pos").as("pos2"), col("x").as("xb"))
+    a.join(b, col("pos") === col("pos2"))
+      .groupBy("ia", "ib")
+      .agg(sum(decf(col("xa")) * decf(col("xb"))).cast("double").as("dot"))
+      .orderBy("ia", "ib")
+  }
+
+  /** A11: posterior mean over repeated cell observations. */
+  def qBdfPosteriorMean(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(count(lit(1)).as("n"), davg(col("l_quantity")).as("mean_qty"))
+      .orderBy("l_partkey", "l_suppkey")
+
+  /** A11: clamp predictions to a valid range (macau clamp argument). */
+  def qBdfClamp(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      least(greatest(col("o_totalprice"), lit(10000.0)), lit(300000.0))
+        .as("clamped"),
+      (col("o_totalprice") < 10000.0 || col("o_totalprice") > 300000.0)
+        .cast("int").as("was_clamped"),
+    ).orderBy("o_orderkey")
+
+  /** A12: RMSE of l_quantity against a per-part mean baseline. */
+  def qBdfRmse(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val m = l.groupBy(col("l_partkey").as("mk"))
+      .agg(davg(col("l_quantity")).as("mean_qty"))
+    val err = col("l_quantity") - col("mean_qty")
+    l.join(m, col("l_partkey") === col("mk"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           sqrt(sum((err * err).cast(DecT)).cast("double") / count(lit(1)))
+             .as("rmse"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A13: Mann-Whitney ROC-AUC of `value` scoring event_type='purchase'
+    * with average-rank tie handling. Global rank window — fine here
+    * (evaluation-sized input); at scale AUC would use a partitioned
+    * rank-sum (sort + per-partition offsets). */
+  def qBdfAuc(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("value"), (col("event_type") === "purchase").cast("int").as("pos"))
+    val wr = Window.orderBy("value")
+    val wv = Window.partitionBy("value")
+    val ranked = e.select(col("pos"),
+      (rank().over(wr) + (count(lit(1)).over(wv) - 1) / 2.0).as("r_avg"))
+    val n1 = sum(col("pos"))
+    val n = count(lit(1))
+    val sumRpos = sum(when(col("pos") === 1, col("r_avg")))
+    ranked.agg(
+      n1.as("n_pos"),
+      (n - n1).as("n_neg"),
+      ((sumRpos - n1 * (n1 + 1) / 2.0) / (n1.cast("double") * (n - n1)))
+        .as("auc"))
+  }
+
+  /** A9: 3-mode tensor build — (user, event_type, hour) cells. */
+  def qBdfTensorAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"),
+               expr("unix_timestamp(ts) DIV 3600").as("hour_bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "event_type", "hour_bucket")
+
+  /** A10: two relations contribute observations to one shared entity
+    * id domain (collective factorization coupling). */
+  def qBdfMultirel(s: SparkSession, dir: String): DataFrame = {
+    val r1 = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("entity_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rel", lit("orders"))
+    val r2 = Tables.events(s, dir)
+      .groupBy(col("user_id").as("entity_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rel", lit("events"))
+    r1.unionByName(r2)
+      .groupBy("entity_id")
+      .agg(count(lit(1)).as("n_rel"), sum(col("n")).as("n_obs"))
+      .orderBy("entity_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bdf_relation_index" -> (qBdfRelationIndex _),
+    "q_bdf_split" -> (qBdfSplit _),
+    "q_bdf_spmv" -> (qBdfSpmv _),
+    "q_bdf_gram" -> (qBdfGram _),
+    "q_bdf_dot_predict" -> (qBdfDotPredict _),
+    "q_bdf_posterior_mean" -> (qBdfPosteriorMean _),
+    "q_bdf_clamp" -> (qBdfClamp _),
+    "q_bdf_rmse" -> (qBdfRmse _),
+    "q_bdf_auc" -> (qBdfAuc _),
+    "q_bdf_tensor_agg" -> (qBdfTensorAgg _),
+    "q_bdf_multirel" -> (qBdfMultirel _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_bdf_relation_index" ->
+      s"""SELECT l_partkey, COUNT(*) AS n, ${D.davg("l_quantity")} AS mean_qty
+         |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+    "q_bdf_split" ->
+      s"""SELECT CAST(${D.lcgBucket("l_orderkey * 8 + l_linenumber", 10)} < 8 AS INTEGER) AS is_train,
+         |  COUNT(*) AS n, ${D.dsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY 1 ORDER BY is_train""".stripMargin,
+    "q_bdf_spmv" ->
+      s"""SELECT l_orderkey,
+         |  CAST(SUM(CAST(${D.dec("l_quantity")} * ${D.dec("p_retailprice")} AS DECIMAL(18,6))) AS DOUBLE) AS y,
+         |  COUNT(*) AS nnz
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_bdf_gram" ->
+      s"""SELECT i AS gi, j AS gj,
+         |  CAST(SUM(${D.decf("embedding[i]")} * ${D.decf("embedding[j]")}) AS DOUBLE) AS g
+         |FROM embeddings, GENERATE_SERIES(1, 8) AS a(i), GENERATE_SERIES(1, 8) AS b(j)
+         |WHERE i <= j
+         |GROUP BY i, j ORDER BY gi, gj""".stripMargin,
+    "q_bdf_dot_predict" ->
+      s"""SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |  CAST(SUM(${D.decf("a.embedding[i]")} * ${D.decf("b.embedding[i]")}) AS DOUBLE) AS dot
+         |FROM embeddings a, embeddings b, GENERATE_SERIES(1, 64) AS g(i)
+         |WHERE a.vec_id < 20 AND b.vec_id < 20
+         |GROUP BY a.vec_id, b.vec_id ORDER BY ia, ib""".stripMargin,
+    "q_bdf_posterior_mean" ->
+      s"""SELECT l_partkey, l_suppkey, COUNT(*) AS n, ${D.davg("l_quantity")} AS mean_qty
+         |FROM lineitem GROUP BY l_partkey, l_suppkey
+         |ORDER BY l_partkey, l_suppkey""".stripMargin,
+    "q_bdf_clamp" ->
+      """SELECT o_orderkey,
+        |  LEAST(GREATEST(o_totalprice, 10000.0), 300000.0) AS clamped,
+        |  CAST(o_totalprice < 10000.0 OR o_totalprice > 300000.0 AS INTEGER) AS was_clamped
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_bdf_rmse" ->
+      s"""WITH m AS (
+         |  SELECT l_partkey AS mk, ${D.davg("l_quantity")} AS mean_qty
+         |  FROM lineitem GROUP BY l_partkey)
+         |SELECT l_returnflag, COUNT(*) AS n,
+         |  SQRT(CAST(SUM(CAST((l_quantity - mean_qty) * (l_quantity - mean_qty) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) AS rmse
+         |FROM lineitem JOIN m ON l_partkey = mk
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_bdf_auc" ->
+      """WITH r AS (
+        |  SELECT CAST(event_type = 'purchase' AS INTEGER) AS pos,
+        |    RANK() OVER (ORDER BY value) +
+        |      (COUNT(*) OVER (PARTITION BY value) - 1) / 2.0 AS r_avg
+        |  FROM events)
+        |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |  CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_neg,
+        |  (SUM(CASE WHEN pos = 1 THEN r_avg END)
+        |     - CAST(SUM(pos) AS BIGINT) * (CAST(SUM(pos) AS BIGINT) + 1) / 2.0)
+        |    / (CAST(SUM(pos) AS DOUBLE) * (COUNT(*) - SUM(pos))) AS auc
+        |FROM r""".stripMargin,
+    "q_bdf_tensor_agg" ->
+      s"""SELECT user_id, event_type,
+         |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hour_bucket,
+         |  COUNT(*) AS n, ${D.dsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2, 3
+         |ORDER BY user_id, event_type, hour_bucket""".stripMargin,
+    "q_bdf_multirel" ->
+      """SELECT entity_id, COUNT(*) AS n_rel, CAST(SUM(n) AS BIGINT) AS n_obs
+        |FROM (SELECT o_custkey AS entity_id, COUNT(*) AS n, 'orders' AS rel
+        |      FROM orders GROUP BY o_custkey
+        |      UNION ALL
+        |      SELECT user_id AS entity_id, COUNT(*) AS n, 'events' AS rel
+        |      FROM events GROUP BY user_id)
+        |GROUP BY entity_id ORDER BY entity_id""".stripMargin,
+  )
+}

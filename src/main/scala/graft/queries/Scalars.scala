@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sql.Det._
+import graft.sql.{DetSql => D}
+
+/** Scalar-function operators (SURVEY.md §2.B "Scalar functions").
+  * String/date/math/array/json/map expression coverage. Cross-engine
+  * traps handled: regexes stay in the POSIX-common subset; ROUND only
+  * on decimals (both engines round half-away-from-zero there — DuckDB's
+  * decimal->decimal CAST truncates, so casts must stay lossless);
+  * FLOOR/CEIL exported as BIGINT (DuckDB returns DOUBLE); timestamps
+  * exported as epoch BIGINT. */
+object Scalars {
+
+  def qFnString(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up_name"),
+      lower(col("p_type")).as("lo_type"),
+      length(col("p_name")).cast("int").as("len_name"),
+      substring(col("p_type"), 1, 5).as("sub_type"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+      regexp_replace(col("p_name"), lit(" "), lit("_")).as("name_us"),
+      element_at(split(col("p_name"), " "), 1).as("first_tok"),
+      regexp_extract(col("p_brand"), "[0-9]+", 0).as("brand_num"),
+    ).orderBy("p_partkey")
+
+  def qFnDate(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      dayofmonth(col("o_orderdate")).cast("long").as("d"),
+      unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_epoch"),
+      unix_timestamp(expr("o_orderdate + INTERVAL 30 DAYS")).as("plus30_epoch"),
+      expr("unix_timestamp(o_orderdate) DIV 86400").as("epoch_day"),
+    ).orderBy("o_orderkey")
+
+  def qFnMath(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_quantity") - 25.0).as("abs_q"),
+      floor(col("l_extendedprice") / 100.0).as("floor_p"),
+      ceil(col("l_extendedprice") / 100.0).as("ceil_p"),
+      (col("l_orderkey") % 7).as("mod_ok"),
+      pow(col("l_linenumber"), 2).as("pow_ln"),
+      round(dec(col("l_extendedprice")), 0).cast("long").as("round_p"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+  /** ArrayType + Generator (posexplode): per-dimension stats over the
+    * first 8 embedding dims. */
+  def qFnArray(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .filter(col("pos") < 8)
+      .groupBy((col("pos") + 1).as("dim"))
+      .agg(count(lit(1)).as("n"),
+           sum(decf(col("x"))).cast("double").as("sum_x"),
+           min(col("x")).as("min_x"),
+           max(col("x")).as("max_x"))
+      .orderBy("dim")
+
+  def qFnJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+              get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"),
+           max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** MapType round-trip: build map(event_type -> value), read back
+    * keys/values. Oracle mirrors with DuckDB MAP functions. */
+  def qFnMap(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+              map(col("event_type"), col("value")).as("m"))
+      .select(col("event_id"),
+              element_at(map_keys(col("m")), 1).as("k"),
+              element_at(map_values(col("m")), 1).as("v"))
+      .orderBy("event_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_string" -> (qFnString _),
+    "q_fn_date" -> (qFnDate _),
+    "q_fn_math" -> (qFnMath _),
+    "q_fn_array" -> (qFnArray _),
+    "q_fn_json" -> (qFnJson _),
+    "q_fn_map" -> (qFnMap _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_fn_string" ->
+      """SELECT p_partkey,
+        |  UPPER(p_name) AS up_name,
+        |  LOWER(p_type) AS lo_type,
+        |  CAST(LENGTH(p_name) AS INTEGER) AS len_name,
+        |  SUBSTRING(p_type, 1, 5) AS sub_type,
+        |  p_brand || '#' || p_type AS brand_type,
+        |  REPLACE(p_name, ' ', '_') AS name_us,
+        |  SPLIT_PART(p_name, ' ', 1) AS first_tok,
+        |  REGEXP_EXTRACT(p_brand, '[0-9]+') AS brand_num
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_fn_date" ->
+      """SELECT o_orderkey,
+        |  CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+        |  CAST(MONTH(o_orderdate) AS BIGINT) AS m,
+        |  CAST(DAY(o_orderdate) AS BIGINT) AS d,
+        |  CAST(FLOOR(EPOCH(DATE_TRUNC('month', o_orderdate))) AS BIGINT) AS month_epoch,
+        |  CAST(FLOOR(EPOCH(o_orderdate + INTERVAL 30 DAY)) AS BIGINT) AS plus30_epoch,
+        |  CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) // 86400 AS epoch_day
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_fn_math" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ABS(l_quantity - 25.0) AS abs_q,
+         |  CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS floor_p,
+         |  CAST(CEIL(l_extendedprice / 100.0) AS BIGINT) AS ceil_p,
+         |  l_orderkey % 7 AS mod_ok,
+         |  POW(l_linenumber, 2) AS pow_ln,
+         |  CAST(ROUND(${D.dec("l_extendedprice")}, 0) AS BIGINT) AS round_p
+         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_fn_array" ->
+      s"""SELECT i AS dim, COUNT(*) AS n,
+         |  CAST(SUM(${D.decf("embedding[i]")}) AS DOUBLE) AS sum_x,
+         |  MIN(embedding[i]) AS min_x,
+         |  MAX(embedding[i]) AS max_x
+         |FROM embeddings, GENERATE_SERIES(1, 8) AS g(i)
+         |GROUP BY i ORDER BY dim""".stripMargin,
+    "q_fn_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS min_k,
+        |  MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_fn_map" ->
+      """SELECT event_id,
+        |  MAP_KEYS(MAP([event_type], [value]))[1] AS k,
+        |  MAP_VALUES(MAP([event_type], [value]))[1] AS v
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}

@@ -29,6 +29,15 @@ object Det {
   /** Exact cast of a (<=2dp-valued) double measure. */
   def dec(c: Column): Column = c.cast(DecT)
 
+  /** Decimal quantization of a FLOAT column (embeddings). Widen to
+    * double FIRST: Spark's float->decimal goes through the float's
+    * 7-digit shortest string, which manufactures exact .5 ties at digit
+    * 7 that DuckDB (rounding the true binary value) resolves
+    * differently. float->double->decimal makes both engines round the
+    * same real number, where exact ties are impossible (a dyadic value
+    * cannot equal m/(2*10^6)). */
+  def decf(c: Column): Column = c.cast("double").cast(DecT)
+
   /** Order-independent exact sum, exported as double. */
   def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
@@ -48,16 +57,17 @@ object Det {
     * Mirrors the reference's random train/test cell assignment
     * (assignToTest!) with a reproducible split. */
   def lcgBucket(key: Column, mod: Int): Column =
-    pmod((key * lit(2654435761L)) % lit(4294967296L), lit(mod.toLong))
+    ((key * lit(2654435761L)) % lit(4294967296L)) % lit(mod.toLong)
 }
 
 /** SQL-string twins of [[Det]] for DuckDB oracle queries. */
 object DetSql {
   def dec(c: String): String = s"CAST($c AS DECIMAL(18,6))"
+  def decf(c: String): String = s"CAST(CAST($c AS DOUBLE) AS DECIMAL(18,6))"
   def dsum(c: String): String = s"CAST(SUM(${dec(c)}) AS DOUBLE)"
   def dsumDec(c: String): String = s"SUM(${dec(c)})"
   def davg(c: String): String = s"CAST(SUM(${dec(c)}) AS DOUBLE) / COUNT($c)"
   def epochS(c: String): String = s"CAST(FLOOR(EPOCH($c)) AS BIGINT)"
   def lcgBucket(key: String, mod: Int): String =
-    s"((($key * 2654435761) % 4294967296) + 4294967296) % 4294967296 % $mod"
+    s"((($key) * 2654435761) % 4294967296) % $mod"
 }
