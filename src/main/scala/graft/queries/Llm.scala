@@ -1,0 +1,414 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sql.Det._
+import graft.sql.{DetSql => D}
+
+/** LLM-training-data pipeline operators (north star, BASELINE.json):
+  * deduplication (exact / MinHash-LSH / SimHash), text analysis
+  * (tokenize, stats, language-ID heuristic, quality score, regex token
+  * count, fingerprint), similarity search (cosine top-k, per-label
+  * centroids, IVF probe). Hash-based ops use md5 (spec-identical across
+  * engines) so even MinHash-LSH is oracle-checkable; the MLlib variant
+  * (engine fast path) is rows-only. */
+object Llm {
+
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+
+  def qTextTokenize(s: SparkSession, dir: String): DataFrame =
+    toks(s, dir)
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(50)
+
+  def qTextStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"),
+           (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      .orderBy("lang")
+
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n"),
+           min(col("doc_id")).as("min_doc"),
+           max(col("doc_id")).as("max_doc"))
+      .filter(col("n") > 1)
+      .orderBy("h")
+
+  /** MinHash-LSH near-dup pairs, fully deterministic: 6-hash md5
+    * signature over the token set in ONE AND-band (all six minhashes
+    * equal -> candidate pair), then exact token-set Jaccard on the
+    * candidates only, keep >= 0.8. The AND-band keeps candidate counts
+    * ~J^6 of all pairs — this corpus has baseline Jaccard ~0.5 between
+    * random docs, so a short band would collide on nearly every pair.
+    * Never an all-pairs join. */
+  def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val nHash = 6
+    val t = toks(s, dir).distinct()
+    val mhs = (0 until nHash).map(k =>
+      min(md5(concat(lit(k.toString), col("token")).cast("binary"))).as(s"mh$k"))
+    val sig = t.groupBy("doc_id").agg(mhs.head, (mhs.tail :+ count(lit(1)).as("sz")): _*)
+    val a = sig.select(col("doc_id").as("da") +: col("sz").as("sa") +:
+      (0 until nHash).map(k => col(s"mh$k")): _*)
+    val b = sig.select(col("doc_id").as("db") +: col("sz").as("sb") +:
+      (0 until nHash).map(k => col(s"mh$k").as(s"nh$k")): _*)
+    val bandEq = (0 until nHash).map(k => col(s"mh$k") === col(s"nh$k"))
+      .reduce(_ && _)
+    val cand = a.join(b, bandEq && col("da") < col("db"))
+      .select("da", "db", "sa", "sb")
+    val ta = t.select(col("doc_id").as("xa"), col("token"))
+    val tb = t.select(col("doc_id").as("xb"), col("token").as("token2"))
+    cand.join(ta, col("da") === col("xa"))
+      .join(tb, col("db") === col("xb") && col("token") === col("token2"))
+      .groupBy("da", "db", "sa", "sb")
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("da"), col("db"), col("n_common"),
+              (col("sa") + col("sb") - col("n_common")).as("n_union"),
+              (col("n_common").cast("double") /
+                 (col("sa") + col("sb") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("da", "db")
+  }
+
+  /** Engine fast path: MLlib HashingTF + MinHashLSH approx similarity
+    * join (seeded; hash family differs from any oracle -> rows-only).
+    * MLlib's MinHashLSH only OR-amplifies (numHashTables = OR bands of
+    * one hash), so on this high-baseline-similarity corpus the
+    * candidate set is near-all-pairs — bound the input to a fixed
+    * 500-doc slice and a tight 0.2 distance threshold. */
+  def qDedupNearMinhash(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+    val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
+      .setNumFeatures(1 << 16).setBinary(true)
+    val feat = tf.transform(docs)
+    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(3).setSeed(42)
+    val model = mh.fit(feat)
+    model.approxSimilarityJoin(feat, feat, 0.2, "jaccard_dist")
+      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+      .select(col("datasetA.doc_id").as("da"),
+              col("datasetB.doc_id").as("db"),
+              col("jaccard_dist"))
+      .orderBy("da", "db")
+  }
+
+  /** 16-bit SimHash from md5(token) nibbles — portable bit extraction
+    * via strpos/locate + integer div/mod (no engine-specific bit ops). */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val h = toks(s, dir).select(col("doc_id"),
+      md5(col("token").cast("binary")).as("h"))
+    val sums: Seq[Column] = (0 until 16).map { b =>
+      val dig = expr(s"locate(substring(h, ${b / 4 + 1}, 1), '0123456789abcdef') - 1")
+      val bit = (dig.divide(lit(1 << (b % 4))).cast("int") % 2)
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val agg = h.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val sim = (0 until 16).map { b =>
+      (col(s"s$b") > 0).cast("int") * lit(1 << b)
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
+  }
+
+  /** Positional weighted rolling hash over characters (document
+    * fingerprint). */
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(sequence(lit(1), length(col("text")))).as("i"),
+              col("text"))
+      .select(col("doc_id"),
+              (expr("ascii(substring(text, i, 1))") *
+                 (lit(1) + (col("i") * col("i")) % 97)).as("term"))
+      .groupBy("doc_id")
+      .agg(sum(col("term")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Token-list language-ID heuristic (argmax of wordlist hits with
+    * deterministic tie -> 'und'). */
+  def qTextLangid(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(s, dir)
+    val sSql = sum(col("token").isin("scan", "join", "filter", "merge", "hash")
+      .cast("int")).as("s_sql")
+    val sStream = sum(col("token").isin("stream", "batch", "window", "value")
+      .cast("int")).as("s_stream")
+    val sCore = sum(col("token").isin("the", "a", "of", "and", "data")
+      .cast("int")).as("s_core")
+    t.groupBy("doc_id").agg(sSql, sStream, sCore)
+      .withColumn("lang_pred",
+        when(col("s_sql") > col("s_stream") && col("s_sql") > col("s_core"), "sqlish")
+          .when(col("s_stream") > col("s_sql") && col("s_stream") > col("s_core"), "streamish")
+          .when(col("s_core") > col("s_sql") && col("s_core") > col("s_stream"), "corish")
+          .otherwise("und"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document quality scoring: token counts, token length, punct
+    * ratio — one pass, no explode. */
+  def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(split(col("text"), " "))
+    val nDot = length(col("text")) - length(regexp_replace(col("text"), "\\.", ""))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      nTok.as("n_tokens"),
+      ((length(col("text")) - (nTok - 1)).cast("double") / nTok).as("avg_tok_len"),
+      (nDot.cast("double") / length(col("text"))).as("punct_ratio"),
+    ).orderBy("doc_id")
+  }
+
+  /** Regex (BPE-ish) token counting per language. */
+  def qTextTokensBpe(s: SparkSession, dir: String): DataFrame = {
+    val n = size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+    Tables.documents(s, dir)
+      .select(col("lang"), n.as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("sum_tok"),
+           (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tok"))
+      .orderBy("lang")
+  }
+
+  private def exploded(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+              posexplode(col("embedding")).as(Seq("pos", "x")))
+
+  /** Brute-force cosine top-k against the vec_id=0 query vector —
+    * the exact baseline for ANN search. */
+  def qSimCosineTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = exploded(s, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("pos").as("qpos"), col("x").as("qx"))
+    val per = e.join(q, col("pos") === col("qpos"))
+      .groupBy("vec_id")
+      .agg(sum(decf(col("x")) * decf(col("qx"))).cast("double").as("dot"),
+           sum(decf(col("x")) * decf(col("x"))).cast("double").as("na"))
+    val nq = per.filter(col("vec_id") === 0)
+      .select(col("na").as("nq"))
+    per.crossJoin(nq)
+      .select(col("vec_id"),
+              (col("dot") / (sqrt(col("na")) * sqrt(col("nq")))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
+  /** Per-label centroid, then each vector's squared distance to its own
+    * centroid (KNN/clustering kernel). */
+  def qSimKnnCentroid(s: SparkSession, dir: String): DataFrame = {
+    val e = exploded(s, dir)
+    val cent = e.groupBy(col("label").as("clabel"), col("pos").as("cpos"))
+      .agg((sum(decf(col("x"))).cast("double") / count(lit(1))).as("c"))
+    val d = col("x").cast("double") - col("c")
+    e.join(cent, col("label") === col("clabel") && col("pos") === col("cpos"))
+      .groupBy("vec_id", "label")
+      .agg(sum((d * d).cast("decimal(18,12)")).cast("double").as("dist2"))
+      .orderBy("vec_id")
+  }
+
+  /** IVF probe (nprobe=1): seed centroids = vectors 0..7; assign every
+    * vector to its nearest seed (argmin, full tiebreak), then return the
+    * 10 nearest members of the query's (vec 0's) cluster. The
+    * assign-then-search-within-bucket shape is the 100 TB scale path:
+    * per-centroid partitions replace the all-pairs join. */
+  def qSimAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = exploded(s, dir)
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("pos").as("cpos"), col("x").as("cx"))
+    val d = col("x").cast("double") - col("cx").cast("double")
+    val dist = e.join(seeds, col("pos") === col("cpos"))
+      .groupBy("vec_id", "cid")
+      .agg(sum((d * d).cast("decimal(18,12)")).cast("double").as("dist2"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)
+    val assigned = dist.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    val distQ = dist.filter(col("cid") === 0)
+      .select(col("vec_id").as("qv"), col("dist2"))
+    assigned.filter(col("cid") === 0)
+      .join(distQ, col("vec_id") === col("qv"))
+      .select(col("vec_id"), col("dist2"))
+      .orderBy(col("dist2").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Multimodal metadata over an opaque binary column: byte length,
+    * content hash, fake format tag. (Decode itself is stubbed in
+    * graft.multimodal — no image/audio libs in this container.) */
+  def qMmMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      md5(col("text").cast("binary")).as("content_md5"),
+      when(col("doc_id") % 3 === 0, "jpg")
+        .when(col("doc_id") % 3 === 1, "png")
+        .otherwise("wav").as("format"),
+    ).orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokenize" -> (qTextTokenize _),
+    "q_text_stats" -> (qTextStats _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "q_dedup_near_minhash" -> (qDedupNearMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_text_langid" -> (qTextLangid _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_text_tokens_bpe" -> (qTextTokensBpe _),
+    "q_sim_cosine_topk" -> (qSimCosineTopk _),
+    "q_sim_knn_centroid" -> (qSimKnnCentroid _),
+    "q_sim_ann_ivf" -> (qSimAnnIvf _),
+    "q_mm_meta" -> (qMmMeta _),
+  )
+
+  private val tokCte =
+    """toks AS (
+      |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      |  FROM documents), tok AS (
+      |  SELECT doc_id, token FROM toks WHERE token <> '')""".stripMargin
+
+  private def simhashSql: String = {
+    val sums = (0 until 16).map { b =>
+      s"SUM(CASE WHEN ((STRPOS('0123456789abcdef', SUBSTRING(h, ${b / 4 + 1}, 1)) - 1) // ${1 << (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n    ")
+    val sim = (0 until 16).map { b =>
+      s"(CASE WHEN s$b > 0 THEN 1 ELSE 0 END) * ${1 << b}"
+    }.mkString(" + ")
+    s"""WITH $tokCte, hs AS (
+       |  SELECT doc_id, MD5(token) AS h FROM tok),
+       |agg AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM hs GROUP BY doc_id)
+       |SELECT doc_id, $sim AS simhash FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_text_tokenize" ->
+      s"""WITH $tokCte
+         |SELECT token, COUNT(*) AS n FROM tok
+         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+    "q_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT MD5(text) AS h, COUNT(*) AS n,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM documents GROUP BY MD5(text) HAVING COUNT(*) > 1
+        |ORDER BY h""".stripMargin,
+    "q_dedup_minhash_lsh" -> {
+      val mhCols = (0 until 6).map(k => s"MIN(MD5('$k' || token)) AS mh$k").mkString(", ")
+      val bandEq = (0 until 6).map(k => s"a.mh$k = b.mh$k").mkString(" AND ")
+      s"""WITH $tokCte, t AS (
+         |  SELECT DISTINCT doc_id, token FROM tok),
+         |sig AS (
+         |  SELECT doc_id, $mhCols, COUNT(*) AS sz
+         |  FROM t GROUP BY doc_id),
+         |cand AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb
+         |  FROM sig a JOIN sig b
+         |    ON $bandEq AND a.doc_id < b.doc_id)
+         |SELECT * FROM (
+         |  SELECT da, db, COUNT(*) AS n_common,
+         |    sa + sb - COUNT(*) AS n_union,
+         |    CAST(COUNT(*) AS DOUBLE) / (sa + sb - COUNT(*)) AS jaccard
+         |  FROM cand
+         |  JOIN t ta ON ta.doc_id = da
+         |  JOIN t tb ON tb.doc_id = db AND ta.token = tb.token
+         |  GROUP BY da, db, sa, sb)
+         |WHERE jaccard >= 0.8 ORDER BY da, db""".stripMargin
+    },
+    "q_dedup_simhash" -> simhashSql,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(SUM(ASCII(SUBSTRING(text, i, 1)) * (1 + (i * i) % 97)) AS BIGINT) AS fp
+        |FROM documents, GENERATE_SERIES(1, 2048) AS g(i)
+        |WHERE i <= LENGTH(text)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      s"""WITH $tokCte, sc AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN token IN ('scan','join','filter','merge','hash') THEN 1 ELSE 0 END) AS BIGINT) AS s_sql,
+         |    CAST(SUM(CASE WHEN token IN ('stream','batch','window','value') THEN 1 ELSE 0 END) AS BIGINT) AS s_stream,
+         |    CAST(SUM(CASE WHEN token IN ('the','a','of','and','data') THEN 1 ELSE 0 END) AS BIGINT) AS s_core
+         |  FROM tok GROUP BY doc_id)
+         |SELECT doc_id, s_sql, s_stream, s_core,
+         |  CASE WHEN s_sql > s_stream AND s_sql > s_core THEN 'sqlish'
+         |       WHEN s_stream > s_sql AND s_stream > s_core THEN 'streamish'
+         |       WHEN s_core > s_sql AND s_core > s_stream THEN 'corish'
+         |       ELSE 'und' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens,
+        |  CAST(LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1) AS DOUBLE)
+        |    / LEN(STRING_SPLIT(text, ' ')) AS avg_tok_len,
+        |  CAST(LENGTH(text) - LENGTH(REPLACE(text, '.', '')) AS DOUBLE)
+        |    / LENGTH(text) AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_tokens_bpe" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS sum_tok,
+        |  CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+'))) AS DOUBLE) / COUNT(*) AS avg_tok
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_sim_cosine_topk" ->
+      s"""WITH per AS (
+         |  SELECT e.vec_id,
+         |    CAST(SUM(${D.decf("e.embedding[i]")} * ${D.decf("q.embedding[i]")}) AS DOUBLE) AS dot,
+         |    CAST(SUM(${D.decf("e.embedding[i]")} * ${D.decf("e.embedding[i]")}) AS DOUBLE) AS na
+         |  FROM embeddings e, embeddings q, GENERATE_SERIES(1, 64) AS g(i)
+         |  WHERE q.vec_id = 0 GROUP BY e.vec_id),
+         |nq AS (SELECT na AS nq FROM per WHERE vec_id = 0)
+         |SELECT vec_id, dot / (SQRT(na) * SQRT(nq)) AS cos
+         |FROM per, nq
+         |ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "q_sim_knn_centroid" ->
+      s"""WITH cent AS (
+         |  SELECT label AS clabel, i AS cpos,
+         |    CAST(SUM(${D.decf("embedding[i]")}) AS DOUBLE) / COUNT(*) AS c
+         |  FROM embeddings, GENERATE_SERIES(1, 64) AS g(i)
+         |  GROUP BY label, i)
+         |SELECT vec_id, label,
+         |  CAST(SUM(CAST((CAST(embedding[cpos] AS DOUBLE) - c) * (CAST(embedding[cpos] AS DOUBLE) - c) AS DECIMAL(18,12))) AS DOUBLE) AS dist2
+         |FROM embeddings JOIN cent ON label = clabel
+         |GROUP BY vec_id, label ORDER BY vec_id""".stripMargin,
+    "q_sim_ann_ivf" ->
+      """WITH dist AS (
+        |  SELECT e.vec_id, s.vec_id AS cid,
+        |    CAST(SUM(CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(s.embedding[i] AS DOUBLE))
+        |      * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.embedding[i] AS DOUBLE)) AS DECIMAL(18,12))) AS DOUBLE) AS dist2
+        |  FROM embeddings e, embeddings s, GENERATE_SERIES(1, 64) AS g(i)
+        |  WHERE s.vec_id < 8
+        |  GROUP BY e.vec_id, s.vec_id),
+        |assigned AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+        |    FROM dist) WHERE rn = 1)
+        |SELECT a.vec_id, d.dist2
+        |FROM assigned a JOIN dist d ON a.vec_id = d.vec_id AND d.cid = 0
+        |WHERE a.cid = 0
+        |ORDER BY d.dist2 ASC, a.vec_id ASC LIMIT 10""".stripMargin,
+    "q_mm_meta" ->
+      """SELECT doc_id,
+        |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+        |  MD5(text) AS content_md5,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'jpg'
+        |       WHEN doc_id % 3 = 1 THEN 'png'
+        |       ELSE 'wav' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
