@@ -1,0 +1,42 @@
+package graft.bdf
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Usage example / smoke driver for the factorization engine: factorize
+  * the lineitem (partkey x suppkey -> quantity) COO matrix, the exact
+  * shape a user of the reference would feed `RelationData(df); macau(rd)`.
+  *
+  * Run: sbt "runMain graft.bdf.Demo /root/testdata/sf0.001"
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // dense-ish COO: re-key part/supp ids into contiguous 0-based domains
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select((dense_rank().over(org.apache.spark.sql.expressions.Window
+        .orderBy("l_partkey")).cast("long") - 1).as("p"),
+        (dense_rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy("l_suppkey")).cast("long") - 1).as("s"),
+        col("l_quantity").as("v"))
+      .groupBy("p", "s").agg(avg("v").as("v"))
+
+    val res = Macau.fit(spark, li, Seq("p", "s"), "v",
+      Gibbs.Options(numLatent = 8, burnin = 4, samples = 4, alpha = 1.0, seed = 42L,
+        clamp = Some((1.0, 50.0))))
+    val sd = li.select(stddev_pop(col("v"))).head().getDouble(0)
+    println(f"[demo] test cells: ${res.predictions.count()}%d")
+    println(f"[demo] rmse history: ${res.rmseHistory.map(r => f"$r%.4f").mkString(", ")}")
+    println(f"[demo] final rmse ${res.finalRmse}%.4f vs value stddev $sd%.4f")
+    res.predictions.orderBy("row_id").show(5, truncate = false)
+    spark.stop()
+  }
+}

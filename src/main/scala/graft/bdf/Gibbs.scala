@@ -1,0 +1,410 @@
+package graft.bdf
+
+import breeze.linalg.{cholesky, DenseMatrix, DenseVector}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Blocked Gibbs sampler for Bayesian matrix/tensor factorization with
+  * side information — the engine core mirroring the reference's
+  * capabilities (BPMF ICML'08 §3.1 for the conditional draws and
+  * Normal-Wishart hyperpriors; Macau arXiv:1509.04610 §2.3 multi-
+  * relation coupling, §2.4 tensors, §3.2 side-information link term).
+  *
+  * Execution model (SURVEY.md §3.1): observations stay distributed in
+  * COO DataFrames; each sweep ships the (small) opposite-mode factor
+  * matrices to executors as broadcasts — the Spark analog of the
+  * reference's SharedArray zero-copy factors — and draws every entity's
+  * K-dim conditional IN PARALLEL via a groupBy over the entity's
+  * observations (the IndexedDF inverted index materialized by the
+  * shuffle, reused via persisted COO). K x K math is breeze; the
+  * per-entity draw is a counter-based pure function of
+  * (seed, iter, entity), so results are independent of partitioning.
+  *
+  * Scale path (documented, not needed at test scale): when a factor
+  * matrix outgrows broadcast, swap the broadcast for the ALS block
+  * exchange (org.apache.spark.ml.recommendation.ALS's in/out block
+  * structure) — the sweep below is already shaped for it because every
+  * update only needs (cells of entity i) x (opposite factors of those
+  * cells).
+  */
+object Gibbs {
+
+  final case class Options(
+      numLatent: Int = 16,
+      burnin: Int = 20,
+      samples: Int = 30,
+      alpha: Double = 4.0,           // observation noise precision
+      sampleAlpha: Boolean = false,
+      lambdaBeta: Double = 5.0,      // side-info link ridge precision
+      clamp: Option[(Double, Double)] = None,
+      seed: Long = 42L)
+
+  /** Per-entity Normal-Wishart hyperparameter state. */
+  private final case class NW(mu: DenseVector[Double], lambda: DenseMatrix[Double])
+
+  final case class Result(
+      /** Posterior-mean predictions for the test cells of relation 0:
+        * (ids: Array[Long], pred: Double, v: Double). */
+      predictions: DataFrame,
+      rmseHistory: Seq[Double],
+      finalRmse: Double)
+
+  def train(spark: SparkSession, rd: RelationData, test: DataFrame,
+            opts: Options): Result = {
+    import spark.implicits._
+    val k = opts.numLatent
+    val entNames = rd.entities.keys.toSeq.sorted
+    val sizes = entNames.map(e => e -> rd.entities(e).numItems).toMap
+
+    // --- persisted COO per relation (the IndexedDF analog: shuffled
+    // once per grouping key, reused every sweep) ---
+    val coos: Seq[(Relation, DataFrame)] = rd.relations.map { r =>
+      r -> r.coo.persist()
+    }
+    val testCoo = test.persist()
+
+    // --- mutable driver state: factor matrices (rows = items) ---
+    val factors: scala.collection.mutable.Map[String, DenseMatrix[Double]] =
+      scala.collection.mutable.Map(entNames.map { e =>
+        val m = DenseMatrix.tabulate[Double](sizes(e), k)((i, j) =>
+          0.3 * CbRng.gaussian(opts.seed, -1L, e.hashCode.toLong, i.toLong, j.toLong))
+        e -> m
+      }: _*)
+
+    // side-info (Macau §3.2): collected driver-side (scale path: keep
+    // distributed and run CG with DataFrame matvecs)
+    val sideData: Map[String, Array[Array[Double]]] = rd.entities.collect {
+      case (name, Entity(_, n, Some(sideDf))) =>
+        val arr = Array.ofDim[Array[Double]](n)
+        sideDf.select(col("id").cast("long"), col("features")).collect().foreach { r =>
+          arr(r.getLong(0).toInt) = r.getSeq[Double](1).toArray
+        }
+        name -> arr
+    }
+    val betas = scala.collection.mutable.Map[String, DenseMatrix[Double]]()
+    val linkMeans = scala.collection.mutable.Map[String, DenseMatrix[Double]]()
+
+    var alpha = opts.alpha
+    val rmseHist = scala.collection.mutable.ArrayBuffer[Double]()
+
+    // running posterior mean over post-burnin samples, keyed by test row
+    var predSum: Option[DataFrame] = None
+    var nSamples = 0
+
+    val sc = spark.sparkContext
+
+    for (iter <- 0 until (opts.burnin + opts.samples)) {
+      // -- (a) Normal-Wishart hyperprior draw per entity (driver, K x K) --
+      val hyper: Map[String, NW] = entNames.map { e =>
+        val u = factors(e)
+        val shift = linkMeans.get(e)                  // beta^T x_i per item
+        val centered = shift.map(u - _).getOrElse(u)
+        e -> sampleNW(centered, opts.seed, iter, e.hashCode)
+      }.toMap
+
+      // -- (b) side-info link draw (Macau §3.2 ridge + noise injection) --
+      sideData.foreach { case (e, xs) =>
+        val beta = sampleBeta(factors(e), xs, hyper(e), opts, iter, e.hashCode)
+        betas(e) = beta
+        val n = xs.length
+        val lm = DenseMatrix.zeros[Double](n, k)
+        var i = 0
+        while (i < n) {
+          val xi = DenseVector(xs(i))
+          lm(i, ::) := (beta.t * xi).t
+          i += 1
+        }
+        linkMeans(e) = lm
+      }
+
+      // -- (c) per-entity conditional draws, one mode at a time,
+      //        distributed over the observations --
+      for (e <- entNames) {
+        // contributions (z, v) from every relation/mode this entity joins
+        val contribs: Seq[DataFrame] = coos.flatMap { case (r, coo) =>
+          r.modeEntities.zipWithIndex.collect {
+            case (ent, m) if ent == e =>
+              val otherFactors = r.modeEntities.zipWithIndex
+                .filter(_._2 != m)
+                .map { case (oe, om) => (om, sc.broadcast(toArrays(factors(oe)))) }
+              val kk = k
+              coo.select(col("ids"), col("v")).as[(Seq[Long], Double)]
+                .map { case (ids, v) =>
+                  // z = elementwise product of the other modes' latents
+                  // (Macau §2.4 tensor rule; arity-2 reduces to BPMF)
+                  val z = Array.fill(kk)(1.0)
+                  otherFactors.foreach { case (om, bf) =>
+                    val f = bf.value(ids(om).toInt)
+                    var j = 0
+                    while (j < kk) { z(j) *= f(j); j += 1 }
+                  }
+                  (ids(m), z, v)
+                }.toDF("id", "z", "v")
+          }
+        }
+        val all = contribs.reduce(_ unionByName _)
+
+        val nw = hyper(e)
+        val bMu = sc.broadcast(nw.mu.toArray)
+        val bLam = sc.broadcast(nw.lambda.toArray) // column-major k*k
+        val bLink = sc.broadcast(linkMeans.get(e).map(toArrays).orNull)
+        val a = alpha; val kk = k; val seed = opts.seed; val it = iter.toLong
+        val eHash = e.hashCode.toLong
+
+        val drawn = all.as[(Long, Array[Double], Double)]
+          .groupByKey(_._1)
+          .mapGroups { (id, rows) =>
+            val prec = new DenseMatrix[Double](kk, kk, bLam.value.clone())
+            val mu0 =
+              if (bLink.value != null) DenseVector(bMu.value) + DenseVector(bLink.value(id.toInt))
+              else DenseVector(bMu.value)
+            val rhs = prec * mu0
+            rows.foreach { case (_, z, v) =>
+              val zv = DenseVector(z)
+              var r0 = 0
+              while (r0 < kk) {
+                val zr = z(r0) * a
+                var c0 = 0
+                while (c0 < kk) { prec(r0, c0) += zr * z(c0); c0 += 1 }
+                rhs(r0) += zr * v
+                r0 += 1
+              }
+            }
+            val l = cholesky(prec)
+            // mean = prec^-1 rhs via two triangular solves
+            val y = lowerSolve(l, rhs)
+            val mean = upperSolveT(l, y)
+            // sample: mean + L^-T eps  (counter-based, partition-invariant)
+            val eps = DenseVector.tabulate(kk)(j =>
+              CbRng.gaussian(seed, it, eHash, id, j.toLong))
+            val u = mean + upperSolveT(l, eps)
+            (id, u.toArray)
+          }.collect()
+
+        // fold drawn rows into the (driver) factor matrix; entities with
+        // no observations keep a pure prior draw
+        val f = factors(e)
+        val seen = new Array[Boolean](sizes(e))
+        drawn.foreach { case (id, u) =>
+          seen(id.toInt) = true
+          var j = 0
+          while (j < k) { f(id.toInt, j) = u(j); j += 1 }
+        }
+        var i = 0
+        while (i < sizes(e)) {
+          if (!seen(i)) {
+            val lChol = cholesky(nw.lambda)
+            val eps = DenseVector.tabulate(k)(j =>
+              CbRng.gaussian(opts.seed, iter.toLong, e.hashCode.toLong + 7L, i.toLong, j.toLong))
+            val mu0 =
+              if (linkMeans.contains(e)) nw.mu + linkMeans(e)(i, ::).t else nw.mu
+            val u = mu0 + upperSolveT(lChol, eps)
+            var j = 0
+            while (j < k) { f(i, j) = u(j); j += 1 }
+          }
+          i += 1
+        }
+      }
+
+      // -- (d) noise precision draw from residuals (Macau §2.1) --
+      if (opts.sampleAlpha) {
+        val (sse, n) = sumSquaredError(spark, coos.head._2, rd.relations.head, factors, k)
+        val rng = new RngStream(opts.seed, 1000L + iter)
+        alpha = rng.nextGamma(1.0 + n / 2.0) / (1.0 + sse / 2.0)
+      }
+
+      // -- (e) post burn-in: fold prediction into the running mean --
+      if (iter >= opts.burnin) {
+        val p = predictOnce(spark, testCoo, rd.relations.head, factors, k)
+        predSum = predSum match {
+          case None => Some(p.withColumnRenamed("pred", "pred_sum").persist())
+          case Some(acc) =>
+            val next = acc.join(p, "row_id")
+              .select(col("row_id"), (col("pred_sum") + col("pred")).as("pred_sum"))
+              .persist()
+            next.count() // materialize, then drop the old lineage
+            acc.unpersist()
+            Some(next)
+        }
+        nSamples += 1
+        val cur = currentPrediction(spark, testCoo, rd.relations.head, predSum.get, nSamples, opts)
+        val rmse = math.sqrt(cur.select(avg(pow(col("pred") - col("v"), 2))).head().getDouble(0))
+        rmseHist += rmse
+      }
+    }
+
+    val preds = currentPrediction(spark, testCoo, rd.relations.head, predSum.get, nSamples, opts)
+    Result(preds, rmseHist.toSeq, rmseHist.last)
+  }
+
+  // ---------- helpers ----------
+
+  private def toArrays(m: DenseMatrix[Double]): Array[Array[Double]] = {
+    val out = Array.ofDim[Array[Double]](m.rows)
+    var i = 0
+    while (i < m.rows) {
+      val row = new Array[Double](m.cols)
+      var j = 0
+      while (j < m.cols) { row(j) = m(i, j); j += 1 }
+      out(i) = row
+      i += 1
+    }
+    out
+  }
+
+  /** Solve L y = b for lower-triangular L. */
+  private def lowerSolve(l: DenseMatrix[Double], b: DenseVector[Double]): DenseVector[Double] = {
+    val n = b.length
+    val y = DenseVector.zeros[Double](n)
+    var i = 0
+    while (i < n) {
+      var s = b(i)
+      var j = 0
+      while (j < i) { s -= l(i, j) * y(j); j += 1 }
+      y(i) = s / l(i, i)
+      i += 1
+    }
+    y
+  }
+
+  /** Solve L^T x = y for lower-triangular L. */
+  private def upperSolveT(l: DenseMatrix[Double], y: DenseVector[Double]): DenseVector[Double] = {
+    val n = y.length
+    val x = DenseVector.zeros[Double](n)
+    var i = n - 1
+    while (i >= 0) {
+      var s = y(i)
+      var j = i + 1
+      while (j < n) { s -= l(j, i) * x(j); j += 1 }
+      x(i) = s / l(i, i)
+      i -= 1
+    }
+    x
+  }
+
+  /** Conjugate Normal-Wishart posterior draw from factor rows
+    * (BPMF §3.1, Eq. 14): driver-side, K x K. */
+  private def sampleNW(u: DenseMatrix[Double], seed: Long, iter: Int, tag: Int): NW = {
+    val n = u.rows; val k = u.cols
+    val rng = new RngStream(seed, (iter.toLong << 20) ^ tag)
+    val b0 = 2.0; val nu0 = k.toDouble
+    val mean = DenseVector.tabulate(k)(j => breeze.linalg.sum(u(::, j)) / n)
+    val s = DenseMatrix.zeros[Double](k, k)
+    var i = 0
+    while (i < n) {
+      val d = u(i, ::).t - mean
+      s += d * d.t
+      i += 1
+    }
+    val bPost = b0 + n
+    val nuPost = nu0 + n
+    val muPost = mean * (n.toDouble / bPost)
+    val w0inv = DenseMatrix.eye[Double](k)
+    val wPostInv = w0inv + s + (d2(mean) * (b0 * n / bPost))
+    val wPost = breeze.linalg.inv(wPostInv)
+    // Wishart(wPost, nuPost) via Bartlett
+    val lw = cholesky((wPost + wPost.t) * 0.5)
+    val aMat = DenseMatrix.zeros[Double](k, k)
+    var r = 0
+    while (r < k) {
+      aMat(r, r) = math.sqrt(rng.nextChiSq(nuPost - r))
+      var c = 0
+      while (c < r) { aMat(r, c) = rng.nextGaussian(); c += 1 }
+      r += 1
+    }
+    val lwa = lw * aMat
+    val lambda = lwa * lwa.t
+    // mu ~ N(muPost, (bPost * Lambda)^-1)
+    val lLam = cholesky((lambda + lambda.t) * 0.5)
+    val eps = DenseVector.tabulate(k)(_ => rng.nextGaussian())
+    val mu = muPost + upperSolveT(lLam, eps) / math.sqrt(bPost)
+    NW(mu, lambda)
+  }
+
+  private def d2(v: DenseVector[Double]): DenseMatrix[Double] = v * v.t
+
+  /** Side-info link draw (Macau §3.2): ridge posterior for beta with
+    * noise injection — beta = (X^T X + lambda I)^-1 X^T (U~ + E1)
+    * + sqrt(lambda)-scaled E2 folded through the same solve. */
+  private def sampleBeta(u: DenseMatrix[Double], xs: Array[Array[Double]],
+                         nw: NW, opts: Options, iter: Int, tag: Int): DenseMatrix[Double] = {
+    val n = u.rows; val k = u.cols; val fDim = xs(0).length
+    val rng = new RngStream(opts.seed, (iter.toLong << 24) ^ tag ^ 0x5ea1L)
+    val x = DenseMatrix.tabulate[Double](n, fDim)((i, j) => xs(i)(j))
+    val xtx = x.t * x
+    var j = 0
+    while (j < fDim) { xtx(j, j) += opts.lambdaBeta; j += 1 }
+    val lCh = cholesky(xtx)
+    // centered target + injected noise (one gaussian per cell)
+    val target = DenseMatrix.tabulate[Double](n, k)((i, c) =>
+      u(i, c) - nw.mu(c) + rng.nextGaussian() / math.sqrt(opts.alpha))
+    val xtU = x.t * target
+    val beta = DenseMatrix.zeros[Double](fDim, k)
+    var c = 0
+    while (c < k) {
+      val y = lowerSolve(lCh, xtU(::, c))
+      beta(::, c) := upperSolveT(lCh, y)
+      c += 1
+    }
+    beta
+  }
+
+  private def predictOnce(spark: SparkSession, testCoo: DataFrame, rel: Relation,
+                          factors: scala.collection.mutable.Map[String, DenseMatrix[Double]],
+                          k: Int): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val bcs = rel.modeEntities.map(e => sc.broadcast(toArrays(factors(e))))
+    val kk = k
+    testCoo.select(col("row_id"), col("ids")).as[(Long, Seq[Long])]
+      .map { case (rowId, ids) =>
+        var dot = 0.0
+        var j = 0
+        while (j < kk) {
+          var p = 1.0
+          var m = 0
+          while (m < ids.length) { p *= bcs(m).value(ids(m).toInt)(j); m += 1 }
+          dot += p
+          j += 1
+        }
+        (rowId, dot)
+      }.toDF("row_id", "pred")
+  }
+
+  private def currentPrediction(spark: SparkSession, testCoo: DataFrame, rel: Relation,
+                                predSum: DataFrame, nSamples: Int,
+                                opts: Options): DataFrame = {
+    val p = testCoo.join(predSum, "row_id")
+      .withColumn("pred", col("pred_sum") / nSamples)
+    opts.clamp match {
+      case Some((lo, hi)) =>
+        p.withColumn("pred", least(greatest(col("pred"), lit(lo)), lit(hi)))
+          .select("row_id", "ids", "v", "pred")
+      case None => p.select("row_id", "ids", "v", "pred")
+    }
+  }
+
+  private def sumSquaredError(spark: SparkSession, coo: DataFrame, rel: Relation,
+                              factors: scala.collection.mutable.Map[String, DenseMatrix[Double]],
+                              k: Int): (Double, Long) = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val bcs = rel.modeEntities.map(e => sc.broadcast(toArrays(factors(e))))
+    val kk = k
+    val (sse, n) = coo.select(col("ids"), col("v")).as[(Seq[Long], Double)]
+      .map { case (ids, v) =>
+        var dot = 0.0
+        var j = 0
+        while (j < kk) {
+          var p = 1.0
+          var m = 0
+          while (m < ids.length) { p *= bcs(m).value(ids(m).toInt)(j); m += 1 }
+          dot += p
+          j += 1
+        }
+        val e = v - dot
+        (e * e, 1L)
+      }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    (sse, n)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.bdf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** User-facing API mirroring the reference's entry points:
+  * `RelationData(df)` -> [[RelationData.fromDF]], `assignToTest!` ->
+  * [[Macau.assignToTest]], `macau(rd; ...)` -> [[Macau.macau]].
+  * (Macau arXiv:1509.04610; BPMF ICML'08.) */
+object Macau {
+
+  final case class Split(train: RelationData, test: DataFrame)
+
+  /** Deterministic cell key: two independent modular polynomial folds of
+    * the mode ids combined into a 62-bit key — pure integer arithmetic
+    * that never overflows (Spark 4 runs ANSI mode: wrapping multiplies
+    * would throw ARITHMETIC_OVERFLOW), reproducible across engines and
+    * partitionings (never engine hash()). */
+  private def cellKey(ids: org.apache.spark.sql.Column) = {
+    val h1 = aggregate(ids, lit(17L),
+      (acc, x) => pmod(acc * lit(31L) + x, lit(2147483647L)))
+    val h2 = aggregate(ids, lit(23L),
+      (acc, x) => pmod(acc * lit(37L) + x * lit(13L) + lit(7L), lit(2147483629L)))
+    h1 * lit(2147483648L) + h2
+  }
+
+  /** The reference's assignToTest!: move ~fraction of observed cells of
+    * relation 0 into a held-out test set (deterministic hash split). */
+  def assignToTest(rd: RelationData, fraction: Double = 0.2): Split = {
+    val r = rd.relations.head
+    val coo = r.coo.withColumn("key", cellKey(col("ids")))
+    val bucket = pmod(col("key"), lit(1000L))
+    val cut = (fraction * 1000).toLong
+    val test = coo.filter(bucket < cut)
+      .select(col("key").as("row_id"), col("ids"), col("v"))
+    val trainDf = r.df.withColumn("__key",
+        cellKey(array(r.modeCols.map(c => col(c).cast("long")): _*)))
+      .filter(pmod(col("__key"), lit(1000L)) >= cut)
+      .drop("__key")
+    val train = rd.copy(relations =
+      rd.relations.head.copy(df = trainDf) +: rd.relations.tail)
+    Split(train, test)
+  }
+
+  /** Train + predict: the reference's `macau(rd; num_latent, burnin,
+    * psamples, clamp, ...)`. */
+  def macau(spark: SparkSession, rd: RelationData, test: DataFrame,
+            opts: Gibbs.Options = Gibbs.Options()): Gibbs.Result =
+    Gibbs.train(spark, rd, test, opts)
+
+  /** Convenience: build + split + train from one COO DataFrame. */
+  def fit(spark: SparkSession, df: DataFrame, modeCols: Seq[String],
+          valueCol: String, opts: Gibbs.Options = Gibbs.Options(),
+          testFraction: Double = 0.2): Gibbs.Result = {
+    val rd = RelationData.fromDF(df, modeCols, valueCol)
+    val s = assignToTest(rd, testFraction)
+    macau(spark, s.train, s.test, opts)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sql.Det._
+import graft.sql.{DetSql => D}
+
+/** Streaming operators (SURVEY.md §2.B "Streaming"), registered as
+  * their batch equivalents — Structured Streaming's tumbling/sliding/
+  * session windows produce identical results on bounded input, which is
+  * what the DuckDB oracle checks. True streaming semantics (MemoryStream
+  * incremental execution, watermark late-data drop) are asserted in
+  * graft.streaming.StreamingSpec. */
+object StreamingQ {
+
+  def qStreamTumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("ws"),
+              col("event_type"), col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
+
+  /** 1h windows sliding every 30min — each event lands in exactly 2. */
+  def qStreamSliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("ws"),
+              col("event_type"), col("n"), col("sum_value"))
+      .orderBy("ws", "event_type")
+
+  /** Per-user session windows with a 30-minute gap, on second-truncated
+    * timestamps (ns-precision trap, SURVEY.md §7.4.2). */
+  def qStreamSession(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("value"),
+              timestamp_seconds(unix_timestamp(col("ts"))).as("tss"))
+      .groupBy(session_window(col("tss"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+              unix_timestamp(col("session_window.start")).as("session_start"),
+              col("n"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  /** Stateful dedup shape: duplicated input collapses back to one row
+    * per event_id (streaming: dropDuplicatesWithinWatermark). */
+  def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select("event_id", "event_type", "value")
+    e.unionByName(e)
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Watermark semantics, batch-shaped: keep only events no older than
+    * 10 minutes before the max event time, then per-minute counts.
+    * (The streaming-observable late-drop behavior is asserted in
+    * StreamingSpec with a MemoryStream — no SQL oracle.) */
+  def qStreamLateWatermark(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(unix_micros(col("ts")).as("tsu"))
+    val mx = e.agg(max(col("tsu")).as("mx"))
+    e.crossJoin(mx)
+      .filter(col("tsu") >= col("mx") - lit(600000000L))
+      .groupBy(expr("tsu DIV 60000000").as("minute_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("minute_bucket")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> (qStreamTumbling _),
+    "q_stream_sliding" -> (qStreamSliding _),
+    "q_stream_session" -> (qStreamSession _),
+    "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_late_watermark" -> (qStreamLateWatermark _),
+  )
+
+  private val esSql = "CAST(FLOOR(EPOCH(ts)) AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      s"""SELECT ($esSql // 3600) * 3600 AS ws, event_type,
+         |  COUNT(*) AS n, ${D.dsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "q_stream_sliding" ->
+      s"""SELECT ws, event_type, COUNT(*) AS n, ${D.dsum("value")} AS sum_value
+         |FROM (
+         |  SELECT ($esSql // 1800) * 1800 AS ws, event_type, value FROM events
+         |  UNION ALL
+         |  SELECT ($esSql // 1800) * 1800 - 1800 AS ws, event_type, value FROM events)
+         |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "q_stream_session" ->
+      s"""WITH t AS (
+         |  SELECT user_id, value, $esSql AS tss, event_id FROM events),
+         |flagged AS (
+         |  SELECT user_id, value, tss,
+         |    CASE WHEN LAG(tss) OVER w IS NULL
+         |              OR tss - LAG(tss) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+         |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
+         |sess AS (
+         |  SELECT user_id, value, tss,
+         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tss
+         |                     ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM flagged)
+         |SELECT user_id, MIN(tss) AS session_start,
+         |  COUNT(*) AS n, ${D.dsum("value")} AS sum_value
+         |FROM sess GROUP BY user_id, sid
+         |ORDER BY user_id, session_start""".stripMargin,
+    "q_stream_dedup" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${D.dsum("value")} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

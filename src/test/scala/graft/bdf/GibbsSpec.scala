@@ -1,0 +1,87 @@
+package graft.bdf
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Golden-fixture factorization tests (SURVEY.md §5.4): a rank-2
+  * synthetic matrix must be recovered well below the
+  * predict-the-global-mean baseline, deterministically. */
+class GibbsSpec extends SparkSpec {
+
+  private def rank2Matrix(nRows: Int, nCols: Int, seed: Long): Seq[(Long, Long, Double)] = {
+    def u(i: Int, j: Int) = CbRng.gaussian(seed, 1L, i.toLong, j.toLong)
+    def v(i: Int, j: Int) = CbRng.gaussian(seed, 2L, i.toLong, j.toLong)
+    for (i <- 0 until nRows; j <- 0 until nCols) yield {
+      val x = u(i, 0) * v(j, 0) + u(i, 1) * v(j, 1) +
+        0.05 * CbRng.gaussian(seed, 3L, i.toLong, j.toLong)
+      (i.toLong, j.toLong, x)
+    }
+  }
+
+  test("BPMF recovers a rank-2 matrix below the mean-baseline RMSE") {
+    val s = spark
+    import s.implicits._
+    val cells = rank2Matrix(40, 30, seed = 7L)
+    val df = cells.toDF("row", "col", "v")
+    val res = Macau.fit(spark, df, Seq("row", "col"), "v",
+      Gibbs.Options(numLatent = 8, burnin = 6, samples = 6, alpha = 20.0, seed = 11L),
+      testFraction = 0.2)
+
+    // baseline: predict the global mean of the full matrix
+    val stats = df.select(avg($"v").as("m"), stddev_pop($"v").as("sd")).head()
+    val baseline = stats.getDouble(1)
+    assert(res.predictions.count() > 0)
+    assert(res.finalRmse < 0.5 * baseline,
+      s"rmse ${res.finalRmse} not < 0.5 * baseline $baseline")
+    // posterior averaging should not be worse than the first sample
+    assert(res.rmseHistory.last <= res.rmseHistory.head + 1e-9)
+  }
+
+  test("Gibbs is deterministic for a fixed seed") {
+    val s = spark
+    import s.implicits._
+    val df = rank2Matrix(20, 15, seed = 3L).toDF("row", "col", "v")
+    val opts = Gibbs.Options(numLatent = 4, burnin = 2, samples = 2, seed = 5L)
+    val r1 = Macau.fit(spark, df, Seq("row", "col"), "v", opts)
+    val r2 = Macau.fit(spark, df, Seq("row", "col"), "v", opts)
+    assert(r1.finalRmse === r2.finalRmse)
+  }
+
+  test("3-mode tensor factorization runs and beats the zero predictor") {
+    val s = spark
+    import s.implicits._
+    def f(stream: Long, i: Int, j: Int) = CbRng.gaussian(13L, stream, i.toLong, j.toLong)
+    val cells = for (i <- 0 until 12; j <- 0 until 10; k <- 0 until 6) yield {
+      val x = (0 until 2).map(r => f(1, i, r) * f(2, j, r) * f(3, k, r)).sum +
+        0.05 * CbRng.gaussian(13L, 4L, (i * 100 + j * 10 + k).toLong, 0L)
+      (i.toLong, j.toLong, k.toLong, x)
+    }
+    val df = cells.toDF("a", "b", "c", "v")
+    val res = Macau.fit(spark, df, Seq("a", "b", "c"), "v",
+      Gibbs.Options(numLatent = 4, burnin = 4, samples = 4, alpha = 20.0, seed = 17L))
+    val sd = df.select(stddev_pop($"v")).head().getDouble(0)
+    assert(res.finalRmse < sd, s"tensor rmse ${res.finalRmse} not < sd $sd")
+  }
+
+  test("side information shifts the latent mean (Macau link term)") {
+    val s = spark
+    import s.implicits._
+    // rows cluster by a binary side feature; values = feature effect + noise
+    val n = 30; val m = 20
+    val cells = for (i <- 0 until n; j <- 0 until m) yield {
+      val g = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, j.toLong, g + 0.1 * CbRng.gaussian(23L, 1L, i.toLong, j.toLong))
+    }
+    val df = cells.toDF("row", "col", "v")
+    val side = (0 until n).map(i => (i.toLong, Array(if (i % 2 == 0) 1.0 else -1.0)))
+      .toDF("id", "features")
+    val rd0 = RelationData.fromDF(df, Seq("row", "col"), "v")
+    val rd = rd0.copy(entities = rd0.entities.updated("row",
+      rd0.entities("row").copy(side = Some(side))))
+    val split = Macau.assignToTest(rd, 0.2)
+    val res = Macau.macau(spark, split.train, split.test,
+      Gibbs.Options(numLatent = 4, burnin = 4, samples = 4, alpha = 20.0, seed = 29L))
+    val sd = df.select(stddev_pop($"v")).head().getDouble(0)
+    assert(res.finalRmse < sd, s"side-info rmse ${res.finalRmse} not < sd $sd")
+  }
+}

@@ -1,0 +1,34 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Every registered operator runs on sf0.001 and returns a sane result
+  * (the DuckDB hash gate at sf0.01 is the driver's; this is the fast
+  * in-repo sweep). Queries expected non-empty at sf0.001 are asserted
+  * rows > 0; the rest only need to execute. */
+class QuerySmokeSpec extends SparkSpec {
+
+  private val mayBeEmpty = Set(
+    "q_join_anti",           // every customer may have orders
+    "q_except",              // every part may be referenced
+    "q_dedup_exact",         // duplicates may not exist at sf0.001
+    "q_dedup_minhash_lsh",   // near-dup pairs above threshold
+    "q_dedup_near_minhash")
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs on sf0.001") {
+      val df = fn(spark, sf("sf0.001"))
+      val n = df.count()
+      assert(df.columns.nonEmpty)
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** True Structured Streaming semantics (SURVEY.md §5.5): batch ≡ stream
+  * for tumbling windows, and watermark late-row dropping — the
+  * streaming-only observable behind q_stream_late_watermark. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("tumbling window: stream result equals batch result") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = Seq(
+      (1L, ts(0), "a", 1.0), (2L, ts(5), "a", 2.0), (3L, ts(12), "b", 3.0),
+      (4L, ts(61), "a", 4.0), (5L, ts(65), "b", 5.0))
+
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    mem.addData(rows: _*)
+    val streamed = mem.toDF.toDF("event_id", "ts", "event_type", "value")
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+    val q = streamed.writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = rows.toDF("event_id", "ts", "event_type", "value")
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+    val got = s.table("tumbling_out")
+      .select($"window.start", $"event_type", $"n", $"s")
+      .collect().toSet
+    val exp = batch.select($"window.start", $"event_type", $"n", $"s")
+      .collect().toSet
+    assert(got === exp)
+  }
+
+  test("watermark drops rows older than 10 minutes behind max event time") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val agg = mem.toDF.toDF("event_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"n")
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append).start()
+
+    mem.addData((1L, ts(0), 1.0), (2L, ts(2), 1.0)) // window [10:00,10:10): 2 rows
+    q.processAllAvailable()
+    mem.addData((3L, ts(60), 1.0))                  // watermark -> 10:50, finalizes it
+    q.processAllAvailable()
+    mem.addData((4L, ts(3), 9.9))                   // LATE: behind watermark -> dropped
+    q.processAllAvailable()
+    mem.addData((5L, ts(120), 1.0))                 // push watermark past 11:10
+    q.processAllAvailable()
+    q.stop()
+
+    val out = s.table("late_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    assert(out("2024-01-01 10:00:00.0") === 2L,
+      s"late row must not be counted; got $out")
+  }
+
+  test("stateful dedup collapses duplicate event ids in-stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val dedup = mem.toDF.toDF("event_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy()
+      .agg(count(lit(1)).as("n"))
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Complete).start()
+    mem.addData((1L, ts(0), 1.0), (1L, ts(0), 1.0), (2L, ts(1), 2.0),
+                (2L, ts(2), 2.0), (3L, ts(3), 3.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(s.table("dedup_out").head().getLong(0) === 3L)
+  }
+}
