@@ -104,7 +104,9 @@ object Bdf {
     val m = l.groupBy(col("l_partkey").as("mk"))
       .agg(davg(col("l_quantity")).as("mean_qty"))
     val err = col("l_quantity") - col("mean_qty")
-    l.join(m, col("l_partkey") === col("mk"))
+    // the per-part means table is small relative to the fact — broadcast
+    // so the 600k-row (100 TB-scale: billions) side never shuffles
+    l.join(broadcast(m), col("l_partkey") === col("mk"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
            sqrt(sum((err * err).cast(DecT)).cast("double") / count(lit(1)))

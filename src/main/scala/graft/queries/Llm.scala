@@ -44,16 +44,28 @@ object Llm {
       .filter(col("n") > 1)
       .orderBy("h")
 
-  /** MinHash-LSH near-dup pairs, fully deterministic: 6-hash md5
-    * signature over the token set in ONE AND-band (all six minhashes
-    * equal -> candidate pair), then exact token-set Jaccard on the
-    * candidates only, keep >= 0.8. The AND-band keeps candidate counts
-    * ~J^6 of all pairs — this corpus has baseline Jaccard ~0.5 between
-    * random docs, so a short band would collide on nearly every pair.
-    * Never an all-pairs join. */
+  /** Word 3-gram shingles — the right MinHash input: unigram token sets
+    * over this corpus's ~40-word vocabulary have baseline Jaccard ~0.5
+    * between RANDOM docs (2.1M of 12.5M sf0.1 pairs collide on even a
+    * 6-hash unigram band), while random word SEQUENCES almost never
+    * share 3-grams, so shingle-LSH candidates are only true near-dups. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("tk"),
+              explode(sequence(lit(1), greatest(size(col("tk")) - 2, lit(1)))).as("i"))
+      .select(col("doc_id"),
+              concat_ws(" ", element_at(col("tk"), col("i")),
+                element_at(col("tk"), col("i") + 1),
+                element_at(col("tk"), col("i") + 2)).as("token"))
+
+  /** MinHash-LSH near-dup pairs, fully deterministic: 4-hash md5
+    * signature over the 3-gram shingle set in ONE AND-band (all four
+    * minhashes equal -> candidate pair), then exact shingle-set Jaccard
+    * on the candidates only, keep >= 0.8. Never an all-pairs join. */
   def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val nHash = 6
-    val t = toks(s, dir).distinct()
+    val nHash = 4
+    val t = shingles(s, dir).distinct()
     val mhs = (0 until nHash).map(k =>
       min(md5(concat(lit(k.toString), col("token")).cast("binary"))).as(s"mh$k"))
     val sig = t.groupBy("doc_id").agg(mhs.head, (mhs.tail :+ count(lit(1)).as("sz")): _*)
@@ -84,17 +96,23 @@ object Llm {
     * MLlib's MinHashLSH only OR-amplifies (numHashTables = OR bands of
     * one hash), so on this high-baseline-similarity corpus the
     * candidate set is near-all-pairs — bound the input to a fixed
-    * 500-doc slice and a tight 0.2 distance threshold. */
+    * 250-doc slice and a tight 0.2 distance threshold. */
   def qDedupNearMinhash(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
     val docs = Tables.documents(s, dir)
-      .filter(col("doc_id") < 500)
-      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .filter(col("doc_id") < 250)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), expr(
+        """transform(sequence(1, greatest(size(tk) - 2, 1)),
+          |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+          |                 element_at(tk, i + 2)))""".stripMargin).as("tokens"))
     val tf = new HashingTF().setInputCol("tokens").setOutputCol("features")
       .setNumFeatures(1 << 16).setBinary(true)
-    val feat = tf.transform(docs)
+    // approxSimilarityJoin self-joins its input, recomputing the
+    // featurization lineage several times — persist the (tiny) slice
+    val feat = tf.transform(docs).persist()
     val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(3).setSeed(42)
+      .setNumHashTables(2).setSeed(42)
     val model = mh.fit(feat)
     model.approxSimilarityJoin(feat, feat, 0.2, "jaccard_dist")
       .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
@@ -310,10 +328,16 @@ object Llm {
         |FROM documents GROUP BY MD5(text) HAVING COUNT(*) > 1
         |ORDER BY h""".stripMargin,
     "q_dedup_minhash_lsh" -> {
-      val mhCols = (0 until 6).map(k => s"MIN(MD5('$k' || token)) AS mh$k").mkString(", ")
-      val bandEq = (0 until 6).map(k => s"a.mh$k = b.mh$k").mkString(" AND ")
-      s"""WITH $tokCte, t AS (
-         |  SELECT DISTINCT doc_id, token FROM tok),
+      val mhCols = (0 until 4).map(k => s"MIN(MD5('$k' || token)) AS mh$k").mkString(", ")
+      val bandEq = (0 until 4).map(k => s"a.mh$k = b.mh$k").mkString(" AND ")
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CONCAT_WS(' ', tk[i], tk[i + 1], tk[i + 2]) AS token
+         |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+         |       GENERATE_SERIES(1, 512) AS g(i)
+         |  WHERE i <= GREATEST(LEN(tk) - 2, 1)),
+         |t AS (
+         |  SELECT DISTINCT doc_id, token FROM sh),
          |sig AS (
          |  SELECT doc_id, $mhCols, COUNT(*) AS sz
          |  FROM t GROUP BY doc_id),
