@@ -273,7 +273,21 @@ object Llm {
         .otherwise("wav").as("format"),
     ).orderBy("doc_id")
 
+  /** Full multimodal path: binary column -> partition-batched (stubbed)
+    * decode -> typed metadata + feature vector. Rows-only check (the
+    * stub codec is not SQL-expressible). */
+  def qMmDecodeStub(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.withMediaColumns(Tables.documents(s, dir))
+    Multimodal.decodeAndFeaturize(s, media)
+      .select(col("doc_id"), col("format"), col("n_bytes"), col("width"),
+              col("height"), col("channels"), col("duration_ms"),
+              size(col("features")).as("feat_dim"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_decode_stub" -> (qMmDecodeStub _),
     "q_text_tokenize" -> (qTextTokenize _),
     "q_text_stats" -> (qTextStats _),
     "q_dedup_exact" -> (qDedupExact _),
