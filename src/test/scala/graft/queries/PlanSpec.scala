@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan assertions (SURVEY.md §4): correctness is the oracle's
+  * job — these tests pin the SHAPE of the plan, the part that decides
+  * whether a query survives a 100 TB scale-up: filters/projections
+  * reaching the parquet scan, small dimensions broadcasting instead of
+  * shuffling the fact side, global top-k as TakeOrderedAndProject
+  * (per-partition heaps) rather than a total sort, and no accidental
+  * cartesian products. */
+class PlanSpec extends SparkSpec {
+
+  /** Execute (small sf0.001 inputs) so AQE settles, then return the
+    * final physical plan string. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_scan_filter_prune pushes the shipdate predicate into the scan") {
+    val p = finalPlan(Scans.qScanFilterPrune(spark, sf("sf0.001")))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"predicate not pushed:\n$p")
+  }
+
+  test("q_scan_project prunes to exactly the selected columns") {
+    val p = finalPlan(Scans.qScanProject(spark, sf("sf0.001")))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("q_join_broadcast and q_join_multiway broadcast the dimension sides") {
+    val pb = finalPlan(Joins.qJoinBroadcast(spark, sf("sf0.001")))
+    assert(pb.contains("BroadcastHashJoin"), s"no broadcast join:\n$pb")
+    val pm = finalPlan(Joins.qJoinMultiway(spark, sf("sf0.001")))
+    assert(pm.split("BroadcastHashJoin").length - 1 >= 2,
+      s"multiway join should broadcast small dims:\n$pm")
+    assert(!pm.contains("CartesianProduct"), "accidental cartesian product")
+  }
+
+  test("q_sort_limit_topk plans as TakeOrderedAndProject (no global sort)") {
+    val p = finalPlan(Sorts.qSortLimitTopk(spark, sf("sf0.001")))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not heap-based:\n$p")
+  }
+
+  test("q_agg_pricing aggregates with a partial (map-side) phase") {
+    val p = finalPlan(Aggs.qAggPricing(spark, sf("sf0.001")))
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+    assert(p.split("HashAggregate").length - 1 >= 2,
+      s"expected partial+final aggregation:\n$p")
+  }
+
+  test("q_dedup_minhash_lsh joins candidates on the signature (no cartesian)") {
+    val p = finalPlan(Llm.qDedupMinhashLsh(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct"), s"all-pairs join:\n$p")
+  }
+
+  test("q_bdf_rmse broadcasts the per-part means dimension") {
+    val p = finalPlan(Bdf.qBdfRmse(spark, sf("sf0.001")))
+    assert(p.contains("BroadcastHashJoin"), s"means side not broadcast:\n$p")
+  }
+}
