@@ -220,6 +220,38 @@ object Llm {
       .limit(20)
   }
 
+  /** Fused single-pass cosine top-k: the same quantized math as
+    * q_sim_cosine_topk, computed with higher-order functions
+    * (zip_with + aggregate) directly over the array columns — no
+    * posexplode blow-up (64x fewer rows), no shuffle before the final
+    * top-k heap. Exact decimal accumulation makes it bit-identical to
+    * the explode+groupBy formulation, so it shares the same oracle.
+    * This is the 100 TB-shaped plan: a narrow map over the scan. */
+  def qSimCosineFused(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    def decSql(c: String) = s"CAST(CAST($c AS DOUBLE) AS DECIMAL(18,6))"
+    // Term narrowed to DECIMAL(24,12) (lossless: |x*y| < 1e12) so the
+    // fold's addition (25,12)+(24,12) needs precision 26 and stays
+    // EXACT — a (38,12) accumulator would push addition to precision 39
+    // and Spark's precision-loss rule silently drops to scale 11,
+    // rounding every step.
+    def dotSql(a: String, b: String) =
+      s"""CAST(aggregate(
+         |  zip_with($a, $b, (x, y) -> CAST(${decSql("x")} * ${decSql("y")} AS DECIMAL(24,12))),
+         |  CAST(0 AS DECIMAL(25,12)),
+         |  (acc, v) -> CAST(acc + v AS DECIMAL(25,12))) AS DOUBLE)""".stripMargin
+    e.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+              expr(dotSql("embedding", "qv")).as("dot"),
+              expr(dotSql("embedding", "embedding")).as("na"),
+              expr(dotSql("qv", "qv")).as("nq"))
+      .select(col("vec_id"),
+              (col("dot") / (sqrt(col("na")) * sqrt(col("nq")))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
   /** Per-label centroid, then each vector's squared distance to its own
     * centroid (KNN/clustering kernel). */
   def qSimKnnCentroid(s: SparkSession, dir: String): DataFrame = {
@@ -299,6 +331,7 @@ object Llm {
     "q_text_quality" -> (qTextQuality _),
     "q_text_tokens_bpe" -> (qTextTokensBpe _),
     "q_sim_cosine_topk" -> (qSimCosineTopk _),
+    "q_sim_cosine_fused" -> (qSimCosineFused _),
     "q_sim_knn_centroid" -> (qSimKnnCentroid _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
     "q_mm_meta" -> (qMmMeta _),
@@ -402,17 +435,9 @@ object Llm {
         |  CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS sum_tok,
         |  CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+'))) AS DOUBLE) / COUNT(*) AS avg_tok
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
-    "q_sim_cosine_topk" ->
-      s"""WITH per AS (
-         |  SELECT e.vec_id,
-         |    CAST(SUM(${D.decf("e.embedding[i]")} * ${D.decf("q.embedding[i]")}) AS DOUBLE) AS dot,
-         |    CAST(SUM(${D.decf("e.embedding[i]")} * ${D.decf("e.embedding[i]")}) AS DOUBLE) AS na
-         |  FROM embeddings e, embeddings q, GENERATE_SERIES(1, 64) AS g(i)
-         |  WHERE q.vec_id = 0 GROUP BY e.vec_id),
-         |nq AS (SELECT na AS nq FROM per WHERE vec_id = 0)
-         |SELECT vec_id, dot / (SQRT(na) * SQRT(nq)) AS cos
-         |FROM per, nq
-         |ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin,
+    // fused HOF variant computes bit-identical quantized cosine -> same oracle
+    "q_sim_cosine_fused" -> cosineSql,
+    "q_sim_cosine_topk" -> cosineSql,
     "q_sim_knn_centroid" ->
       s"""WITH cent AS (
          |  SELECT label AS clabel, i AS cpos,
@@ -449,4 +474,16 @@ object Llm {
         |       ELSE 'wav' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
+
+  private lazy val cosineSql: String =
+    s"""WITH per AS (
+       |  SELECT e.vec_id,
+       |    CAST(SUM(${D.decf("e.embedding[i]")} * ${D.decf("q.embedding[i]")}) AS DOUBLE) AS dot,
+       |    CAST(SUM(${D.decf("e.embedding[i]")} * ${D.decf("e.embedding[i]")}) AS DOUBLE) AS na
+       |  FROM embeddings e, embeddings q, GENERATE_SERIES(1, 64) AS g(i)
+       |  WHERE q.vec_id = 0 GROUP BY e.vec_id),
+       |nq AS (SELECT na AS nq FROM per WHERE vec_id = 0)
+       |SELECT vec_id, dot / (SQRT(na) * SQRT(nq)) AS cos
+       |FROM per, nq
+       |ORDER BY cos DESC, vec_id ASC LIMIT 20""".stripMargin
 }
