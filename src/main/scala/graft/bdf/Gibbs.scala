@@ -219,10 +219,12 @@ object Gibbs {
         predSum = predSum match {
           case None => Some(p.withColumnRenamed("pred", "pred_sum").persist())
           case Some(acc) =>
+            // localCheckpoint truncates the lineage (SURVEY.md §7.4.5) —
+            // plain persist would keep a plan tree growing one join per
+            // posterior sample
             val next = acc.join(p, "row_id")
               .select(col("row_id"), (col("pred_sum") + col("pred")).as("pred_sum"))
-              .persist()
-            next.count() // materialize, then drop the old lineage
+              .localCheckpoint(true)
             acc.unpersist()
             Some(next)
         }

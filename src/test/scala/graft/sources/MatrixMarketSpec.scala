@@ -1,0 +1,69 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import graft.SparkSpec
+import graft.bdf.{Gibbs, Macau}
+
+/** MatrixMarket round-trip + the reference's canonical flow: sparse file
+  * -> RelationData -> macau(). */
+class MatrixMarketSpec extends SparkSpec {
+
+  private def writeSample(): String = {
+    val p = Files.createTempDirectory("mtx").resolve("m.mtx")
+    Files.writeString(p,
+      """%%MatrixMarket matrix coordinate real general
+        |% comment line
+        |3 4 5
+        |1 1 1.5
+        |1 2 -2.0
+        |2 3 0.25
+        |3 1 7.0
+        |3 4 -0.5
+        |""".stripMargin)
+    p.toString
+  }
+
+  test("reads header and 0-based COO rows") {
+    val path = writeSample()
+    val h = MatrixMarket.readHeader(spark, path)
+    assert(h === MatrixMarket.Header(3, 4, 5))
+    val df = MatrixMarket.read(spark, path)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((0L, 0L, 1.5), (0L, 1L, -2.0), (1L, 2L, 0.25),
+      (2L, 0L, 7.0), (2L, 3L, -0.5)))
+  }
+
+  test("write/read round-trips") {
+    val path = writeSample()
+    val df = MatrixMarket.read(spark, path)
+    val out = Files.createTempDirectory("mtxout").toString
+    MatrixMarket.write(df, out)
+    // reassemble header + body into one file, as documented
+    def partLines(dir: String): Seq[String] =
+      Files.list(Paths.get(dir)).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .sortBy(_.toString).toSeq
+        .flatMap(f => scala.io.Source.fromFile(f.toFile).getLines())
+    val body = partLines(s"$out/body")
+    val headerLines = partLines(s"$out/header")
+    val merged = Files.createTempDirectory("mtx2").resolve("m.mtx")
+    Files.writeString(merged, (headerLines ++ body).mkString("\n") + "\n")
+    val again = MatrixMarket.read(spark, merged.toString)
+    assert(again.collect().toSet === df.collect().toSet)
+  }
+
+  test("sparse file feeds the reference flow: RelationData -> macau") {
+    // rank-1 structured 20x15 matrix written as .mtx, then factorized
+    val cells = for (i <- 0 until 20; j <- 0 until 15)
+      yield s"${i + 1} ${j + 1} ${(i % 5 + 1) * (j % 3 + 1)}.0"
+    val p = Files.createTempDirectory("mtx3").resolve("m.mtx")
+    Files.writeString(p,
+      s"%%MatrixMarket matrix coordinate real general\n20 15 ${cells.size}\n" +
+        cells.mkString("\n") + "\n")
+    val df = MatrixMarket.read(spark, p.toString)
+    val res = Macau.fit(spark, df, Seq("row", "col"), "v",
+      Gibbs.Options(numLatent = 4, burnin = 3, samples = 3, alpha = 10.0, seed = 31L))
+    assert(res.predictions.count() > 0)
+    assert(res.finalRmse < 4.0, s"rmse ${res.finalRmse}") // values range 1..15
+  }
+}
