@@ -36,6 +36,10 @@ object Gibbs {
       alpha: Double = 4.0,           // observation noise precision
       sampleAlpha: Boolean = false,
       lambdaBeta: Double = 5.0,      // side-info link ridge precision
+      /** Solve the side-info link with the distributed CG (Cg.scala)
+        * instead of the driver Cholesky — the path for side matrices
+        * too large for the driver (Macau §3.2). */
+      useCgSideSolver: Boolean = false,
       clamp: Option[(Double, Double)] = None,
       seed: Long = 42L)
 
@@ -104,7 +108,7 @@ object Gibbs {
 
       // -- (b) side-info link draw (Macau §3.2 ridge + noise injection) --
       sideData.foreach { case (e, xs) =>
-        val beta = sampleBeta(factors(e), xs, hyper(e), opts, iter, e.hashCode)
+        val beta = sampleBeta(spark, factors(e), xs, hyper(e), opts, iter, e.hashCode)
         betas(e) = beta
         val n = xs.length
         val lm = DenseMatrix.zeros[Double](n, k)
@@ -327,28 +331,40 @@ object Gibbs {
 
   /** Side-info link draw (Macau §3.2): ridge posterior for beta with
     * noise injection — beta = (X^T X + lambda I)^-1 X^T (U~ + E1)
-    * + sqrt(lambda)-scaled E2 folded through the same solve. */
-  private def sampleBeta(u: DenseMatrix[Double], xs: Array[Array[Double]],
-                         nw: NW, opts: Options, iter: Int, tag: Int): DenseMatrix[Double] = {
+    * + sqrt(lambda)-scaled E2 folded through the same solve. Small X
+    * solves on the driver with Cholesky; opts.useCgSideSolver switches
+    * to the distributed CG (Cg.solveNormal) that never materializes
+    * X^T X. */
+  private def sampleBeta(spark: SparkSession, u: DenseMatrix[Double],
+                         xs: Array[Array[Double]], nw: NW, opts: Options,
+                         iter: Int, tag: Int): DenseMatrix[Double] = {
     val n = u.rows; val k = u.cols; val fDim = xs(0).length
     val rng = new RngStream(opts.seed, (iter.toLong << 24) ^ tag ^ 0x5ea1L)
-    val x = DenseMatrix.tabulate[Double](n, fDim)((i, j) => xs(i)(j))
-    val xtx = x.t * x
-    var j = 0
-    while (j < fDim) { xtx(j, j) += opts.lambdaBeta; j += 1 }
-    val lCh = cholesky(xtx)
     // centered target + injected noise (one gaussian per cell)
     val target = DenseMatrix.tabulate[Double](n, k)((i, c) =>
       u(i, c) - nw.mu(c) + rng.nextGaussian() / math.sqrt(opts.alpha))
-    val xtU = x.t * target
-    val beta = DenseMatrix.zeros[Double](fDim, k)
-    var c = 0
-    while (c < k) {
-      val y = lowerSolve(lCh, xtU(::, c))
-      beta(::, c) := upperSolveT(lCh, y)
-      c += 1
+    if (opts.useCgSideSolver) {
+      import spark.implicits._
+      val xt = (0 until n).map { i =>
+        (xs(i).toSeq, (0 until k).map(c => target(i, c)).toSeq)
+      }.toDF("features", "target")
+      Cg.solveNormal(spark, xt, fDim, k, opts.lambdaBeta)
+    } else {
+      val x = DenseMatrix.tabulate[Double](n, fDim)((i, j) => xs(i)(j))
+      val xtx = x.t * x
+      var j = 0
+      while (j < fDim) { xtx(j, j) += opts.lambdaBeta; j += 1 }
+      val lCh = cholesky(xtx)
+      val xtU = x.t * target
+      val beta = DenseMatrix.zeros[Double](fDim, k)
+      var c = 0
+      while (c < k) {
+        val y = lowerSolve(lCh, xtU(::, c))
+        beta(::, c) := upperSolveT(lCh, y)
+        c += 1
+      }
+      beta
     }
-    beta
   }
 
   private def predictOnce(spark: SparkSession, testCoo: DataFrame, rel: Relation,

@@ -72,6 +72,34 @@ class StreamingSpec extends SparkSpec {
       s"late row must not be counted; got $out")
   }
 
+  test("flatMapGroupsWithState closes sessions on event-time timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[StatefulSessions.Event]
+    val q = StatefulSessions
+      .sessionize(mem.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append).start()
+
+    // user 1: two events 5 min apart (one session); user 2: one event
+    mem.addData(StatefulSessions.Event(1L, ts(0), 1.0),
+                StatefulSessions.Event(1L, ts(5), 2.0),
+                StatefulSessions.Event(2L, ts(10), 7.0))
+    q.processAllAvailable()
+    // advance the watermark far past every timeout
+    mem.addData(StatefulSessions.Event(9L, ts(600), 0.0))
+    q.processAllAvailable()
+    mem.addData(StatefulSessions.Event(9L, ts(1200), 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = s.table("sessions_out").as[StatefulSessions.SessionClosed]
+      .collect().map(r => r.userId -> ((r.n, r.sum))).toMap
+    assert(out(1L) === ((2L, 3.0)), s"user 1 session wrong: $out")
+    assert(out(2L) === ((1L, 7.0)), s"user 2 session wrong: $out")
+  }
+
   test("stateful dedup collapses duplicate event ids in-stream") {
     val s = spark
     import s.implicits._
