@@ -40,11 +40,17 @@ object Gibbs {
         * instead of the driver Cholesky — the path for side matrices
         * too large for the driver (Macau §3.2). */
       useCgSideSolver: Boolean = false,
+      /** Keep factor matrices as DataFrames and run the sweep with
+        * shuffle joins instead of driver collection + broadcast — the
+        * path for entity counts whose N x K factors no longer fit the
+        * driver (see GibbsDistributed). Side info requires the
+        * driver-resident path for now. */
+      distributedFactors: Boolean = false,
       clamp: Option[(Double, Double)] = None,
       seed: Long = 42L)
 
   /** Per-entity Normal-Wishart hyperparameter state. */
-  private final case class NW(mu: DenseVector[Double], lambda: DenseMatrix[Double])
+  private[bdf] final case class NW(mu: DenseVector[Double], lambda: DenseMatrix[Double])
 
   final case class Result(
       /** Posterior-mean predictions for the test cells of relation 0:
@@ -55,6 +61,11 @@ object Gibbs {
 
   def train(spark: SparkSession, rd: RelationData, test: DataFrame,
             opts: Options): Result = {
+    if (opts.distributedFactors) {
+      require(rd.entities.values.forall(_.side.isEmpty),
+        "distributedFactors mode does not support side info yet")
+      return GibbsDistributed.train(spark, rd, test, opts)
+    }
     import spark.implicits._
     val k = opts.numLatent
     val entNames = rd.entities.keys.toSeq.sorted
@@ -259,7 +270,7 @@ object Gibbs {
   }
 
   /** Solve L y = b for lower-triangular L. */
-  private def lowerSolve(l: DenseMatrix[Double], b: DenseVector[Double]): DenseVector[Double] = {
+  private[bdf] def lowerSolve(l: DenseMatrix[Double], b: DenseVector[Double]): DenseVector[Double] = {
     val n = b.length
     val y = DenseVector.zeros[Double](n)
     var i = 0
@@ -274,7 +285,7 @@ object Gibbs {
   }
 
   /** Solve L^T x = y for lower-triangular L. */
-  private def upperSolveT(l: DenseMatrix[Double], y: DenseVector[Double]): DenseVector[Double] = {
+  private[bdf] def upperSolveT(l: DenseMatrix[Double], y: DenseVector[Double]): DenseVector[Double] = {
     val n = y.length
     val x = DenseVector.zeros[Double](n)
     var i = n - 1
@@ -292,8 +303,6 @@ object Gibbs {
     * (BPMF §3.1, Eq. 14): driver-side, K x K. */
   private def sampleNW(u: DenseMatrix[Double], seed: Long, iter: Int, tag: Int): NW = {
     val n = u.rows; val k = u.cols
-    val rng = new RngStream(seed, (iter.toLong << 20) ^ tag)
-    val b0 = 2.0; val nu0 = k.toDouble
     val mean = DenseVector.tabulate(k)(j => breeze.linalg.sum(u(::, j)) / n)
     val s = DenseMatrix.zeros[Double](k, k)
     var i = 0
@@ -302,6 +311,17 @@ object Gibbs {
       s += d * d.t
       i += 1
     }
+    sampleNWFromStats(n, mean, s, seed, iter, tag)
+  }
+
+  /** Same draw from sufficient statistics (n, mean, scatter) — the
+    * distributed path aggregates these with one treeAggregate pass. */
+  private[bdf] def sampleNWFromStats(n: Long, mean: DenseVector[Double],
+                                     s: DenseMatrix[Double], seed: Long,
+                                     iter: Int, tag: Int): NW = {
+    val k = mean.length
+    val rng = new RngStream(seed, (iter.toLong << 20) ^ tag)
+    val b0 = 2.0; val nu0 = k.toDouble
     val bPost = b0 + n
     val nuPost = nu0 + n
     val muPost = mean * (n.toDouble / bPost)

@@ -1,0 +1,196 @@
+package graft.bdf
+
+import breeze.linalg.{cholesky, DenseMatrix, DenseVector}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fully distributed Gibbs sweep: factor matrices never leave the
+  * cluster. Where [[Gibbs]] collects each entity's N x K factors to the
+  * driver and broadcasts them (the SharedArray analog — right up to the
+  * point where N x K outgrows driver/broadcast memory), this path keeps
+  * every factor table as a DataFrame (id, f: Array[Double]) and:
+  *
+  *  - builds the per-observation opposite-mode product z by JOINING the
+  *    COO with each other mode's factor table (shuffle joins on the
+  *    entity ids — the ALS in/out-block exchange expressed as joins,
+  *    so AQE picks broadcast automatically while a side still fits and
+  *    degrades to sort-merge when it doesn't);
+  *  - draws each entity's K-dim conditional in groupByKey.mapGroups
+  *    exactly as the broadcast path does (counter-based RNG, so results
+  *    are partitioning-invariant);
+  *  - aggregates the Normal-Wishart sufficient statistics
+  *    (n, sum u, sum u u^T) with one treeAggregate pass instead of
+  *    iterating driver-side rows;
+  *  - localCheckpoints the new factor tables each sweep to truncate
+  *    lineage.
+  *
+  * Sampling math is identical to [[Gibbs]] (BPMF ICML'08 §3.1;
+  * Macau arXiv:1509.04610 §2.3-2.4); side information is not wired in
+  * this mode yet (Gibbs.train guards it).
+  */
+object GibbsDistributed {
+  import Gibbs.{NW, Options, Result}
+
+  def train(spark: SparkSession, rd: RelationData, test: DataFrame,
+            opts: Options): Result = {
+    import spark.implicits._
+    val k = opts.numLatent
+    val entNames = rd.entities.keys.toSeq.sorted
+    val sizes = entNames.map(e => e -> rd.entities(e).numItems).toMap
+    val coos: Seq[(Relation, DataFrame)] = rd.relations.map(r => r -> r.coo.persist())
+    val testCoo = test.persist()
+    val seed = opts.seed
+
+    // --- factor tables, initialized by counter RNG (id-addressed, so
+    // identical to the broadcast path's init) ---
+    val factors = scala.collection.mutable.Map(entNames.map { e =>
+      val eHash = e.hashCode.toLong
+      val kk = k
+      e -> spark.range(sizes(e)).as[Long].map { id =>
+        (id, Array.tabulate(kk)(j =>
+          0.3 * CbRng.gaussian(seed, -1L, eHash, id, j.toLong)))
+      }.toDF("id", "f").localCheckpoint(true)
+    }: _*)
+
+    val rmseHist = scala.collection.mutable.ArrayBuffer[Double]()
+    var predSum: Option[DataFrame] = None
+    var nSamples = 0
+
+    /** z = elementwise product over the given modes' factor rows,
+      * joined onto the COO. */
+    def withZ(coo: DataFrame, rel: Relation, modes: Seq[Int]): DataFrame = {
+      var df = coo.withColumn("z", expr(s"array_repeat(1.0D, $k)"))
+      modes.foreach { om =>
+        val f = factors(rel.modeEntities(om))
+          .select(col("id").as(s"fid$om"), col("f").as(s"f$om"))
+        df = df.join(f, col("ids").getItem(om) === col(s"fid$om"))
+          .withColumn("z", expr(s"zip_with(z, f$om, (a, b) -> a * b)"))
+          .drop(s"fid$om", s"f$om")
+      }
+      df
+    }
+
+    for (iter <- 0 until (opts.burnin + opts.samples)) {
+      // -- (a) NW hyperprior from distributed sufficient statistics --
+      val hyper: Map[String, NW] = entNames.map { e =>
+        val kk = k
+        val (n, sumU, sumOuter) = factors(e).select("f").as[Array[Double]].rdd
+          .treeAggregate((0L, new Array[Double](kk), new Array[Double](kk * kk)))(
+            seqOp = { case ((cnt, su, so), f) =>
+              var i = 0
+              while (i < kk) {
+                su(i) += f(i)
+                var j = 0
+                while (j < kk) { so(i * kk + j) += f(i) * f(j); j += 1 }
+                i += 1
+              }
+              (cnt + 1, su, so)
+            },
+            combOp = { case ((c1, s1, o1), (c2, s2, o2)) =>
+              var i = 0
+              while (i < kk) { s1(i) += s2(i); i += 1 }
+              i = 0
+              while (i < kk * kk) { o1(i) += o2(i); i += 1 }
+              (c1 + c2, s1, o1)
+            })
+        val mean = DenseVector(sumU) / n.toDouble
+        val scatter = new DenseMatrix(kk, kk, sumOuter) - (mean * mean.t) * n.toDouble
+        e -> Gibbs.sampleNWFromStats(n, mean, scatter, seed, iter, e.hashCode)
+      }.toMap
+
+      // -- (b) per-mode conditional draws via joins --
+      for (e <- entNames) {
+        val contribs = coos.flatMap { case (r, coo) =>
+          r.modeEntities.zipWithIndex.collect {
+            case (ent, m) if ent == e =>
+              withZ(coo, r, r.modeEntities.indices.filterNot(_ == m))
+                .select(col("ids").getItem(m).as("id"), col("z"), col("v"))
+          }
+        }
+        val all = contribs.reduce(_ unionByName _)
+        val nw = hyper(e)
+        val bMu = spark.sparkContext.broadcast(nw.mu.toArray)
+        val bLam = spark.sparkContext.broadcast(nw.lambda.toArray)
+        val a = opts.alpha; val kk = k; val it = iter.toLong
+        val eHash = e.hashCode.toLong
+        val drawn = all.as[(Long, Array[Double], Double)]
+          .groupByKey(_._1)
+          .mapGroups { (id, rows) =>
+            val prec = new DenseMatrix[Double](kk, kk, bLam.value.clone())
+            val mu0 = DenseVector(bMu.value)
+            val rhs = prec * mu0
+            rows.foreach { case (_, z, v) =>
+              var r0 = 0
+              while (r0 < kk) {
+                val zr = z(r0) * a
+                var c0 = 0
+                while (c0 < kk) { prec(r0, c0) += zr * z(c0); c0 += 1 }
+                rhs(r0) += zr * v
+                r0 += 1
+              }
+            }
+            val l = cholesky(prec)
+            val y = Gibbs.lowerSolve(l, rhs)
+            val mean = Gibbs.upperSolveT(l, y)
+            val eps = DenseVector.tabulate(kk)(j =>
+              CbRng.gaussian(seed, it, eHash, id, j.toLong))
+            val u = mean + Gibbs.upperSolveT(l, eps)
+            (id, u.toArray)
+          }.toDF("id", "f")
+
+        // unobserved entities keep a pure prior draw (distributed anti-join)
+        val lamArr = nw.lambda.toArray
+        val muArr = nw.mu.toArray
+        val prior = factors(e).select("id")
+          .join(drawn.select(col("id").as("did")), col("id") === col("did"), "left_anti")
+          .as[Long].map { id =>
+            val lChol = cholesky(new DenseMatrix[Double](kk, kk, lamArr.clone()))
+            val eps = DenseVector.tabulate(kk)(j =>
+              CbRng.gaussian(seed, it, eHash + 7L, id, j.toLong))
+            val u = DenseVector(muArr) + Gibbs.upperSolveT(lChol, eps)
+            (id, u.toArray)
+          }.toDF("id", "f")
+
+        val next = drawn.unionByName(prior).localCheckpoint(true)
+        factors(e) = next
+      }
+
+      // -- (c) post burn-in: fold prediction into the running mean --
+      if (iter >= opts.burnin) {
+        val rel = rd.relations.head
+        val p = withZ(testCoo.select(col("row_id"), col("ids"), col("v")), rel,
+            rel.modeEntities.indices)
+          .select(col("row_id"),
+                  expr("aggregate(z, 0D, (acc, x) -> acc + x)").as("pred"))
+        predSum = predSum match {
+          case None => Some(p.withColumnRenamed("pred", "pred_sum").localCheckpoint(true))
+          case Some(acc) =>
+            val next = acc.join(p, "row_id")
+              .select(col("row_id"), (col("pred_sum") + col("pred")).as("pred_sum"))
+              .localCheckpoint(true)
+            acc.unpersist()
+            Some(next)
+        }
+        nSamples += 1
+        val cur = currentPrediction(testCoo, predSum.get, nSamples, opts)
+        val rmse = math.sqrt(cur.select(avg(pow(col("pred") - col("v"), 2))).head().getDouble(0))
+        rmseHist += rmse
+      }
+    }
+
+    val preds = currentPrediction(testCoo, predSum.get, nSamples, opts)
+    Result(preds, rmseHist.toSeq, rmseHist.last)
+  }
+
+  private def currentPrediction(testCoo: DataFrame, predSum: DataFrame,
+                                nSamples: Int, opts: Options): DataFrame = {
+    val p = testCoo.join(predSum, "row_id")
+      .withColumn("pred", col("pred_sum") / nSamples)
+    opts.clamp match {
+      case Some((lo, hi)) =>
+        p.withColumn("pred", least(greatest(col("pred"), lit(lo)), lit(hi)))
+          .select("row_id", "ids", "v", "pred")
+      case None => p.select("row_id", "ids", "v", "pred")
+    }
+  }
+}

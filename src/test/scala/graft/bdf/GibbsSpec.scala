@@ -85,6 +85,20 @@ class GibbsSpec extends SparkSpec {
     assert(res.finalRmse < sd, s"side-info rmse ${res.finalRmse} not < sd $sd")
   }
 
+  test("distributed-factors mode recovers the rank-2 matrix too") {
+    val s = spark
+    import s.implicits._
+    val cells = rank2Matrix(40, 30, seed = 7L)
+    val df = cells.toDF("row", "col", "v")
+    val res = Macau.fit(spark, df, Seq("row", "col"), "v",
+      Gibbs.Options(numLatent = 8, burnin = 4, samples = 4, alpha = 20.0,
+        seed = 11L, distributedFactors = true),
+      testFraction = 0.2)
+    val baseline = df.select(stddev_pop($"v")).head().getDouble(0)
+    assert(res.finalRmse < 0.5 * baseline,
+      s"distributed rmse ${res.finalRmse} not < 0.5 * baseline $baseline")
+  }
+
   test("distributed CG side solver matches the driver Cholesky path's quality") {
     val s = spark
     import s.implicits._
