@@ -52,6 +52,23 @@ class MatrixMarketSpec extends SparkSpec {
     assert(again.collect().toSet === df.collect().toSet)
   }
 
+  test("binary GCOO round-trips and reads sharded") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, 0L, 1.5), (1L, 2L, -0.25), (2L, 1L, 42.0))
+      .toDF("row", "col", "v")
+    val dir = Files.createTempDirectory("gcoo")
+    SparseBinary.writeSingle(df, s"$dir/a.gcoo", 3, 3)
+    SparseBinary.writeSingle(df.filter($"row" === 0L), s"$dir/b.gcoo", 3, 3)
+    // glob read: two files = two parallel tasks, union of triplets
+    val back = SparseBinary.read(spark, s"$dir/*.gcoo")
+    assert(back.count() === 4)
+    assert(back.filter($"row" === 0L).count() === 2)
+    val single = SparseBinary.read(spark, s"$dir/a.gcoo")
+    assert(single.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      === Set((0L, 0L, 1.5), (1L, 2L, -0.25), (2L, 1L, 42.0)))
+  }
+
   test("sparse file feeds the reference flow: RelationData -> macau") {
     // rank-1 structured 20x15 matrix written as .mtx, then factorized
     val cells = for (i <- 0 until 20; j <- 0 until 15)
