@@ -99,6 +99,62 @@ class GibbsSpec extends SparkSpec {
       s"distributed rmse ${res.finalRmse} not < 0.5 * baseline $baseline")
   }
 
+  test("multi-relation coupling: a second relation sharing the row entity helps") {
+    val s = spark
+    import s.implicits._
+    // shared row factors drive BOTH relations; train jointly (Macau §2.3)
+    def u(i: Int, r: Int) = CbRng.gaussian(41L, 1L, i.toLong, r.toLong)
+    def v1(j: Int, r: Int) = CbRng.gaussian(41L, 2L, j.toLong, r.toLong)
+    def v2(j: Int, r: Int) = CbRng.gaussian(41L, 3L, j.toLong, r.toLong)
+    val r1 = for (i <- 0 until 30; j <- 0 until 20) yield
+      (i.toLong, j.toLong, u(i, 0) * v1(j, 0) + u(i, 1) * v1(j, 1) +
+        0.05 * CbRng.gaussian(41L, 4L, i.toLong, j.toLong))
+    val r2 = for (i <- 0 until 30; j <- 0 until 15) yield
+      (i.toLong, j.toLong, u(i, 0) * v2(j, 0) + u(i, 1) * v2(j, 1) +
+        0.05 * CbRng.gaussian(41L, 5L, i.toLong, j.toLong))
+    val df1 = r1.toDF("row", "col", "v")
+    val df2 = r2.toDF("row", "col2", "v")
+    val rd = RelationData(
+      Map("row" -> Entity("row", 30), "col" -> Entity("col", 20),
+          "col2" -> Entity("col2", 15)),
+      Seq(Relation("r1", df1, Seq("row", "col"), Seq("row", "col"), "v"),
+          Relation("r2", df2, Seq("row", "col2"), Seq("row", "col2"), "v")))
+    val split = Macau.assignToTest(rd, 0.2)
+    val res = Macau.macau(spark, split.train, split.test,
+      Gibbs.Options(numLatent = 6, burnin = 4, samples = 4, alpha = 20.0, seed = 43L))
+    val sd = df1.select(stddev_pop($"v")).head().getDouble(0)
+    assert(res.finalRmse < 0.6 * sd,
+      s"multi-relation rmse ${res.finalRmse} not < 0.6 * sd $sd")
+  }
+
+  test("sampled noise precision (alpha) still converges") {
+    val s = spark
+    import s.implicits._
+    val df = rank2Matrix(25, 20, seed = 9L).toDF("row", "col", "v")
+    val res = Macau.fit(spark, df, Seq("row", "col"), "v",
+      Gibbs.Options(numLatent = 6, burnin = 4, samples = 4, sampleAlpha = true,
+        alpha = 1.0, seed = 19L))
+    val sd = df.select(stddev_pop($"v")).head().getDouble(0)
+    assert(res.finalRmse < sd, s"sampled-alpha rmse ${res.finalRmse} not < sd $sd")
+  }
+
+  test("distributed-factors mode handles a 3-mode tensor") {
+    val s = spark
+    import s.implicits._
+    def f(stream: Long, i: Int, j: Int) = CbRng.gaussian(13L, stream, i.toLong, j.toLong)
+    val cells = for (i <- 0 until 10; j <- 0 until 8; k2 <- 0 until 5) yield {
+      val x = (0 until 2).map(r => f(1, i, r) * f(2, j, r) * f(3, k2, r)).sum +
+        0.05 * CbRng.gaussian(13L, 4L, (i * 100 + j * 10 + k2).toLong, 0L)
+      (i.toLong, j.toLong, k2.toLong, x)
+    }
+    val df = cells.toDF("a", "b", "c", "v")
+    val res = Macau.fit(spark, df, Seq("a", "b", "c"), "v",
+      Gibbs.Options(numLatent = 4, burnin = 3, samples = 3, alpha = 20.0,
+        seed = 17L, distributedFactors = true))
+    val sd = df.select(stddev_pop($"v")).head().getDouble(0)
+    assert(res.finalRmse < sd, s"distributed tensor rmse ${res.finalRmse} not < sd $sd")
+  }
+
   test("distributed CG side solver matches the driver Cholesky path's quality") {
     val s = spark
     import s.implicits._
