@@ -135,6 +135,28 @@ object Bdf {
         .as("auc"))
   }
 
+  /** A13 extension: the full ROC curve — TPR/FPR at every distinct
+    * score threshold, from exact integer cumulative sums (only the
+    * final two divisions are double). */
+  def qBdfRoc(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("value"), (col("event_type") === "purchase").cast("int").as("pos"))
+    val perValue = e.groupBy("value")
+      .agg(sum(col("pos")).as("np"), count(lit(1)).as("n"))
+    val w = Window.orderBy(col("value").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = e.agg(sum(col("pos")).as("p"),
+                       (count(lit(1)) - sum(col("pos"))).as("nn"))
+    perValue.select(col("value").as("threshold"),
+        sum(col("np")).over(w).as("ctp"),
+        sum(col("n")).over(w).as("call"))
+      .crossJoin(totals)
+      .select(col("threshold"),
+              (col("ctp").cast("double") / col("p")).as("tpr"),
+              ((col("call") - col("ctp")).cast("double") / col("nn")).as("fpr"))
+      .orderBy(col("threshold").desc)
+  }
+
   /** A9: 3-mode tensor build — (user, event_type, hour) cells. */
   def qBdfTensorAgg(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -170,6 +192,7 @@ object Bdf {
     "q_bdf_clamp" -> (qBdfClamp _),
     "q_bdf_rmse" -> (qBdfRmse _),
     "q_bdf_auc" -> (qBdfAuc _),
+    "q_bdf_roc" -> (qBdfRoc _),
     "q_bdf_tensor_agg" -> (qBdfTensorAgg _),
     "q_bdf_multirel" -> (qBdfMultirel _),
   )
@@ -229,6 +252,24 @@ object Bdf {
         |     - CAST(SUM(pos) AS BIGINT) * (CAST(SUM(pos) AS BIGINT) + 1) / 2.0)
         |    / (CAST(SUM(pos) AS DOUBLE) * (COUNT(*) - SUM(pos))) AS auc
         |FROM r""".stripMargin,
+    "q_bdf_roc" ->
+      """WITH s AS (
+        |  SELECT value, CAST(event_type = 'purchase' AS INTEGER) AS pos FROM events),
+        |agg AS (
+        |  SELECT value, CAST(SUM(pos) AS BIGINT) AS np, COUNT(*) AS n
+        |  FROM s GROUP BY value),
+        |cum AS (
+        |  SELECT value,
+        |    SUM(np) OVER (ORDER BY value DESC ROWS UNBOUNDED PRECEDING) AS ctp,
+        |    SUM(n) OVER (ORDER BY value DESC ROWS UNBOUNDED PRECEDING) AS call
+        |  FROM agg),
+        |tot AS (
+        |  SELECT CAST(SUM(pos) AS BIGINT) AS p,
+        |         CAST(COUNT(*) - SUM(pos) AS BIGINT) AS nn FROM s)
+        |SELECT value AS threshold,
+        |  CAST(ctp AS DOUBLE) / p AS tpr,
+        |  CAST(call - ctp AS DOUBLE) / nn AS fpr
+        |FROM cum, tot ORDER BY threshold DESC""".stripMargin,
     "q_bdf_tensor_agg" ->
       s"""SELECT user_id, event_type,
          |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hour_bucket,

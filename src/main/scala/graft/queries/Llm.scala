@@ -227,29 +227,50 @@ object Llm {
     * top-k heap. Exact decimal accumulation makes it bit-identical to
     * the explode+groupBy formulation, so it shares the same oracle.
     * This is the 100 TB-shaped plan: a narrow map over the scan. */
+  /** Exact-decimal single-pass dot product over two array columns.
+    * Term narrowed to DECIMAL(24,12) (lossless: |x*y| < 1e12) so the
+    * fold's addition (25,12)+(24,12) needs precision 26 and stays
+    * EXACT — a (38,12) accumulator would push addition to precision 39
+    * and Spark's precision-loss rule silently drops to scale 11,
+    * rounding every step. */
+  private def fusedDotSql(a: String, b: String): String = {
+    def decSql(c: String) = s"CAST(CAST($c AS DOUBLE) AS DECIMAL(18,6))"
+    s"""CAST(aggregate(
+       |  zip_with($a, $b, (x, y) -> CAST(${decSql("x")} * ${decSql("y")} AS DECIMAL(24,12))),
+       |  CAST(0 AS DECIMAL(25,12)),
+       |  (acc, v) -> CAST(acc + v AS DECIMAL(25,12))) AS DOUBLE)""".stripMargin
+  }
+
   def qSimCosineFused(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    def decSql(c: String) = s"CAST(CAST($c AS DOUBLE) AS DECIMAL(18,6))"
-    // Term narrowed to DECIMAL(24,12) (lossless: |x*y| < 1e12) so the
-    // fold's addition (25,12)+(24,12) needs precision 26 and stays
-    // EXACT — a (38,12) accumulator would push addition to precision 39
-    // and Spark's precision-loss rule silently drops to scale 11,
-    // rounding every step.
-    def dotSql(a: String, b: String) =
-      s"""CAST(aggregate(
-         |  zip_with($a, $b, (x, y) -> CAST(${decSql("x")} * ${decSql("y")} AS DECIMAL(24,12))),
-         |  CAST(0 AS DECIMAL(25,12)),
-         |  (acc, v) -> CAST(acc + v AS DECIMAL(25,12))) AS DOUBLE)""".stripMargin
     e.crossJoin(broadcast(q))
       .select(col("vec_id"),
-              expr(dotSql("embedding", "qv")).as("dot"),
-              expr(dotSql("embedding", "embedding")).as("na"),
-              expr(dotSql("qv", "qv")).as("nq"))
+              expr(fusedDotSql("embedding", "qv")).as("dot"),
+              expr(fusedDotSql("embedding", "embedding")).as("na"),
+              expr(fusedDotSql("qv", "qv")).as("nq"))
       .select(col("vec_id"),
               (col("dot") / (sqrt(col("na")) * sqrt(col("nq")))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(20)
+  }
+
+  /** Embedding-cosine near-dup pairs: label-blocked (IVF-style
+    * blocking, never all-pairs across blocks), fused single-pass dot
+    * products, cosine >= 0.3 kept. */
+  def qDedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("va"), col("label"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("label").as("lb"), col("embedding").as("eb"))
+    a.join(b, col("label") === col("lb") && col("va") < col("vb"))
+      .select(col("va"), col("vb"),
+              expr(fusedDotSql("ea", "eb")).as("dot"),
+              expr(fusedDotSql("ea", "ea")).as("na"),
+              expr(fusedDotSql("eb", "eb")).as("nb"))
+      .select(col("va"), col("vb"),
+              (col("dot") / (sqrt(col("na")) * sqrt(col("nb")))).as("cos"))
+      .filter(col("cos") >= 0.3)
+      .orderBy("va", "vb")
   }
 
   /** Per-label centroid, then each vector's squared distance to its own
@@ -332,6 +353,7 @@ object Llm {
     "q_text_tokens_bpe" -> (qTextTokensBpe _),
     "q_sim_cosine_topk" -> (qSimCosineTopk _),
     "q_sim_cosine_fused" -> (qSimCosineFused _),
+    "q_dedup_embed_cosine" -> (qDedupEmbedCosine _),
     "q_sim_knn_centroid" -> (qSimKnnCentroid _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
     "q_mm_meta" -> (qMmMeta _),
@@ -438,6 +460,20 @@ object Llm {
     // fused HOF variant computes bit-identical quantized cosine -> same oracle
     "q_sim_cosine_fused" -> cosineSql,
     "q_sim_cosine_topk" -> cosineSql,
+    "q_dedup_embed_cosine" ->
+      s"""WITH per AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    CAST(SUM(${D.decf("a.embedding[i]")} * ${D.decf("b.embedding[i]")}) AS DOUBLE) AS dot,
+         |    CAST(SUM(${D.decf("a.embedding[i]")} * ${D.decf("a.embedding[i]")}) AS DOUBLE) AS na,
+         |    CAST(SUM(${D.decf("b.embedding[i]")} * ${D.decf("b.embedding[i]")}) AS DOUBLE) AS nb
+         |  FROM embeddings a
+         |  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
+         |       GENERATE_SERIES(1, 64) AS g(i)
+         |  GROUP BY a.vec_id, b.vec_id)
+         |SELECT va, vb, dot / (SQRT(na) * SQRT(nb)) AS cos
+         |FROM per
+         |WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.3
+         |ORDER BY va, vb""".stripMargin,
     "q_sim_knn_centroid" ->
       s"""WITH cent AS (
          |  SELECT label AS clabel, i AS cpos,
