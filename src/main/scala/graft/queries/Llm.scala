@@ -152,6 +152,17 @@ object Llm {
       .agg(sum(col("term")).as("fp"))
       .orderBy("doc_id")
 
+  /** Same fingerprint via the native codegen expression
+    * (graft.expressions.RollingFingerprint): one whole-stage-codegen
+    * pass per document instead of a 300x character explode — shares
+    * q_text_fingerprint's oracle bit-for-bit. */
+  def qTextFingerprintFast(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.RollingFingerprint.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr("graft_fingerprint(text)").as("fp"))
+      .orderBy("doc_id")
+  }
+
   /** Token-list language-ID heuristic (argmax of wordlist hits with
     * deterministic tie -> 'und'). */
   def qTextLangid(s: SparkSession, dir: String): DataFrame = {
@@ -255,18 +266,35 @@ object Llm {
       .limit(20)
   }
 
-  /** Embedding-cosine near-dup pairs: label-blocked (IVF-style
-    * blocking, never all-pairs across blocks), fused single-pass dot
-    * products, cosine >= 0.3 kept. */
+  /** Embedding-cosine near-dup pairs, blocked twice (never all-pairs):
+    * by label (IVF-style) AND by the sign bits of the first three
+    * dimensions — random-hyperplane LSH blocking, the standard way to
+    * keep embedding dedup subquadratic (near-identical vectors agree on
+    * every sign bit). Norms are computed ONCE per vector (fused HOF,
+    * broadcast); pairwise dots go through posexplode + codegen'd hash
+    * aggregation — per-pair HOF decimal lambdas are interpreted per
+    * element and cost 80s at sf0.1 for the same math. */
   def qDedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-    val a = e.select(col("vec_id").as("va"), col("label"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("vb"), col("label").as("lb"), col("embedding").as("eb"))
-    a.join(b, col("label") === col("lb") && col("va") < col("vb"))
-      .select(col("va"), col("vb"),
-              expr(fusedDotSql("ea", "eb")).as("dot"),
-              expr(fusedDotSql("ea", "ea")).as("na"),
-              expr(fusedDotSql("eb", "eb")).as("nb"))
+    val sign = (1 to 3).map(i =>
+      (element_at(col("embedding"), i) >= 0).cast("int").cast("string"))
+    val withBlock = Tables.embeddings(s, dir)
+      .withColumn("blk", concat(concat_ws("", sign: _*), lit("#"), col("label")))
+    val e = withBlock
+      .select(col("vec_id"), col("blk"), posexplode(col("embedding")).as(Seq("pos", "x")))
+    val a = e.select(col("vec_id").as("va"), col("blk"),
+                     col("pos"), col("x").as("xa"))
+    val b = e.select(col("vec_id").as("vb"), col("blk").as("blk2"),
+                     col("pos").as("pos2"), col("x").as("xb"))
+    val dots = a.join(b, col("blk") === col("blk2") &&
+                         col("pos") === col("pos2") && col("va") < col("vb"))
+      .groupBy("va", "vb")
+      .agg(sum(decf(col("xa")) * decf(col("xb"))).cast("double").as("dot"))
+    val norms = Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(fusedDotSql("embedding", "embedding")).as("nrm"))
+    val nA = norms.select(col("vec_id").as("nva"), col("nrm").as("na"))
+    val nB = norms.select(col("vec_id").as("nvb"), col("nrm").as("nb"))
+    dots.join(broadcast(nA), col("va") === col("nva"))
+      .join(broadcast(nB), col("vb") === col("nvb"))
       .select(col("va"), col("vb"),
               (col("dot") / (sqrt(col("na")) * sqrt(col("nb")))).as("cos"))
       .filter(col("cos") >= 0.3)
@@ -348,6 +376,7 @@ object Llm {
     "q_dedup_near_minhash" -> (qDedupNearMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_text_fingerprint_fast" -> (qTextFingerprintFast _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_tokens_bpe" -> (qTextTokensBpe _),
@@ -425,12 +454,9 @@ object Llm {
          |WHERE jaccard >= 0.8 ORDER BY da, db""".stripMargin
     },
     "q_dedup_simhash" -> simhashSql,
-    "q_text_fingerprint" ->
-      """SELECT doc_id,
-        |  CAST(SUM(ASCII(SUBSTRING(text, i, 1)) * (1 + (i * i) % 97)) AS BIGINT) AS fp
-        |FROM documents, GENERATE_SERIES(1, 2048) AS g(i)
-        |WHERE i <= LENGTH(text)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // native codegen expression computes the identical hash -> same oracle
+    "q_text_fingerprint_fast" -> fingerprintSql,
+    "q_text_fingerprint" -> fingerprintSql,
     "q_text_langid" ->
       s"""WITH $tokCte, sc AS (
          |  SELECT doc_id,
@@ -460,20 +486,24 @@ object Llm {
     // fused HOF variant computes bit-identical quantized cosine -> same oracle
     "q_sim_cosine_fused" -> cosineSql,
     "q_sim_cosine_topk" -> cosineSql,
-    "q_dedup_embed_cosine" ->
-      s"""WITH per AS (
+    "q_dedup_embed_cosine" -> {
+      val blk = "CAST(embedding[1] >= 0 AS INTEGER) || CAST(embedding[2] >= 0 AS INTEGER) || CAST(embedding[3] >= 0 AS INTEGER) || '#' || label"
+      s"""WITH eb AS (
+         |  SELECT vec_id, embedding, $blk AS blk FROM embeddings),
+         |per AS (
          |  SELECT a.vec_id AS va, b.vec_id AS vb,
          |    CAST(SUM(${D.decf("a.embedding[i]")} * ${D.decf("b.embedding[i]")}) AS DOUBLE) AS dot,
          |    CAST(SUM(${D.decf("a.embedding[i]")} * ${D.decf("a.embedding[i]")}) AS DOUBLE) AS na,
          |    CAST(SUM(${D.decf("b.embedding[i]")} * ${D.decf("b.embedding[i]")}) AS DOUBLE) AS nb
-         |  FROM embeddings a
-         |  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
+         |  FROM eb a
+         |  JOIN eb b ON a.blk = b.blk AND a.vec_id < b.vec_id,
          |       GENERATE_SERIES(1, 64) AS g(i)
          |  GROUP BY a.vec_id, b.vec_id)
          |SELECT va, vb, dot / (SQRT(na) * SQRT(nb)) AS cos
          |FROM per
          |WHERE dot / (SQRT(na) * SQRT(nb)) >= 0.3
-         |ORDER BY va, vb""".stripMargin,
+         |ORDER BY va, vb""".stripMargin
+    },
     "q_sim_knn_centroid" ->
       s"""WITH cent AS (
          |  SELECT label AS clabel, i AS cpos,
@@ -510,6 +540,13 @@ object Llm {
         |       ELSE 'wav' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
+
+  private lazy val fingerprintSql: String =
+    """SELECT doc_id,
+      |  CAST(SUM(ASCII(SUBSTRING(text, i, 1)) * (1 + (i * i) % 97)) AS BIGINT) AS fp
+      |FROM documents, GENERATE_SERIES(1, 2048) AS g(i)
+      |WHERE i <= LENGTH(text)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private lazy val cosineSql: String =
     s"""WITH per AS (

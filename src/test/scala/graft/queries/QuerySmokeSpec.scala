@@ -13,7 +13,8 @@ class QuerySmokeSpec extends SparkSpec {
     "q_except",              // every part may be referenced
     "q_dedup_exact",         // duplicates may not exist at sf0.001
     "q_dedup_minhash_lsh",   // near-dup pairs above threshold
-    "q_dedup_near_minhash")
+    "q_dedup_near_minhash",
+    "q_dedup_embed_cosine")  // random embeddings may have no cos>=0.3 pair
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
