@@ -43,8 +43,8 @@ object Gibbs {
       /** Keep factor matrices as DataFrames and run the sweep with
         * shuffle joins instead of driver collection + broadcast — the
         * path for entity counts whose N x K factors no longer fit the
-        * driver (see GibbsDistributed). Side info requires the
-        * driver-resident path for now. */
+        * driver (see GibbsDistributed). Side info runs through the
+        * distributed CG in this mode. */
       distributedFactors: Boolean = false,
       clamp: Option[(Double, Double)] = None,
       seed: Long = 42L)
@@ -62,8 +62,6 @@ object Gibbs {
   def train(spark: SparkSession, rd: RelationData, test: DataFrame,
             opts: Options): Result = {
     if (opts.distributedFactors) {
-      require(rd.entities.values.forall(_.side.isEmpty),
-        "distributedFactors mode does not support side info yet")
       return GibbsDistributed.train(spark, rd, test, opts)
     }
     import spark.implicits._

@@ -52,6 +52,20 @@ object GibbsDistributed {
       }.toDF("id", "f").localCheckpoint(true)
     }: _*)
 
+    // side-info tables stay distributed; only beta (F x K) and the NW
+    // state live on the driver — the Macau link solve runs through the
+    // distributed CG (Cg.solveNormal), so neither X nor X^T X ever
+    // materializes in one place
+    val sideDFs: Map[String, DataFrame] = rd.entities.collect {
+      case (name, Entity(_, _, Some(sd))) =>
+        name -> sd.select(col("id").cast("long").as("id"), col("features")).persist()
+    }
+    val fDims: Map[String, Int] = sideDFs.map { case (e, sd) =>
+      e -> sd.select(size(col("features"))).head().getInt(0)
+    }
+    // (id, shift = beta^T x_i), refreshed each sweep
+    val linkShift = scala.collection.mutable.Map[String, DataFrame]()
+
     val rmseHist = scala.collection.mutable.ArrayBuffer[Double]()
     var predSum: Option[DataFrame] = None
     var nSamples = 0
@@ -71,10 +85,16 @@ object GibbsDistributed {
     }
 
     for (iter <- 0 until (opts.burnin + opts.samples)) {
-      // -- (a) NW hyperprior from distributed sufficient statistics --
+      // -- (a) NW hyperprior from distributed sufficient statistics
+      //       (factors centered by the link shift when side info exists) --
       val hyper: Map[String, NW] = entNames.map { e =>
         val kk = k
-        val (n, sumU, sumOuter) = factors(e).select("f").as[Array[Double]].rdd
+        val centered = linkShift.get(e) match {
+          case Some(sh) => factors(e).join(sh, "id")
+            .select(expr("zip_with(f, shift, (a, b) -> a - b)").as("f"))
+          case None => factors(e).select("f")
+        }
+        val (n, sumU, sumOuter) = centered.as[Array[Double]].rdd
           .treeAggregate((0L, new Array[Double](kk), new Array[Double](kk * kk)))(
             seqOp = { case ((cnt, su, so), f) =>
               var i = 0
@@ -98,7 +118,34 @@ object GibbsDistributed {
         e -> Gibbs.sampleNWFromStats(n, mean, scatter, seed, iter, e.hashCode)
       }.toMap
 
-      // -- (b) per-mode conditional draws via joins --
+      // -- (b) side-info link draw: noise-injected centered target
+      //       (distributed map) -> distributed CG -> refreshed shift --
+      sideDFs.foreach { case (e, sd) =>
+        val nw = hyper(e)
+        val bMu = spark.sparkContext.broadcast(nw.mu.toArray)
+        val kk = k; val it = iter.toLong; val tagL = e.hashCode.toLong
+        val al = opts.alpha
+        val target = factors(e).as[(Long, Array[Double])].map { case (id, f) =>
+          (id, Array.tabulate(kk)(j => f(j) - bMu.value(j) +
+            CbRng.gaussian(seed, it, tagL ^ 0x5ea1L, id, j.toLong) / math.sqrt(al)))
+        }.toDF("id", "target")
+        val xt = sd.join(target, "id").select("features", "target")
+        val beta = Cg.solveNormal(spark, xt, fDims(e), kk, opts.lambdaBeta)
+        val bBeta = spark.sparkContext.broadcast(beta.toArray) // column-major F x K
+        val fD = fDims(e)
+        linkShift(e) = sd.as[(Long, Seq[Double])].map { case (id, x) =>
+          val shift = new Array[Double](kk)
+          var j = 0
+          while (j < kk) {
+            var acc = 0.0; var i2 = 0
+            while (i2 < fD) { acc += x(i2) * bBeta.value(j * fD + i2); i2 += 1 }
+            shift(j) = acc; j += 1
+          }
+          (id, shift)
+        }.toDF("id", "shift").localCheckpoint(true)
+      }
+
+      // -- (c) per-mode conditional draws via joins --
       for (e <- entNames) {
         val contribs = coos.flatMap { case (r, coo) =>
           r.modeEntities.zipWithIndex.collect {
@@ -107,28 +154,45 @@ object GibbsDistributed {
                 .select(col("ids").getItem(m).as("id"), col("z"), col("v"))
           }
         }
-        val all = contribs.reduce(_ unionByName _)
+        val all0 = contribs.reduce(_ unionByName _)
+        // side info shifts the prior mean per entity: mu0 = mu + beta^T x_i
+        val all = linkShift.get(e) match {
+          case Some(sh) =>
+            all0.join(sh.select(col("id").as("sid"), col("shift")),
+                      col("id") === col("sid"))
+              .select(col("id"), col("z"), col("v"), col("shift"))
+          case None =>
+            all0.withColumn("shift", lit(null).cast("array<double>"))
+        }
         val nw = hyper(e)
         val bMu = spark.sparkContext.broadcast(nw.mu.toArray)
         val bLam = spark.sparkContext.broadcast(nw.lambda.toArray)
         val a = opts.alpha; val kk = k; val it = iter.toLong
         val eHash = e.hashCode.toLong
-        val drawn = all.as[(Long, Array[Double], Double)]
+        val drawn = all.as[(Long, Array[Double], Double, Array[Double])]
           .groupByKey(_._1)
           .mapGroups { (id, rows) =>
-            val prec = new DenseMatrix[Double](kk, kk, bLam.value.clone())
-            val mu0 = DenseVector(bMu.value)
-            val rhs = prec * mu0
-            rows.foreach { case (_, z, v) =>
+            // accumulate likelihood terms first so the prior mean (which
+            // depends on the row-carried shift) can be applied at the end
+            val sZZ = DenseMatrix.zeros[Double](kk, kk)
+            val sZv = DenseVector.zeros[Double](kk)
+            var shiftArr: Array[Double] = null
+            rows.foreach { case (_, z, v, sh) =>
+              if (shiftArr == null && sh != null) shiftArr = sh
               var r0 = 0
               while (r0 < kk) {
                 val zr = z(r0) * a
                 var c0 = 0
-                while (c0 < kk) { prec(r0, c0) += zr * z(c0); c0 += 1 }
-                rhs(r0) += zr * v
+                while (c0 < kk) { sZZ(r0, c0) += zr * z(c0); c0 += 1 }
+                sZv(r0) += zr * v
                 r0 += 1
               }
             }
+            val lam = new DenseMatrix[Double](kk, kk, bLam.value.clone())
+            val mu0 = DenseVector(bMu.value)
+            if (shiftArr != null) { mu0 :+= DenseVector(shiftArr) }
+            val prec = lam + sZZ
+            val rhs = (lam * mu0) + sZv
             val l = cholesky(prec)
             val y = Gibbs.lowerSolve(l, rhs)
             val mean = Gibbs.upperSolveT(l, y)
@@ -141,15 +205,24 @@ object GibbsDistributed {
         // unobserved entities keep a pure prior draw (distributed anti-join)
         val lamArr = nw.lambda.toArray
         val muArr = nw.mu.toArray
-        val prior = factors(e).select("id")
+        val unseen = factors(e).select("id")
           .join(drawn.select(col("id").as("did")), col("id") === col("did"), "left_anti")
-          .as[Long].map { id =>
-            val lChol = cholesky(new DenseMatrix[Double](kk, kk, lamArr.clone()))
-            val eps = DenseVector.tabulate(kk)(j =>
-              CbRng.gaussian(seed, it, eHash + 7L, id, j.toLong))
-            val u = DenseVector(muArr) + Gibbs.upperSolveT(lChol, eps)
-            (id, u.toArray)
-          }.toDF("id", "f")
+        val unseenWithShift = linkShift.get(e) match {
+          case Some(sh) =>
+            unseen.join(sh.select(col("id").as("sid"), col("shift")),
+                        col("id") === col("sid"))
+              .select(col("id"), col("shift"))
+          case None => unseen.withColumn("shift", lit(null).cast("array<double>"))
+        }
+        val prior = unseenWithShift.as[(Long, Array[Double])].map { case (id, sh) =>
+          val lChol = cholesky(new DenseMatrix[Double](kk, kk, lamArr.clone()))
+          val eps = DenseVector.tabulate(kk)(j =>
+            CbRng.gaussian(seed, it, eHash + 7L, id, j.toLong))
+          val mu0 = DenseVector(muArr.clone())
+          if (sh != null) { mu0 :+= DenseVector(sh) }
+          val u = mu0 + Gibbs.upperSolveT(lChol, eps)
+          (id, u.toArray)
+        }.toDF("id", "f")
 
         val next = drawn.unionByName(prior).localCheckpoint(true)
         factors(e) = next
