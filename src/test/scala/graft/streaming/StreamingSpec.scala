@@ -100,6 +100,32 @@ class StreamingSpec extends SparkSpec {
     assert(out(2L) === ((1L, 7.0)), s"user 2 session wrong: $out")
   }
 
+  test("readStream -> window agg -> parquet file sink with checkpoint") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val agg = mem.toDF.toDF("event_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"n")
+    val q = agg.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    mem.addData((1L, ts(0), 1.0), (2L, ts(2), 1.0), (3L, ts(11), 1.0))
+    q.processAllAvailable()
+    mem.addData((4L, ts(120), 1.0)) // watermark past both windows
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.read.parquet(outDir).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    assert(rows("2024-01-01 10:00:00.0") === 2L, s"sink content wrong: $rows")
+    assert(rows("2024-01-01 10:10:00.0") === 1L, s"sink content wrong: $rows")
+  }
+
   test("stateful dedup collapses duplicate event ids in-stream") {
     val s = spark
     import s.implicits._
