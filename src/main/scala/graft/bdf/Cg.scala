@@ -18,12 +18,16 @@ object Cg {
     * centered factors): (features F, target K). */
   type XRow = (Array[Double], Array[Double])
 
-  /** Solve (X^T X + lambda I) beta = X^T T for all K columns at once.
+  /** Solve (X^T X + lambda I) beta = X^T T + rhsExtra for all K columns
+    * at once.
     * @param xt distributed rows of (x_i, t_i)
+    * @param rhsExtra optional F x K term added to the right-hand side
+    *                 (the Macau draw's sqrt(lambda)-scaled prior noise)
     * @return beta (F x K) */
   def solveNormal(spark: SparkSession, xt: DataFrame, fDim: Int, k: Int,
                   lambda: Double, maxIter: Int = 30,
-                  tol: Double = 1e-9): DenseMatrix[Double] = {
+                  tol: Double = 1e-9,
+                  rhsExtra: Option[DenseMatrix[Double]] = None): DenseMatrix[Double] = {
     import spark.implicits._
     val rows = xt.select(col("features"), col("target"))
       .as[(Seq[Double], Seq[Double])]
@@ -46,6 +50,7 @@ object Cg {
         acc
       },
       combOp = _ += _)
+    rhsExtra.foreach(rhs += _)
 
     // A p = X^T (X p) + lambda p, one distributed pass per CG step for
     // ALL K systems simultaneously (p is F x K)

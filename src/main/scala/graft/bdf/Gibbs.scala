@@ -347,33 +347,58 @@ object Gibbs {
 
   private def d2(v: DenseVector[Double]): DenseMatrix[Double] = v * v.t
 
-  /** Side-info link draw (Macau §3.2): ridge posterior for beta with
-    * noise injection — beta = (X^T X + lambda I)^-1 X^T (U~ + E1)
-    * + sqrt(lambda)-scaled E2 folded through the same solve. Small X
-    * solves on the driver with Cholesky; opts.useCgSideSolver switches
-    * to the distributed CG (Cg.solveNormal) that never materializes
-    * X^T X. */
+  /** Side-info link draw (Macau §3.2): exact conditional for beta,
+    * whose posterior is matrix-normal with row precision
+    * (X^T X + lambda I) and column covariance Lambda^-1 (the entity's
+    * NW latent precision). Sampled via the noise-injection identity
+    *
+    *   beta = (X^T X + lambda I)^-1 (X^T (U~ + E1) + sqrt(lambda) E2)
+    *
+    * where U~ = U - mu and each row of E1 (n x K) and E2 (F x K) is an
+    * independent N(0, Lambda^-1) draw, realized as L_Lambda^-T eps.
+    * Small X solves on the driver with Cholesky; opts.useCgSideSolver
+    * switches to the distributed CG (Cg.solveNormal) that never
+    * materializes X^T X. */
   private def sampleBeta(spark: SparkSession, u: DenseMatrix[Double],
                          xs: Array[Array[Double]], nw: NW, opts: Options,
                          iter: Int, tag: Int): DenseMatrix[Double] = {
     val n = u.rows; val k = u.cols; val fDim = xs(0).length
     val rng = new RngStream(opts.seed, (iter.toLong << 24) ^ tag ^ 0x5ea1L)
-    // centered target + injected noise (one gaussian per cell)
-    val target = DenseMatrix.tabulate[Double](n, k)((i, c) =>
-      u(i, c) - nw.mu(c) + rng.nextGaussian() / math.sqrt(opts.alpha))
+    val lLam = cholesky((nw.lambda + nw.lambda.t) * 0.5)
+    def lamNoiseRow(): DenseVector[Double] = {
+      val eps = DenseVector.tabulate(k)(_ => rng.nextGaussian())
+      upperSolveT(lLam, eps) // N(0, Lambda^-1)
+    }
+    // centered target + injected latent noise, one N(0, Lambda^-1) row each
+    val target = DenseMatrix.zeros[Double](n, k)
+    var i = 0
+    while (i < n) {
+      val e1 = lamNoiseRow()
+      var c = 0
+      while (c < k) { target(i, c) = u(i, c) - nw.mu(c) + e1(c); c += 1 }
+      i += 1
+    }
+    // prior-side noise: sqrt(lambda) E2, added to the RHS of the solve
+    val sqLb = math.sqrt(opts.lambdaBeta)
+    val e2 = DenseMatrix.zeros[Double](fDim, k)
+    i = 0
+    while (i < fDim) {
+      e2(i, ::) := (lamNoiseRow() * sqLb).t
+      i += 1
+    }
     if (opts.useCgSideSolver) {
       import spark.implicits._
-      val xt = (0 until n).map { i =>
-        (xs(i).toSeq, (0 until k).map(c => target(i, c)).toSeq)
+      val xt = (0 until n).map { r =>
+        (xs(r).toSeq, (0 until k).map(c => target(r, c)).toSeq)
       }.toDF("features", "target")
-      Cg.solveNormal(spark, xt, fDim, k, opts.lambdaBeta)
+      Cg.solveNormal(spark, xt, fDim, k, opts.lambdaBeta, rhsExtra = Some(e2))
     } else {
-      val x = DenseMatrix.tabulate[Double](n, fDim)((i, j) => xs(i)(j))
+      val x = DenseMatrix.tabulate[Double](n, fDim)((r, j) => xs(r)(j))
       val xtx = x.t * x
       var j = 0
       while (j < fDim) { xtx(j, j) += opts.lambdaBeta; j += 1 }
       val lCh = cholesky(xtx)
-      val xtU = x.t * target
+      val xtU = (x.t * target) += e2
       val beta = DenseMatrix.zeros[Double](fDim, k)
       var c = 0
       while (c < k) {

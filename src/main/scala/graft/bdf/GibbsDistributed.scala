@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   *    so AQE picks broadcast automatically while a side still fits and
   *    degrades to sort-merge when it doesn't);
   *  - draws each entity's K-dim conditional in groupByKey.mapGroups
-  *    exactly as the broadcast path does (counter-based RNG, so results
-  *    are partitioning-invariant);
+  *    exactly as the broadcast path does (counter-based RNG, so the
+  *    per-entity draws are partitioning-invariant; the NW sufficient
+  *    statistics and CG matvecs use double treeAggregate whose
+  *    floating-point sum order follows the partitioning, so full runs
+  *    are bit-stable only for a fixed partitioning);
   *  - aggregates the Normal-Wishart sufficient statistics
   *    (n, sum u, sum u u^T) with one treeAggregate pass instead of
   *    iterating driver-side rows;
@@ -25,8 +28,8 @@ import org.apache.spark.sql.functions._
   *    lineage.
   *
   * Sampling math is identical to [[Gibbs]] (BPMF ICML'08 §3.1;
-  * Macau arXiv:1509.04610 §2.3-2.4); side information is not wired in
-  * this mode yet (Gibbs.train guards it).
+  * Macau arXiv:1509.04610 §2.3-2.4 and the §3.2 side-information link,
+  * solved with the distributed CG so X never leaves the cluster).
   */
 object GibbsDistributed {
   import Gibbs.{NW, Options, Result}
@@ -124,13 +127,32 @@ object GibbsDistributed {
         val nw = hyper(e)
         val bMu = spark.sparkContext.broadcast(nw.mu.toArray)
         val kk = k; val it = iter.toLong; val tagL = e.hashCode.toLong
-        val al = opts.alpha
+        // beta's conditional is matrix-normal with row precision
+        // (X^T X + lambda I) and column covariance Lambda^-1: inject one
+        // N(0, Lambda^-1) row per entity (E1, distributed) and fold
+        // sqrt(lambda) E2 (F x K, driver-sized) through the same solve
+        val lLam = cholesky((nw.lambda + nw.lambda.t) * 0.5)
+        val bLamL = spark.sparkContext.broadcast(lLam.toArray) // column-major k x k
         val target = factors(e).as[(Long, Array[Double])].map { case (id, f) =>
-          (id, Array.tabulate(kk)(j => f(j) - bMu.value(j) +
-            CbRng.gaussian(seed, it, tagL ^ 0x5ea1L, id, j.toLong) / math.sqrt(al)))
+          val lmat = new DenseMatrix[Double](kk, kk, bLamL.value)
+          val eps = DenseVector.tabulate(kk)(j =>
+            CbRng.gaussian(seed, it, tagL ^ 0x5ea1L, id, j.toLong))
+          val e1 = Gibbs.upperSolveT(lmat, eps) // N(0, Lambda^-1)
+          (id, Array.tabulate(kk)(j => f(j) - bMu.value(j) + e1(j)))
         }.toDF("id", "target")
+        val sqLb = math.sqrt(opts.lambdaBeta)
+        val fD0 = fDims(e)
+        val e2 = DenseMatrix.zeros[Double](fD0, kk)
+        var fi = 0
+        while (fi < fD0) {
+          val eps = DenseVector.tabulate(kk)(j =>
+            CbRng.gaussian(seed, it, tagL ^ 0x0e2eL, fi.toLong, j.toLong))
+          e2(fi, ::) := (Gibbs.upperSolveT(lLam, eps) * sqLb).t
+          fi += 1
+        }
         val xt = sd.join(target, "id").select("features", "target")
-        val beta = Cg.solveNormal(spark, xt, fDims(e), kk, opts.lambdaBeta)
+        val beta = Cg.solveNormal(spark, xt, fDims(e), kk, opts.lambdaBeta,
+          rhsExtra = Some(e2))
         val bBeta = spark.sparkContext.broadcast(beta.toArray) // column-major F x K
         val fD = fDims(e)
         linkShift(e) = sd.as[(Long, Seq[Double])].map { case (id, x) =>

@@ -25,14 +25,26 @@ object Macau {
   }
 
   /** The reference's assignToTest!: move ~fraction of observed cells of
-    * relation 0 into a held-out test set (deterministic hash split). */
+    * relation 0 into a held-out test set (deterministic hash split).
+    *
+    * The test row_id is the cell's mixed-radix position in the dense
+    * index space — collision-free by construction, unlike the 62-bit
+    * hash key (which stays as the split bucket only): a hash row_id
+    * would silently merge/duplicate prediction rows on birthday-bound
+    * collisions at billions of cells, while the mixed-radix id throws
+    * on overflow under ANSI mode if the dims product ever exceeds
+    * 63 bits (fail-loud). */
   def assignToTest(rd: RelationData, fraction: Double = 0.2): Split = {
     val r = rd.relations.head
+    val dims = r.modeEntities.map(e => rd.entities(e).numItems.toLong)
+    val rowId = dims.indices.drop(1).foldLeft(col("ids").getItem(0)) {
+      (acc, m) => acc * lit(dims(m)) + col("ids").getItem(m)
+    }
     val coo = r.coo.withColumn("key", cellKey(col("ids")))
     val bucket = pmod(col("key"), lit(1000L))
     val cut = (fraction * 1000).toLong
     val test = coo.filter(bucket < cut)
-      .select(col("key").as("row_id"), col("ids"), col("v"))
+      .select(rowId.as("row_id"), col("ids"), col("v"))
     val trainDf = r.df.withColumn("__key",
         cellKey(array(r.modeCols.map(c => col(c).cast("long")): _*)))
       .filter(pmod(col("__key"), lit(1000L)) >= cut)

@@ -177,7 +177,7 @@ object Joins {
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_join_left" ->
       """SELECT c_mktsegment, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_matched,
-        |  SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_no_order
+        |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_order
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_join_full" ->
