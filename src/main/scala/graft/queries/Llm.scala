@@ -44,31 +44,41 @@ object Llm {
       .filter(col("n") > 1)
       .orderBy("h")
 
-  /** Word 3-gram shingles — the right MinHash input: unigram token sets
-    * over this corpus's ~40-word vocabulary have baseline Jaccard ~0.5
-    * between RANDOM docs (2.1M of 12.5M sf0.1 pairs collide on even a
-    * 6-hash unigram band), while random word SEQUENCES almost never
-    * share 3-grams, so shingle-LSH candidates are only true near-dups. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), col("tk"),
-              explode(sequence(lit(1), greatest(size(col("tk")) - 2, lit(1)))).as("i"))
-      .select(col("doc_id"),
-              concat_ws(" ", element_at(col("tk"), col("i")),
-                element_at(col("tk"), col("i") + 1),
-                element_at(col("tk"), col("i") + 2)).as("token"))
+  // Word 3-gram shingles are the right MinHash input: unigram token
+  // sets over this corpus's ~40-word vocabulary have baseline Jaccard
+  // ~0.5 between RANDOM docs (2.1M of 12.5M sf0.1 pairs collide on
+  // even a 6-hash unigram band), while random word SEQUENCES almost
+  // never share 3-grams, so shingle-LSH candidates are only true
+  // near-dups. Shingling itself runs inside ShingleOps.
 
   /** MinHash-LSH near-dup pairs, fully deterministic: 4-hash md5
     * signature over the 3-gram shingle set in ONE AND-band (all four
     * minhashes equal -> candidate pair), then exact shingle-set Jaccard
-    * on the candidates only, keep >= 0.8. Never an all-pairs join. */
+    * on the candidates only, keep >= 0.8. Never an all-pairs join.
+    *
+    * Computed via the native graft_minhash_sig / graft_shingle_common
+    * kernels (graft.expressions.ShingleOps): one narrow codegen pass
+    * per document replaces the declarative explode(~510 shingles/doc)
+    * + global DISTINCT + 4x md5-per-row pipeline — value-identical to
+    * the oracle's SQL (local per-doc HashSet distinct; min over raw
+    * digest bytes == MIN over hex strings), but the only shuffles left
+    * are the tiny signature band-join and the candidate-pair text
+    * lookups. At 100 TB the old plan shuffles ~500x the corpus;
+    * this one shuffles ~100 bytes per document. */
   def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.ShingleOps.register(s)
     val nHash = 4
-    val t = shingles(s, dir).distinct()
-    val mhs = (0 until nHash).map(k =>
-      min(md5(concat(lit(k.toString), col("token")).cast("binary"))).as(s"mh$k"))
-    val sig = t.groupBy("doc_id").agg(mhs.head, (mhs.tail :+ count(lit(1)).as("sz")): _*)
+    val docs = Tables.documents(s, dir)
+    // the corpus parquet is one small file -> 1-2 scan partitions; the
+    // signature map is CPU-bound (4 md5s x ~510 shingles per doc), so
+    // spread it across the cluster first (tiny shuffle, big win; at
+    // 100 TB the scan already has thousands of partitions and AQE
+    // leaves this as a no-op coalesce)
+    val sig = docs
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sg"))
+      .select(col("doc_id") +: col("sg.sz").as("sz") +:
+        (0 until nHash).map(k => col(s"sg.mh$k").as(s"mh$k")): _*)
     val a = sig.select(col("doc_id").as("da") +: col("sz").as("sa") +:
       (0 until nHash).map(k => col(s"mh$k")): _*)
     val b = sig.select(col("doc_id").as("db") +: col("sz").as("sb") +:
@@ -77,12 +87,12 @@ object Llm {
       .reduce(_ && _)
     val cand = a.join(b, bandEq && col("da") < col("db"))
       .select("da", "db", "sa", "sb")
-    val ta = t.select(col("doc_id").as("xa"), col("token"))
-    val tb = t.select(col("doc_id").as("xb"), col("token").as("token2"))
+    val ta = docs.select(col("doc_id").as("xa"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("xb"), col("text").as("text_b"))
     cand.join(ta, col("da") === col("xa"))
-      .join(tb, col("db") === col("xb") && col("token") === col("token2"))
-      .groupBy("da", "db", "sa", "sb")
-      .agg(count(lit(1)).as("n_common"))
+      .join(tb, col("db") === col("xb"))
+      .select(col("da"), col("db"), col("sa"), col("sb"),
+              expr("graft_shingle_common(text_a, text_b)").as("n_common"))
       .select(col("da"), col("db"), col("n_common"),
               (col("sa") + col("sb") - col("n_common")).as("n_union"),
               (col("n_common").cast("double") /
@@ -232,34 +242,24 @@ object Llm {
   }
 
   /** Fused single-pass cosine top-k: the same quantized math as
-    * q_sim_cosine_topk, computed with higher-order functions
-    * (zip_with + aggregate) directly over the array columns — no
-    * posexplode blow-up (64x fewer rows), no shuffle before the final
-    * top-k heap. Exact decimal accumulation makes it bit-identical to
-    * the explode+groupBy formulation, so it shares the same oracle.
-    * This is the 100 TB-shaped plan: a narrow map over the scan. */
-  /** Exact-decimal single-pass dot product over two array columns.
-    * Term narrowed to DECIMAL(24,12) (lossless: |x*y| < 1e12) so the
-    * fold's addition (25,12)+(24,12) needs precision 26 and stays
-    * EXACT — a (38,12) accumulator would push addition to precision 39
-    * and Spark's precision-loss rule silently drops to scale 11,
-    * rounding every step. */
-  private def fusedDotSql(a: String, b: String): String = {
-    def decSql(c: String) = s"CAST(CAST($c AS DOUBLE) AS DECIMAL(18,6))"
-    s"""CAST(aggregate(
-       |  zip_with($a, $b, (x, y) -> CAST(${decSql("x")} * ${decSql("y")} AS DECIMAL(24,12))),
-       |  CAST(0 AS DECIMAL(25,12)),
-       |  (acc, v) -> CAST(acc + v AS DECIMAL(25,12))) AS DOUBLE)""".stripMargin
-  }
-
+    * q_sim_cosine_topk, computed by the graft_dot6 codegen kernel
+    * (graft.expressions.VectorOps) directly over the array columns —
+    * no posexplode blow-up (64x fewer rows), no shuffle before the
+    * final top-k heap, and no interpreted HOF lambdas (the round-1
+    * zip_with/aggregate decimal formulation evaluated its lambda body
+    * interpreted per element). Exact decimal accumulation keeps it
+    * bit-identical to the explode+groupBy formulation, so it shares
+    * the same oracle. This is the 100 TB-shaped plan: a narrow map
+    * over the scan. */
   def qSimCosineFused(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.VectorOps.register(s)
     val e = Tables.embeddings(s, dir)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
     e.crossJoin(broadcast(q))
       .select(col("vec_id"),
-              expr(fusedDotSql("embedding", "qv")).as("dot"),
-              expr(fusedDotSql("embedding", "embedding")).as("na"),
-              expr(fusedDotSql("qv", "qv")).as("nq"))
+              expr("graft_dot6(embedding, qv)").as("dot"),
+              expr("graft_dot6(embedding, embedding)").as("na"),
+              expr("graft_dot6(qv, qv)").as("nq"))
       .select(col("vec_id"),
               (col("dot") / (sqrt(col("na")) * sqrt(col("nq")))).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -270,33 +270,31 @@ object Llm {
     * by label (IVF-style) AND by the sign bits of the first three
     * dimensions — random-hyperplane LSH blocking, the standard way to
     * keep embedding dedup subquadratic (near-identical vectors agree on
-    * every sign bit). Norms are computed ONCE per vector (fused HOF,
-    * broadcast); pairwise dots go through posexplode + codegen'd hash
-    * aggregation — per-pair HOF decimal lambdas are interpreted per
-    * element and cost 80s at sf0.1 for the same math. */
+    * every sign bit). Within a block, each candidate pair's dot and
+    * norms come from ONE graft_dot6 codegen call over the two array
+    * columns — no posexplode 64x row blow-up, no pairwise shuffle
+    * (round 1 measured 80 s for interpreted per-pair HOF lambdas and
+    * ~5 s for explode+hash-agg; the fused kernel removes the explode
+    * entirely while staying bit-identical to the decimal oracle). */
   def qDedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.VectorOps.register(s)
     val sign = (1 to 3).map(i =>
       (element_at(col("embedding"), i) >= 0).cast("int").cast("string"))
+    // quantize + norm ONCE per vector (graft_quant6); each candidate
+    // pair then costs one pure-long dot (graft_dotq12)
     val withBlock = Tables.embeddings(s, dir)
       .withColumn("blk", concat(concat_ws("", sign: _*), lit("#"), col("label")))
-    val e = withBlock
-      .select(col("vec_id"), col("blk"), posexplode(col("embedding")).as(Seq("pos", "x")))
-    val a = e.select(col("vec_id").as("va"), col("blk"),
-                     col("pos"), col("x").as("xa"))
-    val b = e.select(col("vec_id").as("vb"), col("blk").as("blk2"),
-                     col("pos").as("pos2"), col("x").as("xb"))
-    val dots = a.join(b, col("blk") === col("blk2") &&
-                         col("pos") === col("pos2") && col("va") < col("vb"))
-      .groupBy("va", "vb")
-      .agg(sum(decf(col("xa")) * decf(col("xb"))).cast("double").as("dot"))
-    val norms = Tables.embeddings(s, dir)
-      .select(col("vec_id"), expr(fusedDotSql("embedding", "embedding")).as("nrm"))
-    val nA = norms.select(col("vec_id").as("nva"), col("nrm").as("na"))
-    val nB = norms.select(col("vec_id").as("nvb"), col("nrm").as("nb"))
-    dots.join(broadcast(nA), col("va") === col("nva"))
-      .join(broadcast(nB), col("vb") === col("nvb"))
+      .select(col("vec_id"), col("blk"),
+              expr("graft_quant6(embedding)").as("q"),
+              expr("graft_dot6(embedding, embedding)").as("nrm"))
+    val a = withBlock.select(col("vec_id").as("va"), col("blk"),
+                             col("q").as("qa"), col("nrm").as("na"))
+    val b = withBlock.select(col("vec_id").as("vb"), col("blk").as("blk2"),
+                             col("q").as("qb"), col("nrm").as("nb"))
+    a.join(b, col("blk") === col("blk2") && col("va") < col("vb"))
       .select(col("va"), col("vb"),
-              (col("dot") / (sqrt(col("na")) * sqrt(col("nb")))).as("cos"))
+              (expr("graft_dotq12(qa, qb)") /
+                 (sqrt(col("na")) * sqrt(col("nb")))).as("cos"))
       .filter(col("cos") >= 0.3)
       .orderBy("va", "vb")
   }
@@ -321,13 +319,13 @@ object Llm {
     * per-centroid partitions replace the all-pairs join. */
   def qSimAnnIvf(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = exploded(s, dir)
+    graft.expressions.VectorOps.register(s)
+    val e = Tables.embeddings(s, dir)
     val seeds = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("pos").as("cpos"), col("x").as("cx"))
-    val d = col("x").cast("double") - col("cx").cast("double")
-    val dist = e.join(seeds, col("pos") === col("cpos"))
-      .groupBy("vec_id", "cid")
-      .agg(sum((d * d).cast("decimal(18,12)")).cast("double").as("dist2"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val dist = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("cid"),
+              expr("graft_sqdist12(embedding, cemb)").as("dist2"))
     val w = Window.partitionBy("vec_id").orderBy(col("dist2").asc, col("cid").asc)
     val assigned = dist.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
