@@ -85,12 +85,28 @@ object Gibbs {
       }: _*)
 
     // side-info (Macau §3.2): collected driver-side (scale path: keep
-    // distributed and run CG with DataFrame matvecs)
+    // distributed and run CG with DataFrame matvecs — see
+    // GibbsDistributed, which also keeps sparse rows sparse). A sparse
+    // (indices, values) side table is densified here: this path is the
+    // small-data one by construction.
     val sideData: Map[String, Array[Array[Double]]] = rd.entities.collect {
       case (name, Entity(_, n, Some(sideDf))) =>
         val arr = Array.ofDim[Array[Double]](n)
-        sideDf.select(col("id").cast("long"), col("features")).collect().foreach { r =>
-          arr(r.getLong(0).toInt) = r.getSeq[Double](1).toArray
+        if (sideDf.columns.contains("indices")) {
+          val fDim = sideDf
+            .select(max(expr("array_max(indices)"))).head().getInt(0) + 1
+          sideDf.select(col("id").cast("long"), col("indices"), col("values"))
+            .collect().foreach { r =>
+              val dense = new Array[Double](fDim)
+              val ix = r.getSeq[Int](1); val v = r.getSeq[Double](2)
+              var q = 0
+              while (q < ix.length) { dense(ix(q)) = v(q); q += 1 }
+              arr(r.getLong(0).toInt) = dense
+            }
+        } else {
+          sideDf.select(col("id").cast("long"), col("features")).collect().foreach { r =>
+            arr(r.getLong(0).toInt) = r.getSeq[Double](1).toArray
+          }
         }
         name -> arr
     }

@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   *  - draws each entity's K-dim conditional in groupByKey.mapGroups
   *    exactly as the broadcast path does (counter-based RNG, so the
   *    per-entity draws are partitioning-invariant; the NW sufficient
-  *    statistics and CG matvecs use double treeAggregate whose
-  *    floating-point sum order follows the partitioning, so full runs
-  *    are bit-stable only for a fixed partitioning);
+  *    statistics and CG matvecs sum doubles via [[DetSum]] in
+  *    partition-id order, so full runs are bit-stable for a fixed
+  *    partitioning — the sums still reorder if the partitioning
+  *    itself changes);
   *  - aggregates the Normal-Wishart sufficient statistics
   *    (n, sum u, sum u u^T) with one treeAggregate pass instead of
   *    iterating driver-side rows;
@@ -58,13 +59,24 @@ object GibbsDistributed {
     // side-info tables stay distributed; only beta (F x K) and the NW
     // state live on the driver — the Macau link solve runs through the
     // distributed CG (Cg.solveNormal), so neither X nor X^T X ever
-    // materializes in one place
+    // materializes in one place. A side table with (indices, values)
+    // columns is treated as sparse CSR rows (the reference's fingerprint
+    // matrices, F ~ 1e5 with ~100 nnz/row — dense rows would be 800 KB).
+    val sideSparse: Map[String, Boolean] = rd.entities.collect {
+      case (name, Entity(_, _, Some(sd))) => name -> sd.columns.contains("indices")
+    }
     val sideDFs: Map[String, DataFrame] = rd.entities.collect {
       case (name, Entity(_, _, Some(sd))) =>
-        name -> sd.select(col("id").cast("long").as("id"), col("features")).persist()
+        val proj =
+          if (sd.columns.contains("indices"))
+            sd.select(col("id").cast("long").as("id"), col("indices"), col("values"))
+          else sd.select(col("id").cast("long").as("id"), col("features"))
+        name -> proj.persist()
     }
     val fDims: Map[String, Int] = sideDFs.map { case (e, sd) =>
-      e -> sd.select(size(col("features"))).head().getInt(0)
+      e -> (if (sideSparse(e))
+              sd.select(max(expr("array_max(indices)"))).head().getInt(0) + 1
+            else sd.select(size(col("features"))).head().getInt(0))
     }
     // (id, shift = beta^T x_i), refreshed each sweep
     val linkShift = scala.collection.mutable.Map[String, DataFrame]()
@@ -97,27 +109,29 @@ object GibbsDistributed {
             .select(expr("zip_with(f, shift, (a, b) -> a - b)").as("f"))
           case None => factors(e).select("f")
         }
-        val (n, sumU, sumOuter) = centered.as[Array[Double]].rdd
-          .treeAggregate((0L, new Array[Double](kk), new Array[Double](kk * kk)))(
-            seqOp = { case ((cnt, su, so), f) =>
+        // one DetSum pass for [count, sum u, sum u u^T] — deterministic
+        // for a fixed partitioning (treeAggregate merges in task-arrival
+        // order, which is not)
+        val stats = DetSum.sum(
+          centered.as[Array[Double]].rdd.mapPartitionsWithIndex { (pid, it) =>
+            val buf = new Array[Double](1 + kk + kk * kk)
+            it.foreach { f =>
+              buf(0) += 1.0
               var i = 0
               while (i < kk) {
-                su(i) += f(i)
+                buf(1 + i) += f(i)
                 var j = 0
-                while (j < kk) { so(i * kk + j) += f(i) * f(j); j += 1 }
+                while (j < kk) { buf(1 + kk + i * kk + j) += f(i) * f(j); j += 1 }
                 i += 1
               }
-              (cnt + 1, su, so)
-            },
-            combOp = { case ((c1, s1, o1), (c2, s2, o2)) =>
-              var i = 0
-              while (i < kk) { s1(i) += s2(i); i += 1 }
-              i = 0
-              while (i < kk * kk) { o1(i) += o2(i); i += 1 }
-              (c1 + c2, s1, o1)
-            })
-        val mean = DenseVector(sumU) / n.toDouble
-        val scatter = new DenseMatrix(kk, kk, sumOuter) - (mean * mean.t) * n.toDouble
+            }
+            Iterator((pid, buf))
+          }, 1 + kk + kk * kk)
+        val n = stats(0).toLong
+        val mean = DenseVector(java.util.Arrays.copyOfRange(stats, 1, 1 + kk)) / n.toDouble
+        val scatter = new DenseMatrix(kk, kk,
+          java.util.Arrays.copyOfRange(stats, 1 + kk, 1 + kk + kk * kk)) -
+          (mean * mean.t) * n.toDouble
         e -> Gibbs.sampleNWFromStats(n, mean, scatter, seed, iter, e.hashCode)
       }.toMap
 
@@ -150,21 +164,41 @@ object GibbsDistributed {
           e2(fi, ::) := (Gibbs.upperSolveT(lLam, eps) * sqLb).t
           fi += 1
         }
-        val xt = sd.join(target, "id").select("features", "target")
-        val beta = Cg.solveNormal(spark, xt, fDims(e), kk, opts.lambdaBeta,
-          rhsExtra = Some(e2))
+        val beta =
+          if (sideSparse(e)) {
+            val xt = sd.join(target, "id").select("indices", "values", "target")
+            Cg.solveNormalSparse(spark, xt, fDims(e), kk, opts.lambdaBeta,
+              rhsExtra = Some(e2))
+          } else {
+            val xt = sd.join(target, "id").select("features", "target")
+            Cg.solveNormal(spark, xt, fDims(e), kk, opts.lambdaBeta,
+              rhsExtra = Some(e2))
+          }
         val bBeta = spark.sparkContext.broadcast(beta.toArray) // column-major F x K
         val fD = fDims(e)
-        linkShift(e) = sd.as[(Long, Seq[Double])].map { case (id, x) =>
-          val shift = new Array[Double](kk)
-          var j = 0
-          while (j < kk) {
-            var acc = 0.0; var i2 = 0
-            while (i2 < fD) { acc += x(i2) * bBeta.value(j * fD + i2); i2 += 1 }
-            shift(j) = acc; j += 1
-          }
-          (id, shift)
-        }.toDF("id", "shift").localCheckpoint(true)
+        linkShift(e) =
+          (if (sideSparse(e))
+             sd.as[(Long, Seq[Int], Seq[Double])].map { case (id, ix, v) =>
+               val shift = new Array[Double](kk)
+               var j = 0
+               while (j < kk) {
+                 var acc = 0.0; var q = 0
+                 while (q < ix.length) { acc += v(q) * bBeta.value(j * fD + ix(q)); q += 1 }
+                 shift(j) = acc; j += 1
+               }
+               (id, shift)
+             }
+           else
+             sd.as[(Long, Seq[Double])].map { case (id, x) =>
+               val shift = new Array[Double](kk)
+               var j = 0
+               while (j < kk) {
+                 var acc = 0.0; var i2 = 0
+                 while (i2 < fD) { acc += x(i2) * bBeta.value(j * fD + i2); i2 += 1 }
+                 shift(j) = acc; j += 1
+               }
+               (id, shift)
+             }).toDF("id", "shift").localCheckpoint(true)
       }
 
       // -- (c) per-mode conditional draws via joins --

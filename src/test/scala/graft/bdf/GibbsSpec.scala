@@ -178,6 +178,30 @@ class GibbsSpec extends SparkSpec {
       s"distributed side-info rmse ${res.finalRmse} not < sd $sd")
   }
 
+  test("distributed-factors mode with SPARSE side info (CSR one-hot rows)") {
+    val s = spark
+    import s.implicits._
+    val n = 30; val m = 20
+    val cells = for (i <- 0 until n; j <- 0 until m) yield {
+      val g = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, j.toLong, g + 0.1 * CbRng.gaussian(23L, 1L, i.toLong, j.toLong))
+    }
+    val df = cells.toDF("row", "col", "v")
+    // sparse one-hot group feature: indices = [group], values = [1.0]
+    val side = (0 until n).map(i => (i.toLong, Seq(i % 2), Seq(1.0)))
+      .toDF("id", "indices", "values")
+    val rd0 = RelationData.fromDF(df, Seq("row", "col"), "v")
+    val rd = rd0.copy(entities = rd0.entities.updated("row",
+      rd0.entities("row").copy(side = Some(side))))
+    val split = Macau.assignToTest(rd, 0.2)
+    val res = Macau.macau(spark, split.train, split.test,
+      Gibbs.Options(numLatent = 4, burnin = 3, samples = 3, alpha = 20.0,
+        seed = 37L, distributedFactors = true))
+    val sd = df.select(stddev_pop($"v")).head().getDouble(0)
+    assert(res.finalRmse < sd,
+      s"sparse side-info rmse ${res.finalRmse} not < sd $sd")
+  }
+
   test("distributed CG side solver matches the driver Cholesky path's quality") {
     val s = spark
     import s.implicits._
