@@ -5,7 +5,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.SparkSession
@@ -129,6 +129,26 @@ object ShingleOps {
     n
   }
 
+  /** Distinct character n-grams (SUBSTRING(text, i, n) for
+    * i in [1, len-n+1]) — the q_dedup_jaccard_ngram unit. */
+  private def cgramSet(text: String, n: Int): java.util.HashSet[String] = {
+    val hi = text.length - n + 1
+    val set = new java.util.HashSet[String](math.max(16, hi * 2))
+    var i = 0
+    while (i < hi) { set.add(text.substring(i, i + n)); i += 1 }
+    set
+  }
+
+  def cgramCount(u: UTF8String, n: Int): Long = cgramSet(u.toString, n).size.toLong
+
+  def cgramCommon(a: UTF8String, b: UTF8String, n: Int): Long = {
+    val sa = cgramSet(a.toString, n)
+    val it = cgramSet(b.toString, n).iterator()
+    var c = 0L
+    while (it.hasNext) if (sa.contains(it.next())) c += 1
+    c
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_minhash_sig"),
@@ -139,6 +159,17 @@ object ShingleOps {
       new ExpressionInfo(classOf[ShingleCommon].getName, "graft_shingle_common"),
       (children: Seq[Expression]) => ShingleCommon(
         Cast(children(0), StringType), Cast(children(1), StringType)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_cgram_count"),
+      new ExpressionInfo(classOf[CGramCount].getName, "graft_cgram_count"),
+      (children: Seq[Expression]) => CGramCount(
+        Cast(children(0), StringType), Cast(children(1), IntegerType)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_cgram_common"),
+      new ExpressionInfo(classOf[CGramCommon].getName, "graft_cgram_common"),
+      (children: Seq[Expression]) => CGramCommon(
+        Cast(children(0), StringType), Cast(children(1), StringType),
+        Cast(children(2), IntegerType)))
   }
 }
 
@@ -172,4 +203,39 @@ case class ShingleCommon(left: Expression, right: Expression) extends BinaryExpr
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ShingleCommon =
     copy(left = l, right = r)
+}
+
+/** expr("graft_cgram_count(text, n)") -> bigint. */
+case class CGramCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cgram_count"
+
+  override protected def nullSafeEval(t: Any, n: Any): Any =
+    ShingleOps.cgramCount(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.expressions.ShingleOps.cgramCount($t, $n);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CGramCount =
+    copy(left = l, right = r)
+}
+
+/** expr("graft_cgram_common(a, b, n)") -> bigint. */
+case class CGramCommon(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cgram_common"
+
+  override protected def nullSafeEval(a: Any, b: Any, n: Any): Any =
+    ShingleOps.cgramCommon(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, n) =>
+      s"${ev.value} = graft.expressions.ShingleOps.cgramCommon($a, $b, $n);")
+
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+                                                 c: Expression): CGramCommon =
+    copy(first = a, second = b, third = c)
 }

@@ -101,6 +101,35 @@ object Llm {
       .orderBy("da", "db")
   }
 
+  /** Character 4-gram Jaccard near-dup pairs: candidates blocked on a
+    * SINGLE minhash (pairs sharing the min md5-hashed word-3-gram — an
+    * OR-relaxed LSH band, recall superset of the 4-hash AND band), then
+    * exact char-4-gram Jaccard >= 0.7 via the graft_cgram kernels.
+    * Same narrow-map + tiny-signature-shuffle shape as
+    * q_dedup_minhash_lsh; the n-gram unit (characters, not word
+    * shingles) makes it robust to tokenization differences. */
+  def qDedupJaccardNgram(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.ShingleOps.register(s)
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"),
+              expr("graft_minhash_sig(text)").getField("mh0").as("mh0"),
+              expr("graft_cgram_count(text, 4)").as("cg"))
+    val a = docs.select(col("doc_id").as("da"), col("mh0"),
+                        col("text").as("text_a"), col("cg").as("ca"))
+    val b = docs.select(col("doc_id").as("db"), col("mh0").as("nh0"),
+                        col("text").as("text_b"), col("cg").as("cb"))
+    a.join(b, col("mh0") === col("nh0") && col("da") < col("db"))
+      .select(col("da"), col("db"), col("ca"), col("cb"),
+              expr("graft_cgram_common(text_a, text_b, 4)").as("n_common"))
+      .select(col("da"), col("db"), col("n_common"),
+              (col("ca") + col("cb") - col("n_common")).as("n_union"),
+              (col("n_common").cast("double") /
+                 (col("ca") + col("cb") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.7)
+      .orderBy("da", "db")
+  }
+
   /** Engine fast path: MLlib HashingTF + MinHashLSH approx similarity
     * join (seeded; hash family differs from any oracle -> rows-only).
     * MLlib's MinHashLSH only OR-amplifies (numHashTables = OR bands of
@@ -371,6 +400,7 @@ object Llm {
     "q_text_stats" -> (qTextStats _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "q_dedup_jaccard_ngram" -> (qDedupJaccardNgram _),
     "q_dedup_near_minhash" -> (qDedupNearMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_text_fingerprint" -> (qTextFingerprint _),
@@ -451,6 +481,35 @@ object Llm {
          |  GROUP BY da, db, sa, sb)
          |WHERE jaccard >= 0.8 ORDER BY da, db""".stripMargin
     },
+    "q_dedup_jaccard_ngram" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CONCAT_WS(' ', tk[i], tk[i + 1], tk[i + 2]) AS token
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |       GENERATE_SERIES(1, 512) AS g(i)
+        |  WHERE i <= GREATEST(LEN(tk) - 2, 1)),
+        |sig AS (
+        |  SELECT doc_id, MIN(MD5('0' || token)) AS mh0
+        |  FROM (SELECT DISTINCT doc_id, token FROM sh) GROUP BY doc_id),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, SUBSTRING(text, i, 4) AS gr
+        |  FROM documents, GENERATE_SERIES(1, 2048) AS g(i)
+        |  WHERE i <= LENGTH(text) - 3),
+        |cg AS (SELECT doc_id, COUNT(*) AS c FROM grams GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM sig a JOIN sig b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id)
+        |SELECT * FROM (
+        |  SELECT da, db, COUNT(*) AS n_common,
+        |    ca.c + cb.c - COUNT(*) AS n_union,
+        |    CAST(COUNT(*) AS DOUBLE) / (ca.c + cb.c - COUNT(*)) AS jaccard
+        |  FROM cand
+        |  JOIN grams ga ON ga.doc_id = da
+        |  JOIN grams gb ON gb.doc_id = db AND ga.gr = gb.gr
+        |  JOIN cg ca ON ca.doc_id = da
+        |  JOIN cg cb ON cb.doc_id = db
+        |  GROUP BY da, db, ca.c, cb.c)
+        |WHERE jaccard >= 0.7 ORDER BY da, db""".stripMargin,
     "q_dedup_simhash" -> simhashSql,
     // native codegen expression computes the identical hash -> same oracle
     "q_text_fingerprint_fast" -> fingerprintSql,

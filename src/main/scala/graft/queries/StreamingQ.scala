@@ -70,12 +70,34 @@ object StreamingQ {
       .orderBy("minute_bucket")
   }
 
+  /** Stream-stream interval join shape: each purchase matched to the
+    * same user's views from the preceding 10 minutes — in streaming,
+    * two watermarked streams joined on key + time-range (state bounded
+    * by the watermark); here the batch equivalent the oracle can check.
+    * Streaming parity is asserted in StreamingSpec with two
+    * MemoryStreams. */
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), unix_micros(col("ts")).as("vts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("pid"),
+              unix_micros(col("ts")).as("pts"))
+    purchases.join(views,
+        col("pu") === col("vu") &&
+        col("vts") < col("pts") && col("vts") >= col("pts") - lit(600000000L))
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_views"), max(col("vts")).as("last_view_tsu"))
+      .orderBy("pid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_session" -> (qStreamSession _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_late_watermark" -> (qStreamLateWatermark _),
+    "q_stream_join" -> (qStreamJoin _),
   )
 
   private val esSql = "CAST(FLOOR(EPOCH(ts)) AS BIGINT)"
@@ -112,5 +134,14 @@ object StreamingQ {
     "q_stream_dedup" ->
       s"""SELECT event_type, COUNT(*) AS n, ${D.dsum("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_join" ->
+      """SELECT p.event_id AS pid, COUNT(*) AS n_views,
+        |  MAX(epoch_us(v.ts)) AS last_view_tsu
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND epoch_us(v.ts) < epoch_us(p.ts)
+        | AND epoch_us(v.ts) >= epoch_us(p.ts) - 600000000
+        |GROUP BY p.event_id ORDER BY pid""".stripMargin,
   )
 }

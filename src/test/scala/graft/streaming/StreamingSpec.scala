@@ -126,6 +126,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 10:10:00.0") === 1L, s"sink content wrong: $rows")
   }
 
+  test("stream-stream interval join matches the batch equivalent") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // views 3 and 7 minutes before the purchase at t=15 match (10-min
+    // lookback); an 11-minute-old view and another user's view don't
+    val views = Seq((1L, ts(12), 10L), (1L, ts(8), 11L),
+                    (1L, ts(4), 12L), (2L, ts(13), 13L))
+    val purchases = Seq((1L, ts(15), 100L), (2L, ts(40), 101L))
+
+    val vMem = MemoryStream[(Long, Timestamp, Long)]
+    val pMem = MemoryStream[(Long, Timestamp, Long)]
+    vMem.addData(views: _*)
+    pMem.addData(purchases: _*)
+    val v = vMem.toDF.toDF("vu", "vts", "vid").withWatermark("vts", "10 minutes")
+    val p = pMem.toDF.toDF("pu", "pts", "pid").withWatermark("pts", "10 minutes")
+    val joined = p.join(v,
+      $"pu" === $"vu" && $"vts" < $"pts" &&
+        $"vts" >= $"pts" - expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = s.table("ssjoin_out").select($"pid", $"vid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = purchases.toDF("pu", "pts", "pid")
+      .join(views.toDF("vu", "vts", "vid"),
+        $"pu" === $"vu" && $"vts" < $"pts" &&
+          $"vts" >= $"pts" - expr("INTERVAL 10 MINUTES"))
+      .select($"pid", $"vid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === exp)
+    assert(got === Set((100L, 10L), (100L, 11L)), s"unexpected pairs: $got")
+  }
+
   test("stateful dedup collapses duplicate event ids in-stream") {
     val s = spark
     import s.implicits._
