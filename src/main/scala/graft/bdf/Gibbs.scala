@@ -57,7 +57,11 @@ object Gibbs {
         * (ids: Array[Long], pred: Double, v: Double). */
       predictions: DataFrame,
       rmseHistory: Seq[Double],
-      finalRmse: Double)
+      finalRmse: Double,
+      /** Final-sample factor tables per entity, (id: long,
+        * f: array<double>) — the persistable model artifact
+        * (Macau.saveModel / loadModel / predict). */
+      factors: Map[String, DataFrame] = Map.empty)
 
   def train(spark: SparkSession, rd: RelationData, test: DataFrame,
             opts: Options): Result = {
@@ -265,7 +269,13 @@ object Gibbs {
     }
 
     val preds = currentPrediction(spark, testCoo, rd.relations.head, predSum.get, nSamples, opts)
-    Result(preds, rmseHist.toSeq, rmseHist.last)
+    val factorDfs = entNames.map { e =>
+      val m = factors(e)
+      val rows = (0 until sizes(e)).map(i =>
+        (i.toLong, Array.tabulate(k)(j => m(i, j))))
+      e -> rows.toDF("id", "f")
+    }.toMap
+    Result(preds, rmseHist.toSeq, rmseHist.last, factorDfs)
   }
 
   // ---------- helpers ----------

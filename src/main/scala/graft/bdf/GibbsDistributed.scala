@@ -308,7 +308,7 @@ object GibbsDistributed {
     }
 
     val preds = currentPrediction(testCoo, predSum.get, nSamples, opts)
-    Result(preds, rmseHist.toSeq, rmseHist.last)
+    Result(preds, rmseHist.toSeq, rmseHist.last, factors.toMap)
   }
 
   private def currentPrediction(testCoo: DataFrame, predSum: DataFrame,

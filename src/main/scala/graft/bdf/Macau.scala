@@ -68,4 +68,38 @@ object Macau {
     val s = assignToTest(rd, testFraction)
     macau(spark, s.train, s.test, opts)
   }
+
+  // ---------- model persistence (train -> save -> load -> predict) ----------
+
+  /** Persist the trained factor tables, one parquet dir per entity
+    * (distributed write — factors never pass through the driver). */
+  def saveModel(path: String, res: Gibbs.Result): Unit =
+    res.factors.foreach { case (e, df) =>
+      df.write.mode("overwrite").parquet(s"$path/$e")
+    }
+
+  /** Load factor tables written by [[saveModel]]. */
+  def loadModel(spark: SparkSession, path: String,
+                entities: Seq[String]): Map[String, DataFrame] =
+    entities.map(e => e -> spark.read.parquet(s"$path/$e")).toMap
+
+  /** Score arbitrary cells with saved factors: for each row of `cells`
+    * (one long id column per mode, named by `modeEntities`),
+    * pred = sum_k prod_m U_m(id_m, k) — the same elementwise-product
+    * rule the sampler uses (BPMF dot product; Macau §2.4 for arity>2),
+    * computed by joining each mode's factor table (AQE broadcasts small
+    * factor sides automatically). */
+  def predict(spark: SparkSession, factors: Map[String, DataFrame],
+              cells: DataFrame, modeEntities: Seq[String]): DataFrame = {
+    val k = factors(modeEntities.head).select(size(col("f"))).head().getInt(0)
+    var df = cells.withColumn("z", expr(s"array_repeat(1.0D, $k)"))
+    modeEntities.zipWithIndex.foreach { case (e, m) =>
+      val f = factors(e).select(col("id").as(s"fid$m"), col("f").as(s"f$m"))
+      df = df.join(f, col(e).cast("long") === col(s"fid$m"))
+        .withColumn("z", expr(s"zip_with(z, f$m, (a, b) -> a * b)"))
+        .drop(s"fid$m", s"f$m")
+    }
+    df.withColumn("pred", expr("aggregate(z, 0D, (acc, x) -> acc + x)"))
+      .drop("z")
+  }
 }

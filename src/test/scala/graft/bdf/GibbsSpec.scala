@@ -202,6 +202,30 @@ class GibbsSpec extends SparkSpec {
       s"sparse side-info rmse ${res.finalRmse} not < sd $sd")
   }
 
+  test("model persistence: save -> load -> predict reproduces in-memory factors") {
+    val s = spark
+    import s.implicits._
+    val df = rank2Matrix(25, 20, seed = 5L).toDF("row", "col", "v")
+    val res = Macau.fit(spark, df, Seq("row", "col"), "v",
+      Gibbs.Options(numLatent = 4, burnin = 2, samples = 2, alpha = 20.0, seed = 13L))
+    assert(res.factors.keySet === Set("row", "col"))
+
+    val dir = java.nio.file.Files.createTempDirectory("macau-model").toString
+    Macau.saveModel(dir, res)
+    val loaded = Macau.loadModel(spark, dir, Seq("row", "col"))
+
+    val cells = (for (i <- 0 until 5; j <- 0 until 4)
+      yield (i.toLong, j.toLong)).toDF("row", "col")
+    def score(f: Map[String, org.apache.spark.sql.DataFrame]) =
+      Macau.predict(spark, f, cells, Seq("row", "col"))
+        .select("row", "col", "pred").collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val fromMem = score(res.factors)
+    val fromDisk = score(loaded)
+    assert(fromMem === fromDisk)
+    assert(fromMem.size === 20 && fromMem.values.forall(v => !v.isNaN))
+  }
+
   test("distributed CG side solver matches the driver Cholesky path's quality") {
     val s = spark
     import s.implicits._
