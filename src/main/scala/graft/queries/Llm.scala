@@ -329,15 +329,23 @@ object Llm {
   }
 
   /** Per-label centroid, then each vector's squared distance to its own
-    * centroid (KNN/clustering kernel). */
+    * centroid (KNN/clustering kernel). Centroids are computed from the
+    * exploded per-dimension exact-decimal sums (bit-identical to the
+    * oracle), assembled back into one array per label (sort_array fixes
+    * collect_list's order), and each vector's dist2 is ONE
+    * graft_sqdist12 codegen call — no second 64x explode + join. */
   def qSimKnnCentroid(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.VectorOps.register(s)
     val e = exploded(s, dir)
     val cent = e.groupBy(col("label").as("clabel"), col("pos").as("cpos"))
       .agg((sum(decf(col("x"))).cast("double") / count(lit(1))).as("c"))
-    val d = col("x").cast("double") - col("c")
-    e.join(cent, col("label") === col("clabel") && col("pos") === col("cpos"))
-      .groupBy("vec_id", "label")
-      .agg(sum((d * d).cast("decimal(18,12)")).cast("double").as("dist2"))
+      .groupBy("clabel")
+      .agg(expr("transform(sort_array(collect_list(struct(cpos, c))), s -> s.c)")
+        .as("cvec"))
+    Tables.embeddings(s, dir)
+      .join(broadcast(cent), col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"),
+              expr("graft_sqdist12(embedding, cvec)").as("dist2"))
       .orderBy("vec_id")
   }
 

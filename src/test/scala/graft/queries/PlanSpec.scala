@@ -55,6 +55,20 @@ class PlanSpec extends SparkSpec {
   test("q_dedup_minhash_lsh joins candidates on the signature (no cartesian)") {
     val p = finalPlan(Llm.qDedupMinhashLsh(spark, sf("sf0.001")))
     assert(!p.contains("CartesianProduct"), s"all-pairs join:\n$p")
+    // kernel formulation: no Generate (explode) anywhere — the 500x
+    // shingle blow-up + global DISTINCT must never come back
+    assert(!p.contains("Generate"), s"shingle explode reappeared:\n$p")
+  }
+
+  test("kernel-based similarity/dedup plans contain no Generate (explode)") {
+    for ((name, q) <- Seq(
+        "q_sim_cosine_fused" -> Llm.qSimCosineFused _,
+        "q_dedup_embed_cosine" -> Llm.qDedupEmbedCosine _,
+        "q_dedup_jaccard_ngram" -> Llm.qDedupJaccardNgram _)) {
+      val p = finalPlan(q(spark, sf("sf0.001")))
+      assert(!p.contains("Generate"), s"$name explodes rows:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name cartesian:\n$p")
+    }
   }
 
   test("q_bdf_rmse broadcasts the per-part means dimension") {
