@@ -72,7 +72,26 @@ object Windows {
       .orderBy("c_custkey")
   }
 
+  /** Per-key top-k through the custom whole-operator path
+    * (graft.plans.TopKPerKey): the query is written as the STANDARD
+    * row_number window + filter — the injected optimizer rule replaces
+    * the Filter+Window pair with the bounded-heap physical operator
+    * (map-side k-per-key heaps, shuffle only survivors, no sort).
+    * Unique (o_totalprice DESC, o_orderkey ASC) order makes ranks
+    * deterministic, so it shares row_number's SQL oracle. */
+  def qWinTopkKey(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.TopKPerKey.register(s)
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+             row_number().over(w).as("rn"))
+      .filter(col("rn") <= 2)
+      .orderBy("o_custkey", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_topk_key" -> (qWinTopkKey _),
     "q_win_rank" -> (qWinRank _),
     "q_win_analytic" -> (qWinAnalytic _),
     "q_win_frame_rows" -> (qWinFrameRows _),
@@ -81,6 +100,12 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_topk_key" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
     "q_win_rank" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
