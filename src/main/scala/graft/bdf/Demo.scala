@@ -37,6 +37,15 @@ object Demo {
     println(f"[demo] rmse history: ${res.rmseHistory.map(r => f"$r%.4f").mkString(", ")}")
     println(f"[demo] final rmse ${res.finalRmse}%.4f vs value stddev $sd%.4f")
     res.predictions.orderBy("row_id").show(5, truncate = false)
+
+    // model persistence round-trip: save parquet factors, reload, score
+    // a handful of cells without retraining (Macau.saveModel/predict)
+    val modelDir = java.nio.file.Files.createTempDirectory("demo-model").toString
+    Macau.saveModel(modelDir, res)
+    val loaded = Macau.loadModel(spark, modelDir, Seq("p", "s"))
+    val cells = li.select(col("p"), col("s")).limit(5)
+    println("[demo] predictions from the RELOADED model:")
+    Macau.predict(spark, loaded, cells, Seq("p", "s")).show(truncate = false)
     spark.stop()
   }
 }
