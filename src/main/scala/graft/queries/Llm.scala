@@ -234,6 +234,55 @@ object Llm {
     ).orderBy("doc_id")
   }
 
+  /** Text normalization: lowercase, strip non-alphanumerics, collapse
+    * runs of spaces, trim — the canonicalization pass before hashing /
+    * dedup in a training-data pipeline. Pure string expressions (same
+    * regex semantics in Java and RE2 for these character classes). */
+  def qTextNormalize(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), norm.as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+              length(col("norm_text")).as("norm_len"),
+              size(split(col("norm_text"), " ")).as("n_tokens_norm"))
+      .orderBy("doc_id")
+  }
+
+  /** Train/eval decontamination: eval docs (doc_id % 5 = 0) that are
+    * NEAR-duplicates of any train doc — candidates blocked on a shared
+    * min-hash (mh0), verified by exact char-4-gram Jaccard >= 0.5.
+    * Reports each contaminated eval doc with its closest train source.
+    * The canonical pre-training hygiene op: exact-hash overlap misses
+    * light edits; n-gram overlap is the standard check. */
+  def qTextContamination(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.ShingleOps.register(s)
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"),
+              expr("graft_minhash_sig(text)").getField("mh0").as("mh0"),
+              expr("graft_cgram_count(text, 4)").as("cg"))
+    val eval0 = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("eval_id"), col("mh0"),
+              col("text").as("text_e"), col("cg").as("ce"))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("train_id"), col("mh0").as("nh0"),
+              col("text").as("text_t"), col("cg").as("ct"))
+    eval0.join(train, col("mh0") === col("nh0"))
+      .select(col("eval_id"), col("train_id"),
+              expr("graft_cgram_common(text_e, text_t, 4)").as("nc"),
+              col("ce"), col("ct"))
+      .select(col("eval_id"), col("train_id"),
+              (col("nc").cast("double") / (col("ce") + col("ct") - col("nc")))
+                .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_sources"),
+           min(col("train_id")).as("first_source"),
+           max(col("jaccard")).as("max_jaccard"))
+      .orderBy("eval_id")
+  }
+
   /** Regex (BPE-ish) token counting per language. */
   def qTextTokensBpe(s: SparkSession, dir: String): DataFrame = {
     val n = size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
@@ -415,6 +464,8 @@ object Llm {
     "q_text_fingerprint_fast" -> (qTextFingerprintFast _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
+    "q_text_normalize" -> (qTextNormalize _),
+    "q_text_contamination" -> (qTextContamination _),
     "q_text_tokens_bpe" -> (qTextTokensBpe _),
     "q_sim_cosine_topk" -> (qSimCosineTopk _),
     "q_sim_cosine_fused" -> (qSimCosineFused _),
@@ -543,6 +594,44 @@ object Llm {
         |  CAST(LENGTH(text) - LENGTH(REPLACE(text, '.', '')) AS DOUBLE)
         |    / LENGTH(text) AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+        |  CAST(LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INTEGER) AS norm_len,
+        |  CAST(LEN(STRING_SPLIT(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CONCAT_WS(' ', tk[i], tk[i + 1], tk[i + 2]) AS token
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |       GENERATE_SERIES(1, 512) AS g(i)
+        |  WHERE i <= GREATEST(LEN(tk) - 2, 1)),
+        |sig AS (
+        |  SELECT doc_id, MIN(MD5('0' || token)) AS mh0
+        |  FROM (SELECT DISTINCT doc_id, token FROM sh) GROUP BY doc_id),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, SUBSTRING(text, i, 4) AS gr
+        |  FROM documents, GENERATE_SERIES(1, 2048) AS g(i)
+        |  WHERE i <= LENGTH(text) - 3),
+        |cg AS (SELECT doc_id, COUNT(*) AS c FROM grams GROUP BY doc_id),
+        |common AS (
+        |  SELECT e.doc_id AS eval_id, t.doc_id AS train_id, COUNT(*) AS nc
+        |  FROM sig e
+        |  JOIN sig t ON e.mh0 = t.mh0 AND e.doc_id % 5 = 0 AND t.doc_id % 5 <> 0
+        |  JOIN grams ga ON ga.doc_id = e.doc_id
+        |  JOIN grams gb ON gb.doc_id = t.doc_id AND ga.gr = gb.gr
+        |  GROUP BY e.doc_id, t.doc_id),
+        |pairs AS (
+        |  SELECT eval_id, train_id,
+        |    CAST(nc AS DOUBLE) / (ce.c + ct.c - nc) AS jaccard
+        |  FROM common
+        |  JOIN cg ce ON ce.doc_id = eval_id
+        |  JOIN cg ct ON ct.doc_id = train_id)
+        |SELECT eval_id, COUNT(*) AS n_sources,
+        |  MIN(train_id) AS first_source, MAX(jaccard) AS max_jaccard
+        |FROM pairs WHERE jaccard >= 0.5
+        |GROUP BY eval_id ORDER BY eval_id""".stripMargin,
     "q_text_tokens_bpe" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS sum_tok,
