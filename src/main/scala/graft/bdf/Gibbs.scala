@@ -161,6 +161,9 @@ object Gibbs {
                 .filter(_._2 != m)
                 .map { case (oe, om) => (om, sc.broadcast(toArrays(factors(oe)))) }
               val kk = k
+              // each relation may carry its own noise precision
+              // (Macau §2.3); default = the global (possibly sampled) alpha
+              val aRel = r.alpha.getOrElse(alpha)
               coo.select(col("ids"), col("v")).as[(Seq[Long], Double)]
                 .map { case (ids, v) =>
                   // z = elementwise product of the other modes' latents
@@ -171,8 +174,8 @@ object Gibbs {
                     var j = 0
                     while (j < kk) { z(j) *= f(j); j += 1 }
                   }
-                  (ids(m), z, v)
-                }.toDF("id", "z", "v")
+                  (ids(m), z, v, aRel)
+                }.toDF("id", "z", "v", "aw")
           }
         }
         val all = contribs.reduce(_ unionByName _)
@@ -181,10 +184,10 @@ object Gibbs {
         val bMu = sc.broadcast(nw.mu.toArray)
         val bLam = sc.broadcast(nw.lambda.toArray) // column-major k*k
         val bLink = sc.broadcast(linkMeans.get(e).map(toArrays).orNull)
-        val a = alpha; val kk = k; val seed = opts.seed; val it = iter.toLong
+        val kk = k; val seed = opts.seed; val it = iter.toLong
         val eHash = e.hashCode.toLong
 
-        val drawn = all.as[(Long, Array[Double], Double)]
+        val drawn = all.as[(Long, Array[Double], Double, Double)]
           .groupByKey(_._1)
           .mapGroups { (id, rows) =>
             val prec = new DenseMatrix[Double](kk, kk, bLam.value.clone())
@@ -192,11 +195,10 @@ object Gibbs {
               if (bLink.value != null) DenseVector(bMu.value) + DenseVector(bLink.value(id.toInt))
               else DenseVector(bMu.value)
             val rhs = prec * mu0
-            rows.foreach { case (_, z, v) =>
-              val zv = DenseVector(z)
+            rows.foreach { case (_, z, v, aw) =>
               var r0 = 0
               while (r0 < kk) {
-                val zr = z(r0) * a
+                val zr = z(r0) * aw
                 var c0 = 0
                 while (c0 < kk) { prec(r0, c0) += zr * z(c0); c0 += 1 }
                 rhs(r0) += zr * v

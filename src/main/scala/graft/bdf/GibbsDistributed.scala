@@ -206,8 +206,10 @@ object GibbsDistributed {
         val contribs = coos.flatMap { case (r, coo) =>
           r.modeEntities.zipWithIndex.collect {
             case (ent, m) if ent == e =>
+              // per-relation noise precision (Macau §2.3), carried per row
               withZ(coo, r, r.modeEntities.indices.filterNot(_ == m))
-                .select(col("ids").getItem(m).as("id"), col("z"), col("v"))
+                .select(col("ids").getItem(m).as("id"), col("z"), col("v"),
+                        lit(r.alpha.getOrElse(opts.alpha)).as("aw"))
           }
         }
         val all0 = contribs.reduce(_ unionByName _)
@@ -216,16 +218,17 @@ object GibbsDistributed {
           case Some(sh) =>
             all0.join(sh.select(col("id").as("sid"), col("shift")),
                       col("id") === col("sid"))
-              .select(col("id"), col("z"), col("v"), col("shift"))
+              .select(col("id"), col("z"), col("v"), col("aw"), col("shift"))
           case None =>
             all0.withColumn("shift", lit(null).cast("array<double>"))
+              .select(col("id"), col("z"), col("v"), col("aw"), col("shift"))
         }
         val nw = hyper(e)
         val bMu = spark.sparkContext.broadcast(nw.mu.toArray)
         val bLam = spark.sparkContext.broadcast(nw.lambda.toArray)
-        val a = opts.alpha; val kk = k; val it = iter.toLong
+        val kk = k; val it = iter.toLong
         val eHash = e.hashCode.toLong
-        val drawn = all.as[(Long, Array[Double], Double, Array[Double])]
+        val drawn = all.as[(Long, Array[Double], Double, Double, Array[Double])]
           .groupByKey(_._1)
           .mapGroups { (id, rows) =>
             // accumulate likelihood terms first so the prior mean (which
@@ -233,11 +236,11 @@ object GibbsDistributed {
             val sZZ = DenseMatrix.zeros[Double](kk, kk)
             val sZv = DenseVector.zeros[Double](kk)
             var shiftArr: Array[Double] = null
-            rows.foreach { case (_, z, v, sh) =>
+            rows.foreach { case (_, z, v, aw, sh) =>
               if (shiftArr == null && sh != null) shiftArr = sh
               var r0 = 0
               while (r0 < kk) {
-                val zr = z(r0) * a
+                val zr = z(r0) * aw
                 var c0 = 0
                 while (c0 < kk) { sZZ(r0, c0) += zr * z(c0); c0 += 1 }
                 sZv(r0) += zr * v

@@ -29,7 +29,12 @@ final case class Relation(
     modeCols: Seq[String],
     /** Entity name per mode (same length as modeCols). */
     modeEntities: Seq[String],
-    valueCol: String) {
+    valueCol: String,
+    /** Per-relation observation noise precision (Macau §2.3: relations
+      * in a collective factorization may be measured with different
+      * noise). None = use the global Options.alpha (which may itself be
+      * Gibbs-sampled). */
+    alpha: Option[Double] = None) {
   require(modeCols.length == modeEntities.length && modeCols.length >= 2)
 
   /** Normalized COO projection: ids array + value. */

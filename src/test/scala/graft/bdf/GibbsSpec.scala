@@ -202,6 +202,37 @@ class GibbsSpec extends SparkSpec {
       s"sparse side-info rmse ${res.finalRmse} not < sd $sd")
   }
 
+  test("per-relation alpha: a zero-precision relation contributes nothing (bitwise)") {
+    val s = spark
+    import s.implicits._
+    val cells = rank2Matrix(30, 20, seed = 7L) // dense: every id observed in r1
+    val df1 = cells.toDF("row", "col", "v")
+    val noise = for (i <- 0 until 30; j <- 0 until 15)
+      yield (i.toLong, j.toLong, CbRng.gaussian(99L, 1L, i.toLong, j.toLong))
+    val df2 = noise.toDF("row", "col2", "v")
+    val opts = Gibbs.Options(numLatent = 4, burnin = 2, samples = 2,
+      alpha = 20.0, seed = 31L)
+
+    val rd1 = RelationData.fromDF(df1, Seq("row", "col"), "v")
+    val s1 = Macau.assignToTest(rd1, 0.2)
+    val res1 = Macau.macau(spark, s1.train, s1.test, opts)
+
+    // same factorization + a second relation whose alpha = 0: its
+    // likelihood terms are exactly zero, so every draw must be
+    // bit-identical to the single-relation run
+    val rd2 = RelationData(
+      Map("row" -> Entity("row", 30), "col" -> Entity("col", 20),
+          "col2" -> Entity("col2", 15)),
+      Seq(Relation("r0", df1, Seq("row", "col"), Seq("row", "col"), "v"),
+          Relation("r2", df2, Seq("row", "col2"), Seq("row", "col2"), "v",
+            alpha = Some(0.0))))
+    val s2 = Macau.assignToTest(rd2, 0.2)
+    val res2 = Macau.macau(spark, s2.train, s2.test, opts)
+
+    assert(res1.finalRmse === res2.finalRmse)
+    assert(res1.rmseHistory === res2.rmseHistory)
+  }
+
   test("model persistence: save -> load -> predict reproduces in-memory factors") {
     val s = spark
     import s.implicits._
