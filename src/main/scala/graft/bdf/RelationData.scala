@@ -53,6 +53,20 @@ final case class RelationData(
 
 object RelationData {
 
+  /** The reference's dense entry point `RelationData(M::Matrix)` —
+    * every cell observed — from a row-major DataFrame
+    * (rowId, values: array<double>): melted to COO long form with
+    * posexplode (one row per cell, 0-based column ids), then through
+    * the standard COO constructor. */
+  def fromDense(df: DataFrame, rowCol: String, valuesCol: String): RelationData = {
+    val coo = df
+      .select(col(rowCol).cast("long").as("row"),
+              posexplode(col(valuesCol)).as(Seq("col", "v")))
+      .select(col("row"), col("col").cast("long").as("col"),
+              col("v").cast("double").as("v"))
+    fromDF(coo, Seq("row", "col"), "v")
+  }
+
   /** Convenience constructor from one COO DataFrame (the reference's
     * `RelationData(df)` entry point): entity sizes inferred as
     * max(id)+1 per mode. */

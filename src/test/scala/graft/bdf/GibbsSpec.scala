@@ -202,6 +202,27 @@ class GibbsSpec extends SparkSpec {
       s"sparse side-info rmse ${res.finalRmse} not < sd $sd")
   }
 
+  test("dense-matrix ingest (fromDense) equals the COO path bitwise") {
+    val s = spark
+    import s.implicits._
+    val cells = rank2Matrix(20, 12, seed = 3L)
+    val dense = cells.groupBy(_._1).toSeq.sortBy(_._1).map { case (i, rows) =>
+      (i, rows.sortBy(_._2).map(_._3).toArray)
+    }.toDF("row", "vals")
+    val rdDense = RelationData.fromDense(dense, "row", "vals")
+    val rdCoo = RelationData.fromDF(cells.toDF("row", "col", "v"),
+      Seq("row", "col"), "v")
+    val opts = Gibbs.Options(numLatent = 3, burnin = 2, samples = 2, seed = 7L)
+    val r1 = Macau.macau(spark, Macau.assignToTest(rdDense, 0.2).train,
+      Macau.assignToTest(rdDense, 0.2).test, opts)
+    val r2 = Macau.macau(spark, Macau.assignToTest(rdCoo, 0.2).train,
+      Macau.assignToTest(rdCoo, 0.2).test, opts)
+    // draws are counter-based (partitioning-invariant); only the final
+    // RMSE avg() accumulates in physical row order, hence the epsilon
+    assert(math.abs(r1.finalRmse - r2.finalRmse) < 1e-12,
+      s"${r1.finalRmse} vs ${r2.finalRmse}")
+  }
+
   test("per-relation alpha: a zero-precision relation contributes nothing (bitwise)") {
     val s = spark
     import s.implicits._
