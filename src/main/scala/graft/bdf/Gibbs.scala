@@ -53,8 +53,10 @@ object Gibbs {
   private[bdf] final case class NW(mu: DenseVector[Double], lambda: DenseMatrix[Double])
 
   final case class Result(
-      /** Posterior-mean predictions for the test cells of relation 0:
-        * (ids: Array[Long], pred: Double, v: Double). */
+      /** Posterior predictions for the test cells of relation 0:
+        * (row_id, ids: Array[Long], v, pred, pred_std) — pred is the
+        * posterior mean over kept samples (clamped if configured),
+        * pred_std the posterior predictive standard deviation. */
       predictions: DataFrame,
       rmseHistory: Seq[Double],
       finalRmse: Double,
@@ -248,17 +250,24 @@ object Gibbs {
         alpha = rng.nextGamma(1.0 + n / 2.0) / (1.0 + sse / 2.0)
       }
 
-      // -- (e) post burn-in: fold prediction into the running mean --
+      // -- (e) post burn-in: fold prediction into the running mean
+      //       (and sum of squares, for the posterior predictive std) --
       if (iter >= opts.burnin) {
         val p = predictOnce(spark, testCoo, rd.relations.head, factors, k)
         predSum = predSum match {
-          case None => Some(p.withColumnRenamed("pred", "pred_sum").persist())
+          case None => Some(p
+            .select(col("row_id"), col("pred").as("pred_sum"),
+                    (col("pred") * col("pred")).as("pred_sq_sum"))
+            .persist())
           case Some(acc) =>
             // localCheckpoint truncates the lineage (SURVEY.md §7.4.5) —
             // plain persist would keep a plan tree growing one join per
             // posterior sample
             val next = acc.join(p, "row_id")
-              .select(col("row_id"), (col("pred_sum") + col("pred")).as("pred_sum"))
+              .select(col("row_id"),
+                      (col("pred_sum") + col("pred")).as("pred_sum"),
+                      (col("pred_sq_sum") + col("pred") * col("pred"))
+                        .as("pred_sq_sum"))
               .localCheckpoint(true)
             acc.unpersist()
             Some(next)
@@ -463,13 +472,17 @@ object Gibbs {
   private def currentPrediction(spark: SparkSession, testCoo: DataFrame, rel: Relation,
                                 predSum: DataFrame, nSamples: Int,
                                 opts: Options): DataFrame = {
+    // posterior predictive std over the kept samples (population form;
+    // clamping applies to the mean only, like the reference)
     val p = testCoo.join(predSum, "row_id")
       .withColumn("pred", col("pred_sum") / nSamples)
+      .withColumn("pred_std", sqrt(greatest(lit(0.0),
+        col("pred_sq_sum") / nSamples - pow(col("pred_sum") / nSamples, 2))))
     opts.clamp match {
       case Some((lo, hi)) =>
         p.withColumn("pred", least(greatest(col("pred"), lit(lo)), lit(hi)))
-          .select("row_id", "ids", "v", "pred")
-      case None => p.select("row_id", "ids", "v", "pred")
+          .select("row_id", "ids", "v", "pred", "pred_std")
+      case None => p.select("row_id", "ids", "v", "pred", "pred_std")
     }
   }
 

@@ -295,10 +295,16 @@ object GibbsDistributed {
           .select(col("row_id"),
                   expr("aggregate(z, 0D, (acc, x) -> acc + x)").as("pred"))
         predSum = predSum match {
-          case None => Some(p.withColumnRenamed("pred", "pred_sum").localCheckpoint(true))
+          case None => Some(p
+            .select(col("row_id"), col("pred").as("pred_sum"),
+                    (col("pred") * col("pred")).as("pred_sq_sum"))
+            .localCheckpoint(true))
           case Some(acc) =>
             val next = acc.join(p, "row_id")
-              .select(col("row_id"), (col("pred_sum") + col("pred")).as("pred_sum"))
+              .select(col("row_id"),
+                      (col("pred_sum") + col("pred")).as("pred_sum"),
+                      (col("pred_sq_sum") + col("pred") * col("pred"))
+                        .as("pred_sq_sum"))
               .localCheckpoint(true)
             acc.unpersist()
             Some(next)
@@ -318,11 +324,13 @@ object GibbsDistributed {
                                 nSamples: Int, opts: Options): DataFrame = {
     val p = testCoo.join(predSum, "row_id")
       .withColumn("pred", col("pred_sum") / nSamples)
+      .withColumn("pred_std", sqrt(greatest(lit(0.0),
+        col("pred_sq_sum") / nSamples - pow(col("pred_sum") / nSamples, 2))))
     opts.clamp match {
       case Some((lo, hi)) =>
         p.withColumn("pred", least(greatest(col("pred"), lit(lo)), lit(hi)))
-          .select("row_id", "ids", "v", "pred")
-      case None => p.select("row_id", "ids", "v", "pred")
+          .select("row_id", "ids", "v", "pred", "pred_std")
+      case None => p.select("row_id", "ids", "v", "pred", "pred_std")
     }
   }
 }

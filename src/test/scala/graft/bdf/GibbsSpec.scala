@@ -35,6 +35,11 @@ class GibbsSpec extends SparkSpec {
       s"rmse ${res.finalRmse} not < 0.5 * baseline $baseline")
     // posterior averaging should not be worse than the first sample
     assert(res.rmseHistory.last <= res.rmseHistory.head + 1e-9)
+    // posterior predictive std: finite, non-negative, and actually
+    // varying across samples for at least some cells
+    val stds = res.predictions.select("pred_std").collect().map(_.getDouble(0))
+    assert(stds.forall(x => x >= 0.0 && !x.isNaN))
+    assert(stds.exists(_ > 0.0))
   }
 
   test("Gibbs is deterministic for a fixed seed") {
