@@ -84,6 +84,7 @@ object GibbsDistributed {
     val rmseHist = scala.collection.mutable.ArrayBuffer[Double]()
     var predSum: Option[DataFrame] = None
     var nSamples = 0
+    var alphaCur = opts.alpha
 
     /** z = elementwise product over the given modes' factor rows,
       * joined onto the COO. */
@@ -209,7 +210,7 @@ object GibbsDistributed {
               // per-relation noise precision (Macau §2.3), carried per row
               withZ(coo, r, r.modeEntities.indices.filterNot(_ == m))
                 .select(col("ids").getItem(m).as("id"), col("z"), col("v"),
-                        lit(r.alpha.getOrElse(opts.alpha)).as("aw"))
+                        lit(r.alpha.getOrElse(alphaCur)).as("aw"))
           }
         }
         val all0 = contribs.reduce(_ unionByName _)
@@ -287,7 +288,25 @@ object GibbsDistributed {
         factors(e) = next
       }
 
-      // -- (c) post burn-in: fold prediction into the running mean --
+      // -- (d) noise precision draw from residuals (Macau §2.1) —
+      //       SSE over relation 0's observed cells in one distributed
+      //       pass; the Gamma draw runs on the driver like the
+      //       broadcast path --
+      if (opts.sampleAlpha) {
+        val (rel0, coo0) = coos.head
+        val r = withZ(coo0.select(col("ids"), col("v")), rel0,
+            rel0.modeEntities.indices)
+          .select(col("v"),
+                  expr("aggregate(z, 0D, (acc, x) -> acc + x)").as("pred"))
+          .agg(sum(pow(col("v") - col("pred"), 2)).as("sse"),
+               count(lit(1)).as("n"))
+          .head()
+        val rng = new RngStream(seed, 1000L + iter)
+        alphaCur = rng.nextGamma(1.0 + r.getLong(1) / 2.0) /
+          (1.0 + r.getDouble(0) / 2.0)
+      }
+
+      // -- (e) post burn-in: fold prediction into the running mean --
       if (iter >= opts.burnin) {
         val rel = rd.relations.head
         val p = withZ(testCoo.select(col("row_id"), col("ids"), col("v")), rel,

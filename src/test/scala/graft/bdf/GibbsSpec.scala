@@ -143,6 +143,18 @@ class GibbsSpec extends SparkSpec {
     assert(res.finalRmse < sd, s"sampled-alpha rmse ${res.finalRmse} not < sd $sd")
   }
 
+  test("distributed-factors mode samples the noise precision too") {
+    val s = spark
+    import s.implicits._
+    val df = rank2Matrix(25, 20, seed = 9L).toDF("row", "col", "v")
+    val res = Macau.fit(spark, df, Seq("row", "col"), "v",
+      Gibbs.Options(numLatent = 6, burnin = 3, samples = 3, sampleAlpha = true,
+        alpha = 1.0, seed = 19L, distributedFactors = true))
+    val sd = df.select(stddev_pop($"v")).head().getDouble(0)
+    assert(res.finalRmse < sd,
+      s"distributed sampled-alpha rmse ${res.finalRmse} not < sd $sd")
+  }
+
   test("distributed-factors mode handles a 3-mode tensor") {
     val s = spark
     import s.implicits._
