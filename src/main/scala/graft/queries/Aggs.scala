@@ -109,7 +109,35 @@ object Aggs {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_part"))
       .orderBy("l_returnflag")
 
+  /** argmax/argmin aggregates (max_by/min_by): per returnflag, the
+    * orderkey of the latest/earliest shipment. The "by" key is an
+    * exact BIGINT composite (epoch-day * 1e10 + orderkey) so ties are
+    * impossible and both engines agree bit-for-bit. */
+  def qAggArgmax(s: SparkSession, dir: String): DataFrame = {
+    val key = expr("unix_timestamp(l_shipdate) DIV 86400") *
+      lit(10000000000L) + col("l_orderkey")
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(max_by(col("l_orderkey"), key).as("last_ship_order"),
+           min_by(col("l_orderkey"), key).as("first_ship_order"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Pivot: quantity sums per returnflag, one column per linestatus —
+    * relational pivot via Spark's pivot() with enumerated values; the
+    * oracle states the equivalent conditional aggregation. */
+  def qAggPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec(col("l_quantity"))).cast("double"))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_argmax" -> (qAggArgmax _),
+    "q_agg_pivot" -> (qAggPivot _),
     "q_agg_pricing" -> (qAggPricing _),
     "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_groupingsets" -> (qAggGroupingSets _),
@@ -125,6 +153,16 @@ object Aggs {
     s"CAST($discPriceSql * (CAST(1 AS DECIMAL(18,6)) + ${D.dec("l_tax")}) AS DECIMAL(18,6))"
 
   val oracle: Map[String, String] = Map(
+    "q_agg_argmax" ->
+      """SELECT l_returnflag,
+        |  ARG_MAX(l_orderkey, CAST(FLOOR(EPOCH(l_shipdate)) AS BIGINT) // 86400 * 10000000000 + l_orderkey) AS last_ship_order,
+        |  ARG_MIN(l_orderkey, CAST(FLOOR(EPOCH(l_shipdate)) AS BIGINT) // 86400 * 10000000000 + l_orderkey) AS first_ship_order
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_pivot" ->
+      s"""SELECT l_returnflag,
+         |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN ${D.dec("l_quantity")} END) AS DOUBLE) AS qty_f,
+         |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN ${D.dec("l_quantity")} END) AS DOUBLE) AS qty_o
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_pricing" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${D.dsum("l_quantity")} AS sum_qty,
