@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * the lineitem (partkey x suppkey -> quantity) COO matrix, the exact
   * shape a user of the reference would feed `RelationData(df); macau(rd)`.
   *
-  * Run: sbt "runMain graft.bdf.Demo /root/testdata/sf0.001"
+  * Run: sbt "runMain graft.bdf.Demo /root/testdata/sf0.001 [distributed]"
+  * ("distributed" switches to the factors-as-DataFrames mode — the
+  * beyond-broadcast scale path — for a throughput datapoint.)
   */
 object Demo {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val distributed = args.lift(1).contains("distributed")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", "4")
@@ -29,9 +32,12 @@ object Demo {
         col("l_quantity").as("v"))
       .groupBy("p", "s").agg(avg("v").as("v"))
 
+    val t0 = System.nanoTime()
     val res = Macau.fit(spark, li, Seq("p", "s"), "v",
       Gibbs.Options(numLatent = 8, burnin = 4, samples = 4, alpha = 1.0, seed = 42L,
-        clamp = Some((1.0, 50.0))))
+        clamp = Some((1.0, 50.0)), distributedFactors = distributed))
+    println(f"[demo] mode=${if (distributed) "distributed" else "broadcast"} " +
+      f"train+predict wall: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     val sd = li.select(stddev_pop(col("v"))).head().getDouble(0)
     println(f"[demo] test cells: ${res.predictions.count()}%d")
     println(f"[demo] rmse history: ${res.rmseHistory.map(r => f"$r%.4f").mkString(", ")}")
