@@ -378,19 +378,21 @@ object Llm {
   }
 
   /** Per-label centroid, then each vector's squared distance to its own
-    * centroid (KNN/clustering kernel). Centroids are computed from the
-    * exploded per-dimension exact-decimal sums (bit-identical to the
-    * oracle), assembled back into one array per label (sort_array fixes
-    * collect_list's order), and each vector's dist2 is ONE
-    * graft_sqdist12 codegen call — no second 64x explode + join. */
+    * centroid (KNN/clustering kernel). Centroids come from ONE pass of
+    * the custom graft_vecsum6 TypedImperativeAggregate (exact-decimal
+    * elementwise vector sum — order/merge-independent, so it matches
+    * the oracle's per-dimension SUM(DECIMAL) bit-for-bit) — no 64x
+    * posexplode at all; each vector's dist2 is one graft_sqdist12
+    * codegen call against the broadcast centroid. */
   def qSimKnnCentroid(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.VectorOps.register(s)
-    val e = exploded(s, dir)
-    val cent = e.groupBy(col("label").as("clabel"), col("pos").as("cpos"))
-      .agg((sum(decf(col("x"))).cast("double") / count(lit(1))).as("c"))
-      .groupBy("clabel")
-      .agg(expr("transform(sort_array(collect_list(struct(cpos, c))), s -> s.c)")
-        .as("cvec"))
+    graft.expressions.VecSum6.register(s)
+    val cent = Tables.embeddings(s, dir)
+      .groupBy(col("label").as("clabel"))
+      .agg(expr("graft_vecsum6(embedding)").as("sums"),
+           count(lit(1)).as("cnt"))
+      .select(col("clabel"),
+              expr("transform(sums, x -> x / cnt)").as("cvec"))
     Tables.embeddings(s, dir)
       .join(broadcast(cent), col("label") === col("clabel"))
       .select(col("vec_id"), col("label"),

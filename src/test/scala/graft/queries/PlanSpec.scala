@@ -64,6 +64,7 @@ class PlanSpec extends SparkSpec {
     for ((name, q) <- Seq(
         "q_sim_cosine_fused" -> Llm.qSimCosineFused _,
         "q_dedup_embed_cosine" -> Llm.qDedupEmbedCosine _,
+        "q_sim_knn_centroid" -> Llm.qSimKnnCentroid _,
         "q_dedup_jaccard_ngram" -> Llm.qDedupJaccardNgram _)) {
       val p = finalPlan(q(spark, sf("sf0.001")))
       assert(!p.contains("Generate"), s"$name explodes rows:\n$p")
