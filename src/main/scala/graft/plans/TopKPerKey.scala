@@ -34,7 +34,11 @@ import org.apache.spark.sql.types.IntegerType
   * the same arbitrary-choice semantics as row_number over a non-unique
   * ORDER BY; rewrite fires only when the rank attribute's only other
   * use is the filter itself (checked structurally: the filter sits
-  * directly on the Window). */
+  * directly on the Window); and the per-task state (k rows per
+  * distinct key in the task) is heap-held with NO spill — the right
+  * trade for small k and bounded key cardinality per task, while
+  * extreme keys-per-task x k workloads should stay on WindowExec
+  * (which sorts with spill). */
 case class LogicalTopKPerKey(
     partitionSpec: Seq[Expression],
     orderSpec: Seq[SortOrder],
