@@ -69,6 +69,22 @@ object Macau {
     macau(spark, s.train, s.test, opts)
   }
 
+  /** Assemble a sparse CSR side-information table from a COO feature
+    * matrix (row=entity id, col=feature index, v=weight) — the shape
+    * MatrixMarket.read produces for the reference's sparse feature
+    * files. Output: (id, indices asc, values), directly attachable as
+    * Entity.side and consumed sparsely by the distributed CG. */
+  def sideFromCoo(coo: DataFrame, rowCol: String = "row",
+                  colCol: String = "col", valueCol: String = "v"): DataFrame =
+    coo.select(col(rowCol).cast("long").as("id"),
+               col(colCol).cast("int").as("j"),
+               col(valueCol).cast("double").as("x"))
+      .groupBy("id")
+      .agg(expr("sort_array(collect_list(struct(j, x)))").as("jx"))
+      .select(col("id"),
+              expr("transform(jx, s -> s.j)").as("indices"),
+              expr("transform(jx, s -> s.x)").as("values"))
+
   // ---------- model persistence (train -> save -> load -> predict) ----------
 
   /** Persist the trained factor tables, one parquet dir per entity

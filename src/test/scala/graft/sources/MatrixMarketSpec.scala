@@ -69,6 +69,38 @@ class MatrixMarketSpec extends SparkSpec {
       === Set((0L, 0L, 1.5), (1L, 2L, -0.25), (2L, 1L, 42.0)))
   }
 
+  test("sparse .mtx feature matrix feeds the side-info link (CSR, full flow)") {
+    val s = spark
+    import s.implicits._
+    import graft.bdf.{Entity, Relation, RelationData}
+    // observations cluster by a one-hot feature carried in an .mtx file
+    val n = 30; val m = 20
+    val cells = for (i <- 0 until n; j <- 0 until m) yield {
+      val g = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, j.toLong,
+        g + 0.1 * graft.bdf.CbRng.gaussian(23L, 1L, i.toLong, j.toLong))
+    }
+    val mtx = (0 until n).map(i => s"${i + 1} ${i % 2 + 1} 1.0")
+    val p = Files.createTempDirectory("mtxside").resolve("side.mtx")
+    Files.writeString(p,
+      s"%%MatrixMarket matrix coordinate real general\n$n 2 $n\n" +
+        mtx.mkString("\n") + "\n")
+    val side = Macau.sideFromCoo(MatrixMarket.read(spark, p.toString))
+    assert(side.count() === n)
+
+    val rd0 = RelationData.fromDF(cells.toDF("row", "col", "v"),
+      Seq("row", "col"), "v")
+    val rd = rd0.copy(entities = rd0.entities.updated("row",
+      rd0.entities("row").copy(side = Some(side))))
+    val split = Macau.assignToTest(rd, 0.2)
+    val res = Macau.macau(spark, split.train, split.test,
+      Gibbs.Options(numLatent = 4, burnin = 3, samples = 3, alpha = 20.0,
+        seed = 37L, distributedFactors = true))
+    val sd = cells.toDF("row", "col", "v")
+      .select(org.apache.spark.sql.functions.stddev_pop($"v")).head().getDouble(0)
+    assert(res.finalRmse < sd, s"mtx side-info rmse ${res.finalRmse} not < $sd")
+  }
+
   test("sparse file feeds the reference flow: RelationData -> macau") {
     // rank-1 structured 20x15 matrix written as .mtx, then factorized
     val cells = for (i <- 0 until 20; j <- 0 until 15)
