@@ -14,9 +14,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM / codegen / parquet reader so the first timed query
-    // isn't charged several seconds of one-time startup cost
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // warm the JVM / codegen / parquet reader on EVERY table so the
+    // first timed query touching each file isn't charged the one-time
+    // footer-read/codegen startup cost
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
