@@ -35,6 +35,13 @@ object Gibbs {
       samples: Int = 30,
       alpha: Double = 4.0,           // observation noise precision
       sampleAlpha: Boolean = false,
+      /** EXTENSION beyond the reference surface: treat relation values
+        * as binary {0,1} and sample Albert-Chib truncated-normal
+        * latents each sweep (probit link) — the model behind AUC-style
+        * evaluation of binarized relations. Broadcast mode only; the
+        * latent likelihood fixes alpha = 1. Predictions stay on the
+        * latent scale (apply Phi for probabilities). */
+      binaryProbit: Boolean = false,
       lambdaBeta: Double = 5.0,      // side-info link ridge precision
       /** Solve the side-info link with the distributed CG (Cg.scala)
         * instead of the driver Cholesky — the path for side matrices
@@ -68,8 +75,12 @@ object Gibbs {
   def train(spark: SparkSession, rd: RelationData, test: DataFrame,
             opts: Options): Result = {
     if (opts.distributedFactors) {
+      require(!opts.binaryProbit,
+        "binaryProbit is implemented for the broadcast mode only")
       return GibbsDistributed.train(spark, rd, test, opts)
     }
+    require(!(opts.binaryProbit && opts.sampleAlpha),
+      "binaryProbit fixes alpha = 1; disable sampleAlpha")
     import spark.implicits._
     val k = opts.numLatent
     val entNames = rd.entities.keys.toSeq.sorted
@@ -164,8 +175,14 @@ object Gibbs {
                 .map { case (oe, om) => (om, sc.broadcast(toArrays(factors(oe)))) }
               val kk = k
               // each relation may carry its own noise precision
-              // (Macau §2.3); default = the global (possibly sampled) alpha
-              val aRel = r.alpha.getOrElse(alpha)
+              // (Macau §2.3); default = the global (possibly sampled)
+              // alpha — except probit, whose latent likelihood is unit
+              // variance
+              val probit = opts.binaryProbit
+              val aRel = if (probit) 1.0 else r.alpha.getOrElse(alpha)
+              val bSelf = if (probit) sc.broadcast(toArrays(factors(e))) else null
+              val seedL = opts.seed; val itL = iter.toLong
+              val relTag = r.name.hashCode.toLong ^ (m.toLong << 17) ^ 0x9b17L
               coo.select(col("ids"), col("v")).as[(Seq[Long], Double)]
                 .map { case (ids, v) =>
                   // z = elementwise product of the other modes' latents
@@ -176,7 +193,18 @@ object Gibbs {
                     var j = 0
                     while (j < kk) { z(j) *= f(j); j += 1 }
                   }
-                  (ids(m), z, v, aRel)
+                  val vv = if (!probit) v else {
+                    // Albert-Chib: replace the 0/1 label by a truncated-
+                    // normal latent around the CURRENT prediction
+                    val self = bSelf.value(ids(m).toInt)
+                    var pred = 0.0
+                    var j = 0
+                    while (j < kk) { pred += z(j) * self(j); j += 1 }
+                    val ck = ids.foldLeft(0L)((acc, i) => acc * 1000003L + i)
+                    val u = CbRng.uniform(seedL, itL, relTag, ck)
+                    Probit.truncatedNormal(pred, v > 0.5, u)
+                  }
+                  (ids(m), z, vv, aRel)
                 }.toDF("id", "z", "v", "aw")
           }
         }
@@ -383,6 +411,55 @@ object Gibbs {
   }
 
   private def d2(v: DenseVector[Double]): DenseMatrix[Double] = v * v.t
+
+  /** Probit-link helpers (Albert & Chib 1993 data augmentation): the
+    * binary observation's conditional latent is a unit-variance normal
+    * around the current prediction, truncated to the observed sign —
+    * sampled by inverse CDF so one counter-RNG uniform per cell keeps
+    * the sweep deterministic. */
+  private[bdf] object Probit {
+    def phi(x: Double): Double =
+      0.5 * (1.0 + breeze.numerics.erf(x / math.sqrt(2.0)))
+
+    /** Inverse standard-normal CDF (Acklam's rational approximation,
+      * |rel err| < 1.15e-9 — ample for MCMC). */
+    def probitInv(p0: Double): Double = {
+      val p = math.min(1.0 - 1e-15, math.max(1e-15, p0))
+      val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+        -2.759285104469687e+02, 1.383577518672690e+02,
+        -3.066479806614716e+01, 2.506628277459239e+00)
+      val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+        -1.556989798598866e+02, 6.680131188771972e+01,
+        -1.328068155288572e+01)
+      val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+        -2.400758277161838e+00, -2.549732539343734e+00,
+        4.374664141464968e+00, 2.938163982698783e+00)
+      val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+        2.445134137142996e+00, 3.754408661907416e+00)
+      val pl = 0.02425
+      if (p < pl) {
+        val q = math.sqrt(-2.0 * math.log(p))
+        (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+          ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+      } else if (p <= 1.0 - pl) {
+        val q = p - 0.5; val r = q * q
+        (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+          (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1.0)
+      } else {
+        val q = math.sqrt(-2.0 * math.log(1.0 - p))
+        -(((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+          ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1.0)
+      }
+    }
+
+    /** z ~ N(m, 1) truncated to z >= 0 (positive) or z < 0, from one
+      * uniform u. */
+    def truncatedNormal(m: Double, positive: Boolean, u: Double): Double = {
+      val c = phi(-m) // P(z - m < -m) = P(z < 0)
+      val p = if (positive) c + u * (1.0 - c) else u * c
+      m + probitInv(p)
+    }
+  }
 
   /** Side-info link draw (Macau §3.2): exact conditional for beta,
     * whose posterior is matrix-normal with row precision

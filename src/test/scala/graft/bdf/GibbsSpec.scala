@@ -219,6 +219,34 @@ class GibbsSpec extends SparkSpec {
       s"sparse side-info rmse ${res.finalRmse} not < sd $sd")
   }
 
+  test("binary probit (Albert-Chib) extension ranks positives above negatives") {
+    val s = spark
+    import s.implicits._
+    // rank-1 latent scores -> probit probabilities -> Bernoulli labels
+    val n = 40; val m = 30
+    def uF(i: Int) = CbRng.gaussian(51L, 1L, i.toLong, 0L)
+    def wF(j: Int) = CbRng.gaussian(51L, 2L, j.toLong, 0L)
+    val cells = for (i <- 0 until n; j <- 0 until m) yield {
+      val score = 1.5 * uF(i) * wF(j)
+      val p = Gibbs.Probit.phi(score)
+      val y = if (CbRng.uniform(51L, 3L, i.toLong, j.toLong) < p) 1.0 else 0.0
+      (i.toLong, j.toLong, y)
+    }
+    val df = cells.toDF("row", "col", "v")
+    val res = Macau.fit(spark, df, Seq("row", "col"), "v",
+      Gibbs.Options(numLatent = 4, burnin = 6, samples = 6,
+        binaryProbit = true, seed = 61L), testFraction = 0.2)
+    val preds = res.predictions.select("v", "pred").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val pos = preds.filter(_._1 > 0.5).map(_._2)
+    val neg = preds.filter(_._1 < 0.5).map(_._2)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    val auc = pos.map(p =>
+      neg.count(_ < p) + 0.5 * neg.count(_ == p)).sum /
+      (pos.length.toDouble * neg.length)
+    assert(auc > 0.75, s"probit AUC $auc not > 0.75")
+  }
+
   test("dense-matrix ingest (fromDense) equals the COO path bitwise") {
     val s = spark
     import s.implicits._
