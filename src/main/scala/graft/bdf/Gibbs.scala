@@ -38,9 +38,9 @@ object Gibbs {
       /** EXTENSION beyond the reference surface: treat relation values
         * as binary {0,1} and sample Albert-Chib truncated-normal
         * latents each sweep (probit link) — the model behind AUC-style
-        * evaluation of binarized relations. Broadcast mode only; the
-        * latent likelihood fixes alpha = 1. Predictions stay on the
-        * latent scale (apply Phi for probabilities). */
+        * evaluation of binarized relations. Works in both execution
+        * modes; the latent likelihood fixes alpha = 1. Predictions stay
+        * on the latent scale (apply Phi for probabilities). */
       binaryProbit: Boolean = false,
       lambdaBeta: Double = 5.0,      // side-info link ridge precision
       /** Solve the side-info link with the distributed CG (Cg.scala)
@@ -74,13 +74,11 @@ object Gibbs {
 
   def train(spark: SparkSession, rd: RelationData, test: DataFrame,
             opts: Options): Result = {
-    if (opts.distributedFactors) {
-      require(!opts.binaryProbit,
-        "binaryProbit is implemented for the broadcast mode only")
-      return GibbsDistributed.train(spark, rd, test, opts)
-    }
     require(!(opts.binaryProbit && opts.sampleAlpha),
       "binaryProbit fixes alpha = 1; disable sampleAlpha")
+    if (opts.distributedFactors) {
+      return GibbsDistributed.train(spark, rd, test, opts)
+    }
     import spark.implicits._
     val k = opts.numLatent
     val entNames = rd.entities.keys.toSeq.sorted

@@ -207,10 +207,33 @@ object GibbsDistributed {
         val contribs = coos.flatMap { case (r, coo) =>
           r.modeEntities.zipWithIndex.collect {
             case (ent, m) if ent == e =>
-              // per-relation noise precision (Macau §2.3), carried per row
-              withZ(coo, r, r.modeEntities.indices.filterNot(_ == m))
-                .select(col("ids").getItem(m).as("id"), col("z"), col("v"),
-                        lit(r.alpha.getOrElse(alphaCur)).as("aw"))
+              val base = withZ(coo, r, r.modeEntities.indices.filterNot(_ == m))
+              if (!opts.binaryProbit) {
+                // per-relation noise precision (Macau §2.3), per row
+                base.select(col("ids").getItem(m).as("id"), col("z"), col("v"),
+                            lit(r.alpha.getOrElse(alphaCur)).as("aw"))
+              } else {
+                // Albert-Chib latent: the prediction needs THIS mode's
+                // current factor too — one more join, then the
+                // truncated-normal draw per cell (counter-RNG, alpha=1)
+                val fSelf = factors(e)
+                  .select(col("id").as("sfid"), col("f").as("fself"))
+                val relTag = r.name.hashCode.toLong ^ (m.toLong << 17) ^ 0x9b17L
+                val kk2 = k; val seedL = seed; val itL = iter.toLong
+                base.select(col("ids"), col("ids").getItem(m).as("id"),
+                            col("z"), col("v"))
+                  .join(fSelf, col("id") === col("sfid"))
+                  .select("ids", "id", "z", "v", "fself")
+                  .as[(Seq[Long], Long, Array[Double], Double, Array[Double])]
+                  .map { case (ids, id, z, v, fself) =>
+                    var pred = 0.0
+                    var j = 0
+                    while (j < kk2) { pred += z(j) * fself(j); j += 1 }
+                    val ck = ids.foldLeft(0L)((acc2, i) => acc2 * 1000003L + i)
+                    val u = CbRng.uniform(seedL, itL, relTag, ck)
+                    (id, z, Gibbs.Probit.truncatedNormal(pred, v > 0.5, u), 1.0)
+                  }.toDF("id", "z", "v", "aw")
+              }
           }
         }
         val all0 = contribs.reduce(_ unionByName _)

@@ -245,6 +245,20 @@ class GibbsSpec extends SparkSpec {
       neg.count(_ < p) + 0.5 * neg.count(_ == p)).sum /
       (pos.length.toDouble * neg.length)
     assert(auc > 0.75, s"probit AUC $auc not > 0.75")
+
+    // distributed-factors parity: same model, same quality bar
+    val resD = Macau.fit(spark, df, Seq("row", "col"), "v",
+      Gibbs.Options(numLatent = 4, burnin = 4, samples = 4,
+        binaryProbit = true, seed = 61L, distributedFactors = true),
+      testFraction = 0.2)
+    val predsD = resD.predictions.select("v", "pred").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val posD = predsD.filter(_._1 > 0.5).map(_._2)
+    val negD = predsD.filter(_._1 < 0.5).map(_._2)
+    val aucD = posD.map(p =>
+      negD.count(_ < p) + 0.5 * negD.count(_ == p)).sum /
+      (posD.length.toDouble * negD.length)
+    assert(aucD > 0.75, s"distributed probit AUC $aucD not > 0.75")
   }
 
   test("dense-matrix ingest (fromDense) equals the COO path bitwise") {
