@@ -39,8 +39,12 @@ object Gibbs {
         * as binary {0,1} and sample Albert-Chib truncated-normal
         * latents each sweep (probit link) — the model behind AUC-style
         * evaluation of binarized relations. Works in both execution
-        * modes; the latent likelihood fixes alpha = 1. Predictions stay
-        * on the latent scale (apply Phi for probabilities). */
+        * modes; applies to EVERY relation of the RelationData; the
+        * latent likelihood fixes alpha = 1. Predictions stay on the
+        * latent scale (apply Phi for probabilities) and
+        * finalRmse/rmseHistory compare that latent scale against the
+        * 0/1 labels — rank-based metrics (AUC) are the meaningful
+        * evaluation here. */
       binaryProbit: Boolean = false,
       lambdaBeta: Double = 5.0,      // side-info link ridge precision
       /** Solve the side-info link with the distributed CG (Cg.scala)
