@@ -91,7 +91,29 @@ object StreamingQ {
       .orderBy("pid")
   }
 
+  /** Funnel conversion over the event stream: per user, first `view`
+    * then first `purchase` strictly after it; one summary row with
+    * viewer count, converted count, and the exact summed conversion
+    * delay. The batch face of a sessionized funnel (the stateful
+    * streaming analog lives in graft.streaming.StatefulSessions). */
+  def qStreamFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t1"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(v.select(col("user_id").as("vu"), col("t1")),
+            col("user_id") === col("vu") && col("tsu") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("t2"))
+    v.join(p.select(col("user_id").as("pu"), col("t2")),
+           col("user_id") === col("pu"), "left")
+      .agg(count(lit(1)).as("n_viewers"),
+           count(col("t2")).as("n_converted"),
+           coalesce(sum(col("t2") - col("t1")), lit(0L)).as("sum_delay_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_funnel" -> (qStreamFunnel _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_session" -> (qStreamSession _),
@@ -134,6 +156,19 @@ object StreamingQ {
     "q_stream_dedup" ->
       s"""SELECT event_type, COUNT(*) AS n, ${D.dsum("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |   AND epoch_us(e.ts) > v.t1
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT COUNT(*) AS n_viewers,
+        |  COUNT(p.t2) AS n_converted,
+        |  CAST(COALESCE(SUM(p.t2 - v.t1), 0) AS BIGINT) AS sum_delay_us
+        |FROM v LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
     "q_stream_join" ->
       """SELECT p.event_id AS pid, COUNT(*) AS n_views,
         |  MAX(epoch_us(v.ts)) AS last_view_tsu
