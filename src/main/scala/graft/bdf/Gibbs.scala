@@ -112,8 +112,10 @@ object Gibbs {
       case (name, Entity(_, n, Some(sideDf))) =>
         val arr = Array.ofDim[Array[Double]](n)
         if (sideDf.columns.contains("indices")) {
-          val fDim = sideDf
-            .select(max(expr("array_max(indices)"))).head().getInt(0) + 1
+          val mx = sideDf.select(max(expr("array_max(indices)"))).head()
+          require(!mx.isNullAt(0),
+            s"sparse side table for entity $name has no nonzero features")
+          val fDim = mx.getInt(0) + 1
           sideDf.select(col("id").cast("long"), col("indices"), col("values"))
             .collect().foreach { r =>
               val dense = new Array[Double](fDim)
@@ -126,6 +128,15 @@ object Gibbs {
           sideDf.select(col("id").cast("long"), col("features")).collect().foreach { r =>
             arr(r.getLong(0).toInt) = r.getSeq[Double](1).toArray
           }
+        }
+        // ids absent from the side table (legal: a sparse COO source
+        // omits all-zero rows) get an all-zero feature row — never null
+        val fDim0 = arr.collectFirst { case a if a != null => a.length }
+        require(fDim0.isDefined, s"side table for entity $name is empty")
+        var i0 = 0
+        while (i0 < n) {
+          if (arr(i0) == null) arr(i0) = new Array[Double](fDim0.get)
+          i0 += 1
         }
         name -> arr
     }
@@ -169,12 +180,15 @@ object Gibbs {
       //        distributed over the observations --
       for (e <- entNames) {
         // contributions (z, v) from every relation/mode this entity joins
+        val sweepBcs = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.broadcast.Broadcast[_]]
         val contribs: Seq[DataFrame] = coos.flatMap { case (r, coo) =>
           r.modeEntities.zipWithIndex.collect {
             case (ent, m) if ent == e =>
               val otherFactors = r.modeEntities.zipWithIndex
                 .filter(_._2 != m)
                 .map { case (oe, om) => (om, sc.broadcast(toArrays(factors(oe)))) }
+              sweepBcs ++= otherFactors.map(_._2)
               val kk = k
               // each relation may carry its own noise precision
               // (Macau §2.3); default = the global (possibly sampled)
@@ -183,6 +197,7 @@ object Gibbs {
               val probit = opts.binaryProbit
               val aRel = if (probit) 1.0 else r.alpha.getOrElse(alpha)
               val bSelf = if (probit) sc.broadcast(toArrays(factors(e))) else null
+              if (bSelf != null) sweepBcs += bSelf
               val seedL = opts.seed; val itL = iter.toLong
               val relTag = r.name.hashCode.toLong ^ (m.toLong << 17) ^ 0x9b17L
               coo.select(col("ids"), col("v")).as[(Seq[Long], Double)]
@@ -247,6 +262,12 @@ object Gibbs {
             val u = mean + upperSolveT(l, eps)
             (id, u.toArray)
           }.collect()
+        // the per-sweep broadcasts (other-mode factors, probit self
+        // factors, NW state) are dead after the collect — destroy them
+        // instead of waiting on GC-driven cleanup (N x K each, every
+        // sweep, every mode)
+        bMu.destroy(); bLam.destroy(); bLink.destroy()
+        sweepBcs.foreach(_.destroy())
 
         // fold drawn rows into the (driver) factor matrix; entities with
         // no observations keep a pure prior draw
@@ -455,11 +476,15 @@ object Gibbs {
     }
 
     /** z ~ N(m, 1) truncated to z >= 0 (positive) or z < 0, from one
-      * uniform u. */
+      * uniform u. For |m| beyond ~8 the clamped inverse-CDF would land
+      * on the wrong side of zero, so the result is pinned to the
+      * truncation boundary — where the extreme-tail distribution
+      * concentrates anyway (its mass sits within ~1/|m| of 0). */
     def truncatedNormal(m: Double, positive: Boolean, u: Double): Double = {
       val c = phi(-m) // P(z - m < -m) = P(z < 0)
       val p = if (positive) c + u * (1.0 - c) else u * c
-      m + probitInv(p)
+      val z = m + probitInv(p)
+      if (positive) math.max(z, 0.0) else math.min(z, -1e-12)
     }
   }
 

@@ -74,9 +74,12 @@ object GibbsDistributed {
         name -> proj.persist()
     }
     val fDims: Map[String, Int] = sideDFs.map { case (e, sd) =>
-      e -> (if (sideSparse(e))
-              sd.select(max(expr("array_max(indices)"))).head().getInt(0) + 1
-            else sd.select(size(col("features"))).head().getInt(0))
+      e -> (if (sideSparse(e)) {
+              val mx = sd.select(max(expr("array_max(indices)"))).head()
+              require(!mx.isNullAt(0),
+                s"sparse side table for entity $e has no nonzero features")
+              mx.getInt(0) + 1
+            } else sd.select(size(col("features"))).head().getInt(0))
     }
     // (id, shift = beta^T x_i), refreshed each sweep
     val linkShift = scala.collection.mutable.Map[String, DataFrame]()
@@ -105,9 +108,13 @@ object GibbsDistributed {
       //       (factors centered by the link shift when side info exists) --
       val hyper: Map[String, NW] = entNames.map { e =>
         val kk = k
+        // LEFT joins throughout: an entity with no side row (a sparse
+        // COO source legally omits all-zero rows) has zero link shift,
+        // and must never fall out of the model
         val centered = linkShift.get(e) match {
-          case Some(sh) => factors(e).join(sh, "id")
-            .select(expr("zip_with(f, shift, (a, b) -> a - b)").as("f"))
+          case Some(sh) => factors(e).join(sh, Seq("id"), "left")
+            .select(when(col("shift").isNull, col("f"))
+              .otherwise(expr("zip_with(f, shift, (a, b) -> a - b)")).as("f"))
           case None => factors(e).select("f")
         }
         // one DetSum pass for [count, sum u, sum u u^T] — deterministic
@@ -241,7 +248,7 @@ object GibbsDistributed {
         val all = linkShift.get(e) match {
           case Some(sh) =>
             all0.join(sh.select(col("id").as("sid"), col("shift")),
-                      col("id") === col("sid"))
+                      col("id") === col("sid"), "left")
               .select(col("id"), col("z"), col("v"), col("aw"), col("shift"))
           case None =>
             all0.withColumn("shift", lit(null).cast("array<double>"))
@@ -293,7 +300,7 @@ object GibbsDistributed {
         val unseenWithShift = linkShift.get(e) match {
           case Some(sh) =>
             unseen.join(sh.select(col("id").as("sid"), col("shift")),
-                        col("id") === col("sid"))
+                        col("id") === col("sid"), "left")
               .select(col("id"), col("shift"))
           case None => unseen.withColumn("shift", lit(null).cast("array<double>"))
         }

@@ -130,7 +130,16 @@ object ShingleOps {
   }
 
   /** Distinct character n-grams (SUBSTRING(text, i, n) for
-    * i in [1, len-n+1]) — the q_dedup_jaccard_ngram unit. */
+    * i in [1, len-n+1]) — the q_dedup_jaccard_ngram unit.
+    *
+    * Contract with the DuckDB oracles: the kernels are unbounded and
+    * count Java chars (UTF-16 code units), while the oracle SQL
+    * enumerates positions with GENERATE_SERIES(1, 2048) (chars) /
+    * (1, 512) (word shingles) and counts code points — identical for
+    * ASCII corpora with docs <= 2048 chars & <= 514 tokens (the
+    * testdata maxes at ~553 chars / ~99 tokens). Longer or non-BMP
+    * corpora need the oracle constants raised; the kernels themselves
+    * need no change. */
   private def cgramSet(text: String, n: Int): java.util.HashSet[String] = {
     val hi = text.length - n + 1
     val set = new java.util.HashSet[String](math.max(16, hi * 2))

@@ -87,14 +87,18 @@ case class TopKPerKeyExec(
           heap = new java.util.PriorityQueue[(Array[Any], InternalRow)](limit + 1, cmp.reversed())
           heaps.put(key.copy(), heap)
         }
+        // copyValue: evaluated ordering keys may point into the reused
+        // input row buffer (UTF8String/array/struct) — stored keys must
+        // own their bytes or they mutate as the iterator advances
         if (heap.size() < limit) {
-          heap.offer((ordEvals.map(_.eval(row)), row.copy()))
+          heap.offer((ordEvals.map(e => InternalRow.copyValue(e.eval(row))),
+            row.copy()))
         } else {
           val ord = ordEvals.map(_.eval(row))
           val worst = heap.peek()
           if (cmp.compare((ord, row), worst) < 0) {
             heap.poll()
-            heap.offer((ord, row.copy()))
+            heap.offer((ord.map(InternalRow.copyValue), row.copy()))
           }
         }
       }

@@ -78,7 +78,14 @@ object Windows {
     * the Filter+Window pair with the bounded-heap physical operator
     * (map-side k-per-key heaps, shuffle only survivors, no sort).
     * Unique (o_totalprice DESC, o_orderkey ASC) order makes ranks
-    * deterministic, so it shares row_number's SQL oracle. */
+    * deterministic, so it shares row_number's SQL oracle.
+    *
+    * NOTE: registration is session-global BY DESIGN (the same scope
+    * spark.sql.extensions=GraftExtensions would give): once installed,
+    * every later single-expression row_number()<=k plan in the session
+    * takes the custom operator. That is semantics-preserving (the
+    * operator is oracle-verified), but per-query timings of such plans
+    * then measure the custom exec, not WindowExec. */
   def qWinTopkKey(s: SparkSession, dir: String): DataFrame = {
     graft.plans.TopKPerKey.register(s)
     val o = Tables.orders(s, dir)
