@@ -39,6 +39,25 @@ class TopKSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("TopKPerKey is correct for string ordering keys (buffer-backed values)") {
+    TopKPerKey.register(spark)
+    import org.apache.spark.sql.functions.{concat, lit, lpad}
+    // many rows per task so the reused-UnsafeRow hazard would corrupt
+    // stored UTF8String keys if they were not copied
+    val df = spark.range(0, 5000)
+      .select((col("id") % 7).as("k"),
+              concat(lit("name_"), lpad(col("id").cast("string"), 6, "0")).as("name"))
+    val w = Window.partitionBy("k").orderBy(col("name").desc)
+    val got = df.select(col("k"), col("name"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val expected = df.select(col("k"), col("name"), rank().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === expected)
+    assert(got.size === 21) // 7 keys x top-3, unique names
+  }
+
   test("rewrite leaves multi-expression windows and non-rank filters alone") {
     TopKPerKey.register(spark)
     val o = graft.Tables.orders(spark, sf("sf0.001"))
