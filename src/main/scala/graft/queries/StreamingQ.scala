@@ -112,7 +112,23 @@ object StreamingQ {
            coalesce(sum(col("t2") - col("t1")), lit(0L)).as("sum_delay_us"))
   }
 
+  /** Retention cohorts: users bucketed by first-seen hour; for each
+    * (cohort_hour, hour_offset), the number of users active then —
+    * the companion report to the funnel, all integer arithmetic. */
+  def qStreamRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"),
+              expr("unix_micros(ts) DIV 3600000000").as("hr"))
+    val first = e.groupBy(col("user_id")).agg(min(col("hr")).as("cohort"))
+    val act = e.distinct()
+    act.join(first, "user_id")
+      .groupBy(col("cohort"), (col("hr") - col("cohort")).as("offset_h"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy("cohort", "offset_h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_retention" -> (qStreamRetention _),
     "q_stream_funnel" -> (qStreamFunnel _),
     "q_stream_tumbling" -> (qStreamTumbling _),
     "q_stream_sliding" -> (qStreamSliding _),
@@ -156,6 +172,18 @@ object StreamingQ {
     "q_stream_dedup" ->
       s"""SELECT event_type, COUNT(*) AS n, ${D.dsum("value")} AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_retention" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hr
+        |  FROM events),
+        |first AS (
+        |  SELECT user_id, MIN(hr) AS cohort FROM e GROUP BY user_id)
+        |SELECT f.cohort, e.hr - f.cohort AS offset_h,
+        |  COUNT(*) AS n_active
+        |FROM e JOIN first f ON e.user_id = f.user_id
+        |GROUP BY f.cohort, e.hr - f.cohort
+        |ORDER BY cohort, offset_h""".stripMargin,
     "q_stream_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(epoch_us(ts)) AS t1
