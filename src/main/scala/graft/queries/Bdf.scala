@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.sql.Det._
@@ -115,45 +114,50 @@ object Bdf {
   }
 
   /** A13: Mann-Whitney ROC-AUC of `value` scoring event_type='purchase'
-    * with average-rank tie handling. Global rank window — fine here
-    * (evaluation-sized input); at scale AUC would use a partitioned
-    * rank-sum (sort + per-partition offsets). */
+    * with average-rank tie handling — computed as an exact bucketed
+    * rank-sum (Prefix.withPrefix), NO global window: the sum of average
+    * ranks over positives is
+    *   Σ_v np_v·(n_before(v) + 1 + (n_v-1)/2) = Σ_v np_v·(2·n_before(v)+n_v+1) / 2
+    * over per-distinct-value counts, all exact long arithmetic until the
+    * two final double divisions (which mirror the oracle's), so the hash
+    * still matches the DuckDB rank-window formulation. */
   def qBdfAuc(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select(
       col("value"), (col("event_type") === "purchase").cast("int").as("pos"))
-    val wr = Window.orderBy("value")
-    val wv = Window.partitionBy("value")
-    val ranked = e.select(col("pos"),
-      (rank().over(wr) + (count(lit(1)).over(wv) - 1) / 2.0).as("r_avg"))
-    val n1 = sum(col("pos"))
-    val n = count(lit(1))
-    val sumRpos = sum(when(col("pos") === 1, col("r_avg")))
-    ranked.agg(
-      n1.as("n_pos"),
-      (n - n1).as("n_neg"),
-      ((sumRpos - n1 * (n1 + 1) / 2.0) / (n1.cast("double") * (n - n1)))
+    val perValue = e.groupBy("value")
+      .agg(sum(col("pos")).as("np"), count(lit(1)).as("n"))
+    val pre = Prefix.withPrefix(perValue, "value", Seq("n"))
+    val agg = pre.agg(
+      sum(col("np")).as("n1"),
+      sum(col("n")).as("nt"),
+      sum(col("np") * (col("n_before") * 2 + col("n") + 1)).as("sum2"))
+    agg.select(
+      col("n1").as("n_pos"),
+      (col("nt") - col("n1")).as("n_neg"),
+      ((col("sum2").cast("double") / 2.0
+          - (col("n1") * (col("n1") + 1)).cast("double") / 2.0)
+        / (col("n1").cast("double") * (col("nt") - col("n1"))))
         .as("auc"))
   }
 
   /** A13 extension: the full ROC curve — TPR/FPR at every distinct
-    * score threshold, from exact integer cumulative sums (only the
-    * final two divisions are double). */
+    * score threshold. Cumulative-from-the-top counts come from the same
+    * bucketed prefix sums (Σ_{u≥v} x_u = total_x − x_before(v)) instead
+    * of a global desc window; exact integers until the final divisions. */
   def qBdfRoc(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select(
       col("value"), (col("event_type") === "purchase").cast("int").as("pos"))
     val perValue = e.groupBy("value")
       .agg(sum(col("pos")).as("np"), count(lit(1)).as("n"))
-    val w = Window.orderBy(col("value").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = e.agg(sum(col("pos")).as("p"),
-                       (count(lit(1)) - sum(col("pos"))).as("nn"))
-    perValue.select(col("value").as("threshold"),
-        sum(col("np")).over(w).as("ctp"),
-        sum(col("n")).over(w).as("call"))
-      .crossJoin(totals)
-      .select(col("threshold"),
-              (col("ctp").cast("double") / col("p")).as("tpr"),
-              ((col("call") - col("ctp")).cast("double") / col("nn")).as("fpr"))
+    val totals = perValue.agg(sum(col("np")).as("p"),
+                              (sum(col("n")) - sum(col("np"))).as("nn"))
+    val pre = Prefix.withPrefix(perValue, "value", Seq("np", "n"))
+    val ctp = col("p") - col("np_before")
+    val call = col("p") + col("nn") - col("n_before")
+    pre.crossJoin(broadcast(totals))
+      .select(col("value").as("threshold"),
+              (ctp.cast("double") / col("p")).as("tpr"),
+              ((call - ctp).cast("double") / col("nn")).as("fpr"))
       .orderBy(col("threshold").desc)
   }
 
