@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Training the IVF coarse quantizer (3 Lloyd iterations) must not lose
+  * retrieval quality: mean recall@10 over 20 query vectors, probing one
+  * cell, learned-centroid assignment >= seed-centroid assignment.
+  * (A single query can favor the seeds — seed centroid 0 IS vector 0,
+  * so its cell is packed with that one query's neighbors by
+  * construction; the index serves arbitrary queries, so the fair
+  * measure is the mean.) */
+class IvfSpec extends SparkSpec {
+
+  test("learned IVF mean recall@10 over 20 queries >= seed IVF") {
+    graft.expressions.VectorOps.register(spark)
+    graft.expressions.VecSum6.register(spark)
+    val dir = sf("sf0.01")
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+
+    def assignMap(cent: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Llm.ivfAssign(e, cent).select("vec_id", "cid").collect()
+        .map(r => r.get(0).toString.toLong -> r.get(1).toString.toLong).toMap
+
+    val aSeed = assignMap(Llm.ivfSeedCentroids(e))
+    val aLearned = assignMap(Llm.ivfLearnedCentroids(e))
+
+    // all pairwise distances to the 20 query vectors (500 x 20 — small)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val pd = e.crossJoin(q)
+      .select(col("qid"), col("vec_id").as("vid"),
+              expr("graft_sqdist12(embedding, qemb)").as("d"))
+      .collect()
+      .map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong,
+                 r.get(2).toString.toDouble))
+    val byQuery = pd.groupBy(_._1)
+
+    def meanRecall(assign: Map[Long, Long]): Double = {
+      val recalls = byQuery.map { case (qid, rows) =>
+        val ranked = rows.sortBy(t => (t._3, t._2)).map(_._2)
+        val exact = ranked.take(10).toSet
+        val cell = assign(qid)
+        val got = ranked.filter(v => assign(v) == cell).take(10).toSet
+        exact.intersect(got).size / 10.0
+      }
+      recalls.sum / recalls.size
+    }
+
+    val rSeed = meanRecall(aSeed)
+    val rLearned = meanRecall(aLearned)
+    info(f"mean recall@10 over 20 queries: seed=$rSeed%.3f learned=$rLearned%.3f")
+    assert(rLearned >= rSeed,
+      f"Lloyd training reduced mean recall: seed=$rSeed%.3f learned=$rLearned%.3f")
+  }
+}
