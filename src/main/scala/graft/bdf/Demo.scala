@@ -35,7 +35,7 @@ object Demo {
     val t0 = System.nanoTime()
     val res = Macau.fit(spark, li, Seq("p", "s"), "v",
       Gibbs.Options(numLatent = 8, burnin = 4, samples = 4, alpha = 1.0, seed = 42L,
-        clamp = Some((1.0, 50.0)), distributedFactors = distributed))
+        clamp = Some((1.0, 50.0)), distributedFactors = Some(distributed)))
     println(f"[demo] mode=${if (distributed) "distributed" else "broadcast"} " +
       f"train+predict wall: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     val sd = li.select(stddev_pop(col("v"))).head().getDouble(0)

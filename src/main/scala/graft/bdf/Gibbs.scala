@@ -55,8 +55,14 @@ object Gibbs {
         * shuffle joins instead of driver collection + broadcast — the
         * path for entity counts whose N x K factors no longer fit the
         * driver (see GibbsDistributed). Side info runs through the
-        * distributed CG in this mode. */
-      distributedFactors: Boolean = false,
+        * distributed CG in this mode. None (default) = decide at
+        * train() entry from the broadcast mode's driver footprint
+        * (N x K factors + N x F densified side matrices) vs
+        * [[autoDistributedDoubles]]. */
+      distributedFactors: Option[Boolean] = None,
+      /** Auto-mode threshold: broadcast mode is allowed up to this many
+        * driver-resident doubles (default 32M ~ 256 MB). */
+      autoDistributedDoubles: Long = 32L << 20,
       clamp: Option[(Double, Double)] = None,
       seed: Long = 42L)
 
@@ -74,13 +80,35 @@ object Gibbs {
       /** Final-sample factor tables per entity, (id: long,
         * f: array<double>) — the persistable model artifact
         * (Macau.saveModel / loadModel / predict). */
-      factors: Map[String, DataFrame] = Map.empty)
+      factors: Map[String, DataFrame] = Map.empty,
+      /** Which execution path ran: "broadcast" or "distributed"
+        * (observable outcome of the auto mode switch). */
+      mode: String = "broadcast")
+
+  /** Driver-resident doubles the broadcast mode would allocate: the
+    * N x K factor matrix per entity plus the densified N x F side
+    * matrix where side info is attached (sparse side features count at
+    * their dense width — that is what the broadcast path materializes). */
+  private[bdf] def broadcastFootprint(rd: RelationData, k: Int): Long =
+    rd.entities.valuesIterator.map { ent =>
+      val f: Long = ent.side.map { df =>
+        if (df.columns.contains("indices")) {
+          val mx = df.select(max(expr("array_max(indices)"))).head()
+          if (mx.isNullAt(0)) 0L else mx.getInt(0) + 1L
+        } else df.select(expr("size(features)")).head().getInt(0).toLong
+      }.getOrElse(0L)
+      ent.numItems.toLong * (k + f)
+    }.sum
 
   def train(spark: SparkSession, rd: RelationData, test: DataFrame,
             opts: Options): Result = {
     require(!(opts.binaryProbit && opts.sampleAlpha),
       "binaryProbit fixes alpha = 1; disable sampleAlpha")
-    if (opts.distributedFactors) {
+    // auto mode switch: an explicit flag wins; otherwise route by the
+    // broadcast mode's would-be driver footprint
+    val useDistributed = opts.distributedFactors.getOrElse(
+      broadcastFootprint(rd, opts.numLatent) > opts.autoDistributedDoubles)
+    if (useDistributed) {
       return GibbsDistributed.train(spark, rd, test, opts)
     }
     import spark.implicits._
@@ -337,7 +365,7 @@ object Gibbs {
         (i.toLong, Array.tabulate(k)(j => m(i, j))))
       e -> rows.toDF("id", "f")
     }.toMap
-    Result(preds, rmseHist.toSeq, rmseHist.last, factorDfs)
+    Result(preds, rmseHist.toSeq, rmseHist.last, factorDfs, mode = "broadcast")
   }
 
   // ---------- helpers ----------

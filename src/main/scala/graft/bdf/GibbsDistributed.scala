@@ -366,7 +366,7 @@ object GibbsDistributed {
     }
 
     val preds = currentPrediction(testCoo, predSum.get, nSamples, opts)
-    Result(preds, rmseHist.toSeq, rmseHist.last, factors.toMap)
+    Result(preds, rmseHist.toSeq, rmseHist.last, factors.toMap, mode = "distributed")
   }
 
   private def currentPrediction(testCoo: DataFrame, predSum: DataFrame,

@@ -97,11 +97,32 @@ class GibbsSpec extends SparkSpec {
     val df = cells.toDF("row", "col", "v")
     val res = Macau.fit(spark, df, Seq("row", "col"), "v",
       Gibbs.Options(numLatent = 8, burnin = 4, samples = 4, alpha = 20.0,
-        seed = 11L, distributedFactors = true),
+        seed = 11L, distributedFactors = Some(true)),
       testFraction = 0.2)
     val baseline = df.select(stddev_pop($"v")).head().getDouble(0)
     assert(res.finalRmse < 0.5 * baseline,
       s"distributed rmse ${res.finalRmse} not < 0.5 * baseline $baseline")
+  }
+
+  test("auto mode switch routes by the broadcast driver footprint") {
+    val s = spark
+    import s.implicits._
+    val df = rank2Matrix(20, 15, seed = 3L).toDF("row", "col", "v")
+    // footprint here = (20 + 15) entities x k=4 = 140 doubles
+    val base = Gibbs.Options(numLatent = 4, burnin = 1, samples = 1, seed = 5L)
+    val small = Macau.fit(spark, df, Seq("row", "col"), "v",
+      base, testFraction = 0.2)
+    assert(small.mode == "broadcast",
+      s"tiny problem should stay on the broadcast path, got ${small.mode}")
+    val forced = Macau.fit(spark, df, Seq("row", "col"), "v",
+      base.copy(autoDistributedDoubles = 100L), testFraction = 0.2)
+    assert(forced.mode == "distributed",
+      s"footprint 140 > threshold 100 should switch, got ${forced.mode}")
+    // explicit flag always wins over the heuristic
+    val explicit = Macau.fit(spark, df, Seq("row", "col"), "v",
+      base.copy(autoDistributedDoubles = 100L,
+        distributedFactors = Some(false)), testFraction = 0.2)
+    assert(explicit.mode == "broadcast")
   }
 
   test("multi-relation coupling: a second relation sharing the row entity helps") {
@@ -149,7 +170,7 @@ class GibbsSpec extends SparkSpec {
     val df = rank2Matrix(25, 20, seed = 9L).toDF("row", "col", "v")
     val res = Macau.fit(spark, df, Seq("row", "col"), "v",
       Gibbs.Options(numLatent = 6, burnin = 3, samples = 3, sampleAlpha = true,
-        alpha = 1.0, seed = 19L, distributedFactors = true))
+        alpha = 1.0, seed = 19L, distributedFactors = Some(true)))
     val sd = df.select(stddev_pop($"v")).head().getDouble(0)
     assert(res.finalRmse < sd,
       s"distributed sampled-alpha rmse ${res.finalRmse} not < sd $sd")
@@ -167,7 +188,7 @@ class GibbsSpec extends SparkSpec {
     val df = cells.toDF("a", "b", "c", "v")
     val res = Macau.fit(spark, df, Seq("a", "b", "c"), "v",
       Gibbs.Options(numLatent = 4, burnin = 3, samples = 3, alpha = 20.0,
-        seed = 17L, distributedFactors = true))
+        seed = 17L, distributedFactors = Some(true)))
     val sd = df.select(stddev_pop($"v")).head().getDouble(0)
     assert(res.finalRmse < sd, s"distributed tensor rmse ${res.finalRmse} not < sd $sd")
   }
@@ -189,7 +210,7 @@ class GibbsSpec extends SparkSpec {
     val split = Macau.assignToTest(rd, 0.2)
     val res = Macau.macau(spark, split.train, split.test,
       Gibbs.Options(numLatent = 4, burnin = 3, samples = 3, alpha = 20.0,
-        seed = 37L, distributedFactors = true))
+        seed = 37L, distributedFactors = Some(true)))
     val sd = df.select(stddev_pop($"v")).head().getDouble(0)
     assert(res.finalRmse < sd,
       s"distributed side-info rmse ${res.finalRmse} not < sd $sd")
@@ -213,7 +234,7 @@ class GibbsSpec extends SparkSpec {
     val split = Macau.assignToTest(rd, 0.2)
     val res = Macau.macau(spark, split.train, split.test,
       Gibbs.Options(numLatent = 4, burnin = 3, samples = 3, alpha = 20.0,
-        seed = 37L, distributedFactors = true))
+        seed = 37L, distributedFactors = Some(true)))
     val sd = df.select(stddev_pop($"v")).head().getDouble(0)
     assert(res.finalRmse < sd,
       s"sparse side-info rmse ${res.finalRmse} not < sd $sd")
@@ -249,7 +270,7 @@ class GibbsSpec extends SparkSpec {
     // distributed-factors parity: same model, same quality bar
     val resD = Macau.fit(spark, df, Seq("row", "col"), "v",
       Gibbs.Options(numLatent = 4, burnin = 4, samples = 4,
-        binaryProbit = true, seed = 61L, distributedFactors = true),
+        binaryProbit = true, seed = 61L, distributedFactors = Some(true)),
       testFraction = 0.2)
     val predsD = resD.predictions.select("v", "pred").collect()
       .map(r => (r.getDouble(0), r.getDouble(1)))

@@ -95,7 +95,7 @@ class MatrixMarketSpec extends SparkSpec {
     val split = Macau.assignToTest(rd, 0.2)
     val res = Macau.macau(spark, split.train, split.test,
       Gibbs.Options(numLatent = 4, burnin = 3, samples = 3, alpha = 20.0,
-        seed = 37L, distributedFactors = true))
+        seed = 37L, distributedFactors = Some(true)))
     val sd = cells.toDF("row", "col", "v")
       .select(org.apache.spark.sql.functions.stddev_pop($"v")).head().getDouble(0)
     assert(res.finalRmse < sd, s"mtx side-info rmse ${res.finalRmse} not < $sd")
