@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistrib
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.IntegerType
 
 /** Whole-operator custom plan — tier (c) of the SURVEY §2 custom-op
@@ -38,7 +39,12 @@ import org.apache.spark.sql.types.IntegerType
   * distinct key in the task) is heap-held with NO spill — the right
   * trade for small k and bounded key cardinality per task, while
   * extreme keys-per-task x k workloads should stay on WindowExec
-  * (which sorts with spill). */
+  * (which sorts with spill). Two guards keep the rewrite safe to leave
+  * enabled session-globally: it skips plans with k >
+  * `spark.graft.topk.maxK` (default 1000) and plans with an EMPTY
+  * partition spec (one unbounded global group — WindowGroupLimit
+  * handles those), and the exec reports a `heap-resident rows` SQL
+  * metric so oversized heap state is observable. */
 case class LogicalTopKPerKey(
     partitionSpec: Seq[Expression],
     orderSpec: Seq[SortOrder],
@@ -66,6 +72,9 @@ case class TopKPerKeyExec(
     else if (partitionSpec.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(partitionSpec) :: Nil
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "heapRows" -> SQLMetrics.createMetric(sparkContext, "heap-resident rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val partExprs = partitionSpec
     val orders = orderSpec
@@ -73,6 +82,7 @@ case class TopKPerKeyExec(
     val emitRank = rankAttr.isDefined
     val childOutput = child.output
     val outAttrs = output
+    val heapRows = longMetric("heapRows")
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(partExprs, childOutput)
       val ordEvals = orders.map(so => BindReferences.bindReference(so.child, childOutput)).toArray
@@ -102,6 +112,12 @@ case class TopKPerKeyExec(
           }
         }
       }
+      // the task's peak heap state: rows only accumulate (evictions
+      // poll+offer, net zero), so the final total IS the peak
+      var held = 0L
+      val hit = heaps.values().iterator()
+      while (hit.hasNext) held += hit.next().size()
+      heapRows.add(held)
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val entries = heaps.entrySet().iterator()
       new Iterator[InternalRow] {
@@ -143,22 +159,29 @@ object TopKRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case Filter(cond, w: Window) if w.windowExpressions.size == 1 =>
-      w.windowExpressions.head match {
-        case alias @ Alias(WindowExpression(_: RowNumber, _), _) =>
-          rankLimit(cond, alias.toAttribute) match {
-            case Some(k) if k > 0 =>
-              val innerChild = w.child match {
-                case WindowGroupLimit(_, _, _, _, grandChild) => grandChild
-                case c => c
-              }
-              LogicalTopKPerKey(w.partitionSpec, w.orderSpec, k,
-                alias.toAttribute, innerChild)
-            case _ => Filter(cond, w)
-          }
-        case _ => Filter(cond, w)
-      }
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // no-spill heaps hold k rows per key per task: refuse oversized k
+    // (sort+spill WindowExec is the safe plan there) and empty
+    // partition specs (one global group — WindowGroupLimit's job)
+    val maxK = conf.getConfString("spark.graft.topk.maxK", "1000").toInt
+    plan.transformUp {
+      case Filter(cond, w: Window)
+          if w.windowExpressions.size == 1 && w.partitionSpec.nonEmpty =>
+        w.windowExpressions.head match {
+          case alias @ Alias(WindowExpression(_: RowNumber, _), _) =>
+            rankLimit(cond, alias.toAttribute) match {
+              case Some(k) if k > 0 && k <= maxK =>
+                val innerChild = w.child match {
+                  case WindowGroupLimit(_, _, _, _, grandChild) => grandChild
+                  case c => c
+                }
+                LogicalTopKPerKey(w.partitionSpec, w.orderSpec, k,
+                  alias.toAttribute, innerChild)
+              case _ => Filter(cond, w)
+            }
+          case _ => Filter(cond, w)
+        }
+    }
   }
 }
 

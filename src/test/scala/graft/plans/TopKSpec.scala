@@ -58,6 +58,49 @@ class TopKSpec extends SparkSpec {
     assert(got.size === 21) // 7 keys x top-3, unique names
   }
 
+  test("guard: oversized k and empty partition specs fall back to WindowExec") {
+    TopKPerKey.register(spark)
+    val o = graft.Tables.orders(spark, sf("sf0.001"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    spark.conf.set("spark.graft.topk.maxK", "1")
+    try {
+      val big = o.select(col("o_custkey"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 2)
+      big.collect()
+      val pBig = big.queryExecution.executedPlan.toString
+      assert(!pBig.contains("TopKPerKey"), s"k>maxK must not rewrite:\n$pBig")
+      assert(pBig.contains("Window"), s"expected WindowExec fallback:\n$pBig")
+    } finally spark.conf.unset("spark.graft.topk.maxK")
+    val wGlobal = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val global = o.select(col("o_orderkey"), row_number().over(wGlobal).as("rn"))
+      .filter(col("rn") <= 2)
+    global.collect()
+    val pGlobal = global.queryExecution.executedPlan.toString
+    assert(!pGlobal.contains("TopKPerKey"),
+      s"empty partition spec must not rewrite:\n$pGlobal")
+  }
+
+  test("exec reports heap-resident rows through the SQL metric") {
+    TopKPerKey.register(spark)
+    val df = Windows.qWinTopkKey(spark, sf("sf0.001"))
+    df.collect()
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allNodes(s.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val topks = allNodes(df.queryExecution.executedPlan)
+      .collect { case t: TopKPerKeyExec => t }
+    assert(topks.nonEmpty, "no TopKPerKeyExec in the executed plan")
+    // both levels ran over >0 rows, so both metrics must be positive
+    topks.foreach(t => assert(t.metrics("heapRows").value > 0,
+      s"heapRows metric not populated on $t"))
+  }
+
   test("rewrite leaves multi-expression windows and non-rank filters alone") {
     TopKPerKey.register(spark)
     val o = graft.Tables.orders(spark, sf("sf0.001"))
