@@ -161,6 +161,29 @@ object Bdf {
       .orderBy(col("threshold").desc)
   }
 
+  /** A11 (arbitrary cells): score ANY (u, v) cell through the model
+    * prediction surface [[graft.bdf.Macau.predict]] — the reference's
+    * predict-any-cell API, not just the held-out split. The "saved
+    * model" is a deterministic fixture derived from the embeddings
+    * table: two 20-entity factor tables with values quantized to
+    * dyadic rationals (multiples of 1/1024, HALF_UP — identical in
+    * both engines), which makes every product and partial sum EXACT in
+    * double, so the zip_with/aggregate fold in predict matches the
+    * oracle's SUM regardless of accumulation order. */
+  def qBdfPredictCells(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val quant =
+      "transform(slice(embedding, 1, 8), x -> round(CAST(x AS DOUBLE) * 1024D) / 1024D)"
+    val fu = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").cast("long").as("id"), expr(quant).as("f"))
+    val fv = e.filter(col("vec_id") >= 50 && col("vec_id") < 70)
+      .select((col("vec_id") - 50).cast("long").as("id"), expr(quant).as("f"))
+    val cells = fu.select(col("id").as("u"))
+      .crossJoin(fv.select(col("id").as("v")))
+    graft.bdf.Macau.predict(s, Map("u" -> fu, "v" -> fv), cells, Seq("u", "v"))
+      .orderBy("u", "v")
+  }
+
   /** A9: 3-mode tensor build — (user, event_type, hour) cells. */
   def qBdfTensorAgg(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -197,6 +220,7 @@ object Bdf {
     "q_bdf_rmse" -> (qBdfRmse _),
     "q_bdf_auc" -> (qBdfAuc _),
     "q_bdf_roc" -> (qBdfRoc _),
+    "q_bdf_predict_cells" -> (qBdfPredictCells _),
     "q_bdf_tensor_agg" -> (qBdfTensorAgg _),
     "q_bdf_multirel" -> (qBdfMultirel _),
   )
@@ -274,6 +298,20 @@ object Bdf {
         |  CAST(ctp AS DOUBLE) / p AS tpr,
         |  CAST(call - ctp AS DOUBLE) / nn AS fpr
         |FROM cum, tot ORDER BY threshold DESC""".stripMargin,
+    "q_bdf_predict_cells" ->
+      """WITH fu AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS u, i,
+        |    ROUND(CAST(embedding[i] AS DOUBLE) * 1024) / 1024 AS x
+        |  FROM embeddings, GENERATE_SERIES(1, 8) AS gu(i)
+        |  WHERE vec_id < 20),
+        |fv AS (
+        |  SELECT CAST(vec_id - 50 AS BIGINT) AS v, i,
+        |    ROUND(CAST(embedding[i] AS DOUBLE) * 1024) / 1024 AS y
+        |  FROM embeddings, GENERATE_SERIES(1, 8) AS gv(i)
+        |  WHERE vec_id >= 50 AND vec_id < 70)
+        |SELECT u, v, SUM(x * y) AS pred
+        |FROM fu JOIN fv ON fu.i = fv.i
+        |GROUP BY u, v ORDER BY u, v""".stripMargin,
     "q_bdf_tensor_agg" ->
       s"""SELECT user_id, event_type,
          |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hour_bucket,

@@ -65,10 +65,33 @@ object Llm {
     * are the tiny signature band-join and the candidate-pair text
     * lookups. At 100 TB the old plan shuffles ~500x the corpus;
     * this one shuffles ~100 bytes per document. */
-  def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def qDedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir, Seq(0 until 4), 0.8)
+
+  /** Banded b x r MinHash-LSH (the standard recall-at-threshold knob):
+    * the same 4-hash signature read as TWO bands of 2 rows — a pair is
+    * a candidate when EITHER band matches entirely (union of per-band
+    * equi-joins, distinct), then exact Jaccard >= 0.7 on candidates.
+    * Candidate probability at Jaccard J is 1-(1-J^2)^2 vs J^4 for the
+    * single AND-4 band (0.74 vs 0.24 at J = 0.7), and the AND-4
+    * candidate set is provably a subset (all four equal implies band 1
+    * equal) — so recall can only improve. Each band join still shuffles
+    * only the ~100-byte signatures. */
+  def qDedupMinhashBanded(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir, Seq(Seq(0, 1), Seq(2, 3)), 0.7)
+
+  /** Shared MinHash-LSH core: block on `bands` (each a set of signature
+    * hash indices that must ALL match — one join per band, union +
+    * distinct for b > 1), verify candidates with the exact
+    * graft_shingle_common Jaccard, keep pairs >= `threshold`. */
+  private[queries] def minhashPairs(s: SparkSession, dir: String,
+                                    bands: Seq[Seq[Int]], threshold: Double): DataFrame =
+    minhashPairsOn(s, Tables.documents(s, dir), bands, threshold)
+
+  private[queries] def minhashPairsOn(s: SparkSession, docs: DataFrame,
+                                      bands: Seq[Seq[Int]], threshold: Double): DataFrame = {
     graft.expressions.ShingleOps.register(s)
     val nHash = 4
-    val docs = Tables.documents(s, dir)
     // the corpus parquet is one small file -> 1-2 scan partitions; the
     // signature map is CPU-bound (4 md5s x ~510 shingles per doc), so
     // spread it across the cluster first (tiny shuffle, big win; at
@@ -83,10 +106,14 @@ object Llm {
       (0 until nHash).map(k => col(s"mh$k")): _*)
     val b = sig.select(col("doc_id").as("db") +: col("sz").as("sb") +:
       (0 until nHash).map(k => col(s"mh$k").as(s"nh$k")): _*)
-    val bandEq = (0 until nHash).map(k => col(s"mh$k") === col(s"nh$k"))
-      .reduce(_ && _)
-    val cand = a.join(b, bandEq && col("da") < col("db"))
-      .select("da", "db", "sa", "sb")
+    val perBand = bands.map { band =>
+      val bandEq = band.map(k => col(s"mh$k") === col(s"nh$k")).reduce(_ && _)
+      a.join(b, bandEq && col("da") < col("db"))
+        .select("da", "db", "sa", "sb")
+    }
+    val cand =
+      if (perBand.size == 1) perBand.head
+      else perBand.reduce(_ unionByName _).distinct()
     val ta = docs.select(col("doc_id").as("xa"), col("text").as("text_a"))
     val tb = docs.select(col("doc_id").as("xb"), col("text").as("text_b"))
     cand.join(ta, col("da") === col("xa"))
@@ -97,7 +124,7 @@ object Llm {
               (col("sa") + col("sb") - col("n_common")).as("n_union"),
               (col("n_common").cast("double") /
                  (col("sa") + col("sb") - col("n_common"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+      .filter(col("jaccard") >= threshold)
       .orderBy("da", "db")
   }
 
@@ -524,6 +551,7 @@ object Llm {
     "q_text_stats" -> (qTextStats _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
+    "q_dedup_minhash_banded" -> (qDedupMinhashBanded _),
     "q_dedup_jaccard_ngram" -> (qDedupJaccardNgram _),
     "q_dedup_near_minhash" -> (qDedupNearMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -607,6 +635,36 @@ object Llm {
          |  JOIN t tb ON tb.doc_id = db AND ta.token = tb.token
          |  GROUP BY da, db, sa, sb)
          |WHERE jaccard >= 0.8 ORDER BY da, db""".stripMargin
+    },
+    "q_dedup_minhash_banded" -> {
+      val mhCols = (0 until 4).map(k => s"MIN(MD5('$k' || token)) AS mh$k").mkString(", ")
+      val bandOr = Seq(Seq(0, 1), Seq(2, 3))
+        .map(band => band.map(k => s"a.mh$k = b.mh$k").mkString("(", " AND ", ")"))
+        .mkString(" OR ")
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CONCAT_WS(' ', tk[i], tk[i + 1], tk[i + 2]) AS token
+         |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+         |       GENERATE_SERIES(1, 512) AS g(i)
+         |  WHERE i <= GREATEST(LEN(tk) - 2, 1)),
+         |t AS (
+         |  SELECT DISTINCT doc_id, token FROM sh),
+         |sig AS (
+         |  SELECT doc_id, $mhCols, COUNT(*) AS sz
+         |  FROM t GROUP BY doc_id),
+         |cand AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb
+         |  FROM sig a JOIN sig b
+         |    ON ($bandOr) AND a.doc_id < b.doc_id)
+         |SELECT * FROM (
+         |  SELECT da, db, COUNT(*) AS n_common,
+         |    sa + sb - COUNT(*) AS n_union,
+         |    CAST(COUNT(*) AS DOUBLE) / (sa + sb - COUNT(*)) AS jaccard
+         |  FROM cand
+         |  JOIN t ta ON ta.doc_id = da
+         |  JOIN t tb ON tb.doc_id = db AND ta.token = tb.token
+         |  GROUP BY da, db, sa, sb)
+         |WHERE jaccard >= 0.7 ORDER BY da, db""".stripMargin
     },
     "q_dedup_jaccard_ngram" ->
       """WITH sh AS (
