@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * stage: one batch at a time per partition, no driver collection, the
   * output schema fixed and columnar-friendly.
   *
-  * The DECODE ITSELF IS STUBBED (`StubCodec`): this container has no
-  * image/audio codecs, so the codec derives deterministic pseudo
-  * "decoded" properties from the bytes. Swapping in a real codec means
-  * replacing StubCodec.decode only — schema, batching, partitioning and
-  * the query surface stay as-is.
+  * Decode dispatch: REAL jpg/png bytes (recognized by magic numbers)
+  * decode through JDK ImageIO ([[ImageCodec]] — actual width, height,
+  * channels, and a 16-bin luminance histogram as the feature vector; no
+  * external dependencies). Everything else — audio, and payloads that
+  * are not real images (the testdata synthesizes media bytes from doc
+  * text) — falls back to the deterministic [[StubCodec]], which derives
+  * pseudo properties from the bytes so the pipeline stays testable
+  * end-to-end in this codec-less container.
   */
 object Multimodal {
 
@@ -22,9 +25,53 @@ object Multimodal {
       width: Int, height: Int, channels: Int, durationMs: Long,
       features: Array[Float])
 
-  /** STUB: a real implementation would dispatch on format to an image/
-    * audio decoder. This deterministic fake derives shape/feature values
-    * from the byte content so the pipeline is testable end-to-end. */
+  /** Real image decode via JDK ImageIO (jpg/png ship with the JDK). */
+  object ImageCodec {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length > 8 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+    private def isJpeg(b: Array[Byte]): Boolean =
+      b.length > 3 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte
+
+    /** None when the bytes are not a decodable image — the caller falls
+      * back to the stub (fail-soft: a corrupt image in a 100 TB corpus
+      * must not kill the task). */
+    def decode(bytes: Array[Byte]): Option[Decoded] =
+      if (!isPng(bytes) && !isJpeg(bytes)) None
+      else try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          // 16-bin luminance histogram, normalized — a real (if simple)
+          // content feature; bounded work via pixel-stride sampling
+          val w = img.getWidth; val h = img.getHeight
+          val hist = new Array[Float](StubCodec.FeatureDim)
+          val stride = math.max(1, math.sqrt(w.toLong * h / 4096.0).toInt)
+          var n = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              hist(math.min(lum / 16, 15)) += 1f
+              n += 1
+              x += stride
+            }
+            y += stride
+          }
+          if (n > 0) { var i = 0; while (i < hist.length) { hist(i) /= n; i += 1 } }
+          Some(Decoded(w, h, img.getColorModel.getNumComponents, 0L, hist))
+        }
+      } catch { case _: Exception => None }
+  }
+
+  /** STUB for formats with no in-container codec (audio) and for bytes
+    * that are not real media: derives deterministic pseudo "decoded"
+    * properties from the byte content so the pipeline is testable
+    * end-to-end. */
   object StubCodec {
     val FeatureDim = 16
 
@@ -72,7 +119,11 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { case (id, bytes, fmt) =>
-          val d = StubCodec.decode(bytes, fmt)
+          val d = fmt match {
+            case "jpg" | "png" =>
+              ImageCodec.decode(bytes).getOrElse(StubCodec.decode(bytes, fmt))
+            case _ => StubCodec.decode(bytes, fmt)
+          }
           (id, fmt, bytes.length.toLong, d.width, d.height, d.channels,
             d.durationMs, d.features)
         }

@@ -39,4 +39,37 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeAndFeaturize(spark, media))
     assert(out.count() === 3L * Multimodal.StubCodec.FeatureDim)
   }
+
+  /** Encode a real image in-memory and check the ImageIO path reports
+    * its true geometry (not the stub's byte-derived pseudo shape). */
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 37 + y * 101) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("real png/jpg bytes decode through ImageIO with true geometry") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (0L, imageBytes("png", 7, 5), "png"),
+      (1L, imageBytes("jpg", 9, 4), "jpg"),
+      (2L, "not an image".getBytes("UTF-8"), "png"))
+    val df = rows.toDF("doc_id", "content", "format")
+    val out = Multimodal.decodeAndFeaturize(spark, df)
+      .orderBy("doc_id").collect()
+    assert((out(0).getAs[Int]("width"), out(0).getAs[Int]("height"),
+            out(0).getAs[Int]("channels")) === ((7, 5, 3)))
+    assert((out(1).getAs[Int]("width"), out(1).getAs[Int]("height"),
+            out(1).getAs[Int]("channels")) === ((9, 4, 3)))
+    // histogram features: normalized mass sums to ~1 over a real image
+    val feats = out(0).getAs[scala.collection.Seq[Float]]("features")
+    assert(math.abs(feats.sum - 1.0f) < 1e-3)
+    // non-image bytes tagged as png fall back to the stub, not a crash
+    assert(out(2).getAs[Int]("width") >= 64)
+  }
 }
