@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.sql.Det.lcgBucket
+import graft.sql.{DetSql => D}
 
 /** Sort / limit / top-k operators (SURVEY.md §2.B "Sorts").
   * Reference analog: ranking predictions (top-k recommendation read-out
@@ -58,10 +60,35 @@ object Sorts {
       .orderBy("pct")
   }
 
+  /** Deterministic stratified sampling — the training-data op "keep a
+    * reproducible ~20% of every stratum": membership is a pure integer
+    * LCG of the row's natural key (never engine `rand()`/`hash()`, which
+    * differ across engines and runs), so the sample is stable across
+    * engines, partitionings, and retries. Emits per-stratum totals,
+    * kept counts/fraction and the kept decimal mass so the oracle can
+    * verify the exact membership, not just the rate. At 100 TB this is
+    * a narrow filter fused into the scan. */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import graft.sql.Det.dec
+    val key = col("l_orderkey") * 8 + col("l_linenumber")
+    val kept = (lcgBucket(key, 10) < 2).cast("int")
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), kept.as("kept"),
+              dec(col("l_quantity")).as("q"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_total"),
+           sum(col("kept")).as("n_kept"),
+           (sum(col("kept")).cast("double") / count(lit(1))).as("kept_frac"),
+           sum(when(col("kept") === 1, col("q"))).cast("double")
+             .as("kept_sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sort_limit_topk" -> (qSortLimitTopk _),
     "q_sort_multi" -> (qSortMulti _),
     "q_sort_percentile_exact" -> (qSortPercentileExact _),
+    "q_sample_stratified" -> (qSampleStratified _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -89,5 +116,13 @@ object Sorts {
         |SELECT q.pct, q.rk_lo, lo.v AS v_lo, q.rk_hi, hi.v AS v_hi
         |FROM q JOIN r lo ON lo.rk = q.rk_lo JOIN r hi ON hi.rk = q.rk_hi
         |ORDER BY pct""".stripMargin,
+    "q_sample_stratified" -> {
+      val kept = s"CASE WHEN ${D.lcgBucket("l_orderkey * 8 + l_linenumber", 10)} < 2 THEN 1 ELSE 0 END"
+      s"""SELECT l_returnflag, COUNT(*) AS n_total,
+         |  CAST(SUM($kept) AS BIGINT) AS n_kept,
+         |  CAST(SUM($kept) AS DOUBLE) / COUNT(*) AS kept_frac,
+         |  CAST(SUM(CASE WHEN $kept = 1 THEN ${D.dec("l_quantity")} END) AS DOUBLE) AS kept_sum_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
   )
 }
