@@ -519,6 +519,32 @@ object Llm {
       .limit(10)
   }
 
+  /** Batch k-NN for a whole QUERY SET (not just one vector): top-3
+    * neighbors for each of the 20 leading vectors, written as the
+    * standard row_number<=k window — which the registered TopKPerKey
+    * rule rewrites into the bounded-heap custom operator: map-side
+    * 3-per-query heaps over the broadcast-joined distances, shuffle
+    * only survivors, no sort. The 100 TB shape for "nearest examples
+    * per training query" batch retrieval. */
+  def qSimKnnAll(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.VectorOps.register(s)
+    graft.plans.TopKPerKey.register(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val dist = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+              expr("graft_sqdist12(embedding, qemb)").as("dist2"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("dist2").asc, col("vec_id").asc)
+    dist.select(col("qid"), col("vec_id"), col("dist2"),
+                row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("qid", "rn")
+  }
+
   /** Multimodal metadata over an opaque binary column: byte length,
     * content hash, fake format tag. (Decode itself is stubbed in
     * graft.multimodal — no image/audio libs in this container.) */
@@ -568,6 +594,7 @@ object Llm {
     "q_sim_knn_centroid" -> (qSimKnnCentroid _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
     "q_sim_ann_ivf_learned" -> (qSimAnnIvfLearned _),
+    "q_sim_knn_all" -> (qSimKnnAll _),
     "q_mm_meta" -> (qMmMeta _),
   )
 
@@ -812,6 +839,19 @@ object Llm {
         |WHERE a.cid = 0
         |ORDER BY d.dist2 ASC, a.vec_id ASC LIMIT 10""".stripMargin,
     "q_sim_ann_ivf_learned" -> ivfLearnedSql,
+    "q_sim_knn_all" ->
+      """WITH d AS (
+        |  SELECT q.vec_id AS qid, e.vec_id,
+        |    CAST(SUM(CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+        |      * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)) AS DECIMAL(18,12))) AS DOUBLE) AS dist2
+        |  FROM embeddings e, embeddings q, GENERATE_SERIES(1, 64) AS g(i)
+        |  WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id
+        |  GROUP BY q.vec_id, e.vec_id)
+        |SELECT * FROM (
+        |  SELECT qid, vec_id, dist2,
+        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2 ASC, vec_id ASC) AS rn
+        |  FROM d)
+        |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id,
         |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,

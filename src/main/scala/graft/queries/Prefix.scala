@@ -21,7 +21,14 @@ import org.apache.spark.sql.functions._
   *
   * All sums are exact longs, so queries built on top stay hash-identical
   * to their DuckDB-window oracles. PlanSpec pins the "no global window"
-  * shape. */
+  * shape.
+  *
+  * Caveat: buckets are equi-WIDTH from (min, max), so a pathologically
+  * concentrated distribution (most keys inside one bucket's range)
+  * degrades toward one big in-bucket partition. The scale hardening, if
+  * such data appears, is equi-DEPTH boundaries from a sample (what
+  * RangePartitioner does) — same algebra, different bucket function;
+  * correctness only needs the bucket map to be monotone. */
 object Prefix {
 
   /** For each row of `df` (REQUIRED: one row per distinct `valueCol`),

@@ -38,25 +38,52 @@ object Sorts {
     * engines, selected values cannot. At 100 TB: two narrow passes and
     * one tiny broadcast join vs a full shuffle sort. */
   def qSortPercentileExact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import s.implicits._
+    val buckets = 256
     val l = Tables.lineitem(s, dir).select(col("l_extendedprice").as("v"))
-    val perValue = l.groupBy("v").agg(count(lit(1)).as("n"))
-    val pre = Prefix.withPrefix(perValue, "v", Seq("n"))
-    val tot = perValue.agg(sum(col("n")).as("nt"))
+    // selection, not prefix-sum: bucket RAW rows (no per-distinct-value
+    // grouping — l_extendedprice is near-unique, a 600k-group hash agg
+    // would dominate), count per bucket (256 groups, map-side combine),
+    // locate each target rank's bucket + local offset on the tiny
+    // table, then sort ONLY the hit buckets (~N/256 rows each)
+    val mm = l.agg(min(col("v").cast("double")).as("_mn"),
+                   max(col("v").cast("double")).as("_mx"))
+    val raw = floor((col("v").cast("double") - col("_mn"))
+      / (col("_mx") - col("_mn")) * buckets)
+    val bucketed = l.crossJoin(broadcast(mm))
+      .withColumn("_pb", when(col("_mx") === col("_mn"), lit(0))
+        .otherwise(least(raw, lit(buckets - 1))).cast("int"))
+      .drop("_mn", "_mx")
+    val counts = bucketed.groupBy("_pb").agg(count(lit(1)).as("bn"))
+    val pref = counts.as("a")
+      .join(counts.as("b"), col("b._pb") < col("a._pb"), "left")
+      .groupBy(col("a._pb").as("pb"), col("a.bn").as("bn"))
+      .agg(coalesce(sum(col("b.bn")), lit(0L)).as("nb"))
+    val tot = counts.agg(sum(col("bn")).as("nt"))
     val quants = Seq(0.25, 0.5, 0.75, 0.9, 0.99).toDF("pct")
       .crossJoin(broadcast(tot))
       .select(col("pct"),
         floor((col("nt") - 1) * col("pct")).cast("long").as("rk_lo"),
         ceil((col("nt") - 1) * col("pct")).cast("long").as("rk_hi"))
-    val lo = pre.join(broadcast(quants),
-        col("n_before") <= col("rk_lo") &&
-          col("rk_lo") < col("n_before") + col("n"))
-      .select(col("pct"), col("rk_lo"), col("v").as("v_lo"), col("rk_hi"))
-    pre.join(broadcast(lo),
-        col("n_before") <= col("rk_hi") &&
-          col("rk_hi") < col("n_before") + col("n"))
-      .select(col("pct"), col("rk_lo"), col("v_lo"), col("rk_hi"),
-              col("v").as("v_hi"))
+    val targets = quants.select(col("pct"), col("rk_lo"), col("rk_hi"),
+        explode(array(
+          struct(lit("lo").as("which"), col("rk_lo").as("rk")),
+          struct(lit("hi").as("which"), col("rk_hi").as("rk")))).as("t"))
+      .select(col("pct"), col("rk_lo"), col("rk_hi"),
+              col("t.which").as("which"), col("t.rk").as("rk"))
+    val located = targets.join(pref,
+        col("nb") <= col("rk") && col("rk") < col("nb") + col("bn"))
+      .select(col("pct"), col("rk_lo"), col("rk_hi"), col("which"),
+              col("pb"), (col("rk") - col("nb")).as("off"))
+    val w = Window.partitionBy("pct", "which").orderBy("v")
+    val picked = bucketed.join(broadcast(located), col("_pb") === col("pb"))
+      .withColumn("rnk", row_number().over(w) - 1)
+      .filter(col("rnk") === col("off"))
+    picked.groupBy("pct", "rk_lo", "rk_hi")
+      .agg(max(when(col("which") === "lo", col("v"))).as("v_lo"),
+           max(when(col("which") === "hi", col("v"))).as("v_hi"))
+      .select(col("pct"), col("rk_lo"), col("v_lo"), col("rk_hi"), col("v_hi"))
       .orderBy("pct")
   }
 
