@@ -124,8 +124,33 @@ object Windows {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Exact per-group median (the grouped-quantile everyone asks an
+    * analytics engine for): per part, the bracketing middle value(s) of
+    * l_quantity. Groups are numerous and small (20k parts), so the
+    * partitioned window is genuinely parallel — the opposite regime
+    * from the global-rank queries, which use the bucketed prefix path
+    * (queries/Prefix) instead. */
+  def qWinMedianGrouped(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_partkey")
+      .orderBy(col("l_quantity").asc, col("l_orderkey").asc,
+               col("l_linenumber").asc)
+    val wc = Window.partitionBy("l_partkey")
+    val t = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+              row_number().over(w).as("rn"),
+              count(lit(1)).over(wc).as("n"))
+    t.filter(col("rn") === Prefix.idiv(col("n") + 1, lit(2L)) ||
+             col("rn") === Prefix.idiv(col("n") + 2, lit(2L)))
+      .groupBy("l_partkey")
+      .agg(max(col("n")).as("n"),
+           min(col("l_quantity")).as("v_lo"),
+           max(col("l_quantity")).as("v_hi"))
+      .orderBy("l_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_topk_key" -> (qWinTopkKey _),
+    "q_win_median_grouped" -> (qWinMedianGrouped _),
     "q_win_rank" -> (qWinRank _),
     "q_win_analytic" -> (qWinAnalytic _),
     "q_win_frame_rows" -> (qWinFrameRows _),
@@ -134,6 +159,18 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_median_grouped" ->
+      """WITH t AS (
+        |  SELECT l_partkey, l_quantity,
+        |    ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_partkey) AS n
+        |  FROM lineitem)
+        |SELECT l_partkey, CAST(MAX(n) AS BIGINT) AS n,
+        |  MIN(l_quantity) AS v_lo, MAX(l_quantity) AS v_hi
+        |FROM t
+        |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
     "q_win_topk_key" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -77,6 +77,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"means side not broadcast:\n$p")
   }
 
+  test("q_sim_knn_all plans through the TopKPerKey bounded-heap operator") {
+    val p = finalPlan(Llm.qSimKnnAll(spark, sf("sf0.001")))
+    assert(p.contains("TopKPerKey"), s"custom operator not planned:\n$p")
+    assert(!p.contains("Window"), s"WindowExec survived the rewrite:\n$p")
+  }
+
   test("rank-sum queries contain no global (empty-partition) window") {
     // the round-2 judge's weak list: auc/roc/ntile funneled all rows
     // through ONE task's Window.orderBy — pin the bucketed-prefix shape
