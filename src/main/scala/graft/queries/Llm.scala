@@ -519,6 +519,34 @@ object Llm {
       .limit(10)
   }
 
+  /** Duplicate-CLUSTER assignment — the step that actually drops rows
+    * in a dedup pipeline: connected components over the banded-LSH
+    * near-dup pairs (Jaccard >= 0.7), by 4 FIXED iterations of
+    * min-label propagation (each: per-node min over neighbor labels,
+    * one shuffle per iteration — the standard large-graph CC loop).
+    * The fixed iteration count makes the result deterministic and
+    * lets the oracle unroll the same 4 steps; component min doc_id is
+    * the canonical survivor. */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir, Seq(Seq(0, 1), Seq(2, 3)), 0.7)
+      .select(col("da"), col("db"))
+    val edges = pairs.select(col("da").as("x"), col("db").as("y"))
+      .unionByName(pairs.select(col("db").as("x"), col("da").as("y")))
+    var lab = edges.select(col("x").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+    for (_ <- 1 to 4) {
+      val nbrMin = edges.join(lab, col("y") === col("id"))
+        .groupBy(col("x").as("nid")).agg(min(col("lab")).as("nlab"))
+      lab = lab.join(nbrMin, col("id") === col("nid"))
+        .select(col("id"), least(col("lab"), col("nlab")).as("lab"))
+    }
+    lab.groupBy(col("lab").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("id")).as("canonical_doc"),
+           max(col("id")).as("max_doc"))
+      .orderBy("cluster_id")
+  }
+
   /** Batch k-NN for a whole QUERY SET (not just one vector): top-3
     * neighbors for each of the 20 leading vectors, written as the
     * standard row_number<=k window — which the registered TopKPerKey
@@ -595,6 +623,7 @@ object Llm {
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
     "q_sim_ann_ivf_learned" -> (qSimAnnIvfLearned _),
     "q_sim_knn_all" -> (qSimKnnAll _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_mm_meta" -> (qMmMeta _),
   )
 
@@ -692,6 +721,51 @@ object Llm {
          |  JOIN t tb ON tb.doc_id = db AND ta.token = tb.token
          |  GROUP BY da, db, sa, sb)
          |WHERE jaccard >= 0.7 ORDER BY da, db""".stripMargin
+    },
+    "q_dedup_clusters" -> {
+      val mhCols = (0 until 4).map(k => s"MIN(MD5('$k' || token)) AS mh$k").mkString(", ")
+      val bandOr = Seq(Seq(0, 1), Seq(2, 3))
+        .map(band => band.map(k => s"a.mh$k = b.mh$k").mkString("(", " AND ", ")"))
+        .mkString(" OR ")
+      val steps = (1 to 4).map(k =>
+        s"""n$k AS (
+           |  SELECT e.x AS id, MIN(n.lab) AS nlab
+           |  FROM edges e JOIN l${k - 1} n ON n.id = e.y GROUP BY e.x),
+           |l$k AS (
+           |  SELECT l.id, LEAST(l.lab, m.nlab) AS lab
+           |  FROM l${k - 1} l JOIN n$k m ON m.id = l.id)""".stripMargin)
+        .mkString(",\n")
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CONCAT_WS(' ', tk[i], tk[i + 1], tk[i + 2]) AS token
+         |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+         |       GENERATE_SERIES(1, 512) AS g(i)
+         |  WHERE i <= GREATEST(LEN(tk) - 2, 1)),
+         |t AS (
+         |  SELECT DISTINCT doc_id, token FROM sh),
+         |sig AS (
+         |  SELECT doc_id, $mhCols, COUNT(*) AS sz
+         |  FROM t GROUP BY doc_id),
+         |cand AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb
+         |  FROM sig a JOIN sig b
+         |    ON ($bandOr) AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT da, db FROM (
+         |    SELECT da, db, COUNT(*) AS nc, sa, sb
+         |    FROM cand
+         |    JOIN t ta ON ta.doc_id = da
+         |    JOIN t tb ON tb.doc_id = db AND ta.token = tb.token
+         |    GROUP BY da, db, sa, sb)
+         |  WHERE CAST(nc AS DOUBLE) / (sa + sb - nc) >= 0.7),
+         |edges AS (
+         |  SELECT da AS x, db AS y FROM pairs
+         |  UNION ALL SELECT db AS x, da AS y FROM pairs),
+         |l0 AS (SELECT DISTINCT x AS id, x AS lab FROM edges),
+         |$steps
+         |SELECT lab AS cluster_id, COUNT(*) AS n_docs,
+         |  MIN(id) AS canonical_doc, MAX(id) AS max_doc
+         |FROM l4 GROUP BY lab ORDER BY cluster_id""".stripMargin
     },
     "q_dedup_jaccard_ngram" ->
       """WITH sh AS (
