@@ -101,6 +101,31 @@ object Aggs {
       .orderBy("l_returnflag")
   }
 
+  /** Pearson correlation + population covariance per group, from exact
+    * decimal cross-sums (the engine corr()/covar_pop() are incremental
+    * double updates — order-dependent, never hash-safe): five exact
+    * sums, then identical double arithmetic on both engines. Columns
+    * picked so every sum stays inside the |v|*10^6 < 2^53 exact-export
+    * window (quantity <= 50, discount <= 0.1). */
+  def qAggCorr(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val n = count(lit(1))
+    val sx = sum(dec(col("l_quantity"))).cast("double")
+    val sy = sum(dec(col("l_discount"))).cast("double")
+    val sxy = sum((dec(col("l_quantity")) * dec(col("l_discount")))
+      .cast(DecT)).cast("double")
+    val sx2 = sum((dec(col("l_quantity")) * dec(col("l_quantity")))
+      .cast(DecT)).cast("double")
+    val sy2 = sum((dec(col("l_discount")) * dec(col("l_discount")))
+      .cast(DecT)).cast("double")
+    val cov = sxy / n - (sx / n) * (sy / n)
+    val corr = cov / (sqrt(sx2 / n - (sx / n) * (sx / n))
+      * sqrt(sy2 / n - (sy / n) * (sy / n)))
+    l.groupBy("l_returnflag")
+      .agg(n.as("n"), cov.as("covar_pop_qd"), corr.as("corr_qd"))
+      .orderBy("l_returnflag")
+  }
+
   /** HLL approximate distinct — no oracle (sketches differ per engine);
     * driver records a rows-only check. */
   def qAggApproxDistinct(s: SparkSession, dir: String): DataFrame =
@@ -137,6 +162,7 @@ object Aggs {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_argmax" -> (qAggArgmax _),
+    "q_agg_corr" -> (qAggCorr _),
     "q_agg_pivot" -> (qAggPivot _),
     "q_agg_pricing" -> (qAggPricing _),
     "q_agg_distinct" -> (qAggDistinct _),
@@ -183,6 +209,20 @@ object Aggs {
         |  COUNT(DISTINCT l_suppkey) AS nd_supp,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_corr" -> {
+      val sx = s"CAST(SUM(${D.dec("l_quantity")}) AS DOUBLE)"
+      val sy = s"CAST(SUM(${D.dec("l_discount")}) AS DOUBLE)"
+      val sxy = s"CAST(SUM(CAST(${D.dec("l_quantity")} * ${D.dec("l_discount")} AS DECIMAL(18,6))) AS DOUBLE)"
+      val sx2 = s"CAST(SUM(CAST(${D.dec("l_quantity")} * ${D.dec("l_quantity")} AS DECIMAL(18,6))) AS DOUBLE)"
+      val sy2 = s"CAST(SUM(CAST(${D.dec("l_discount")} * ${D.dec("l_discount")} AS DECIMAL(18,6))) AS DOUBLE)"
+      val n = "COUNT(*)"
+      val cov = s"$sxy / $n - ($sx / $n) * ($sy / $n)"
+      val corr = s"($cov) / (SQRT($sx2 / $n - ($sx / $n) * ($sx / $n)) * SQRT($sy2 / $n - ($sy / $n) * ($sy / $n)))"
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  $cov AS covar_pop_qd,
+         |  $corr AS corr_qd
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
     "q_agg_groupingsets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
         |       COALESCE(l_linestatus, 'ALL') AS ls,

@@ -124,6 +124,26 @@ object Windows {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Navigation functions over per-user event history: running first,
+    * partition-wide last, 2nd value so far, cumulative distribution.
+    * Unique (tsu, event_id) ordering keeps every picked value and the
+    * cume_dist integer ratio deterministic. */
+  def qWinNavigation(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsu"),
+      col("value"))
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    e.select(col("event_id"), col("user_id"),
+             first(col("value")).over(wRun).as("first_v"),
+             last(col("value")).over(wFull).as("last_v"),
+             nth_value(col("value"), 2).over(wRun).as("second_v"),
+             cume_dist().over(w).as("cd"))
+      .orderBy("event_id")
+  }
+
   /** Exact per-group median (the grouped-quantile everyone asks an
     * analytics engine for): per part, the bracketing middle value(s) of
     * l_quantity. Groups are numerous and small (20k parts), so the
@@ -151,6 +171,7 @@ object Windows {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_topk_key" -> (qWinTopkKey _),
     "q_win_median_grouped" -> (qWinMedianGrouped _),
+    "q_win_navigation" -> (qWinNavigation _),
     "q_win_rank" -> (qWinRank _),
     "q_win_analytic" -> (qWinAnalytic _),
     "q_win_frame_rows" -> (qWinFrameRows _),
@@ -159,6 +180,15 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_navigation" ->
+      """SELECT event_id, user_id,
+        |  FIRST_VALUE(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
+        |  LAST_VALUE(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+        |  NTH_VALUE(value, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_v,
+        |  CUME_DIST() OVER w AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY event_id""".stripMargin,
     "q_win_median_grouped" ->
       """WITH t AS (
         |  SELECT l_partkey, l_quantity,
