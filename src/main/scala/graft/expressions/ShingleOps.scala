@@ -19,12 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen'd string concat — the dominant cost of the round-1 bench.
   * These kernels compute the identical values in one narrow map over
   * the documents table: per-document distinct shingling is a local
-  * HashSet, the 4-hash signature is tracked as running minima over
-  * raw digest bytes (unsigned byte order == lowercase-hex string
-  * order, so MIN(md5_hex) is preserved exactly), and candidate-pair
-  * verification counts the shingle-set intersection directly from the
-  * two texts. At 100 TB this removes the 500x-corpus shuffle entirely:
-  * only the (doc_id, 4 x 32-char, size) signature table shuffles.
+  * HashSet, the 4-hash signature is tracked as running minima over the
+  * four disjoint 32-bit slices of ONE md5 digest per shingle (round 3:
+  * one digest instead of four — md5 is the kernel's hot loop; unsigned
+  * slice order == lowercase-hex substring order, so each minhash
+  * equals MIN(SUBSTRING(MD5(token), 8k+1, 8)) exactly), and
+  * candidate-pair verification counts the shingle-set intersection
+  * directly from the two texts. At 100 TB this removes the 500x-corpus
+  * shuffle entirely: only the (doc_id, 4 x 8-char, size) signature
+  * table shuffles.
   *
   * Shingle semantics are identical to the SQL both engines agree on:
   * tokens = split(text, ' ') (regex, limit -1), shingle i in
@@ -61,10 +64,10 @@ object ShingleOps {
     set
   }
 
-  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+  private def sliceLess(dig: Array[Byte], off: Int, min: Array[Byte]): Boolean = {
     var i = 0
-    while (i < a.length) {
-      val x = a(i) & 0xff; val y = b(i) & 0xff
+    while (i < 4) {
+      val x = dig(off + i) & 0xff; val y = min(i) & 0xff
       if (x != y) return x < y
       i += 1
     }
@@ -88,9 +91,9 @@ object ShingleOps {
     (0 until NumHashes).map(k => StructField(s"mh$k", StringType, nullable = false)) :+
       StructField("sz", LongType, nullable = false))
 
-  /** (min_k md5(k || shingle) for k in 0..3, distinct-shingle count) —
-    * identical to MIN(MD5('k' || token)) + COUNT(*) over the exploded
-    * distinct shingle table. */
+  /** (min over shingles of digest slice k, distinct-shingle count) —
+    * identical to MIN(SUBSTRING(MD5(token), 8k+1, 8)) + COUNT(*) over
+    * the exploded distinct shingle table, at ONE md5 per shingle. */
   def signature(u: UTF8String): InternalRow = {
     val md = mdLocal.get()
     val mins = new Array[Array[Byte]](NumHashes)
@@ -99,13 +102,17 @@ object ShingleOps {
     while (it.hasNext) {
       val sh = it.next()
       sz += 1
+      md.reset()
+      md.update(sh.getBytes(StandardCharsets.UTF_8))
+      val dig = md.digest()
       var k = 0
       while (k < NumHashes) {
-        md.reset()
-        md.update(('0' + k).toByte)
-        md.update(sh.getBytes(StandardCharsets.UTF_8))
-        val dig = md.digest()
-        if (mins(k) == null || unsignedLess(dig, mins(k))) mins(k) = dig
+        val off = 4 * k
+        if (mins(k) == null || sliceLess(dig, off, mins(k))) {
+          val cp = new Array[Byte](4)
+          System.arraycopy(dig, off, cp, 0, 4)
+          mins(k) = cp
+        }
         k += 1
       }
     }

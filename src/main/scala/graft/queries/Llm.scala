@@ -59,7 +59,7 @@ object Llm {
     * Computed via the native graft_minhash_sig / graft_shingle_common
     * kernels (graft.expressions.ShingleOps): one narrow codegen pass
     * per document replaces the declarative explode(~510 shingles/doc)
-    * + global DISTINCT + 4x md5-per-row pipeline — value-identical to
+    * + global DISTINCT + md5-per-row pipeline — value-identical to
     * the oracle's SQL (local per-doc HashSet distinct; min over raw
     * digest bytes == MIN over hex strings), but the only shuffles left
     * are the tiny signature band-join and the candidate-pair text
@@ -93,7 +93,8 @@ object Llm {
     graft.expressions.ShingleOps.register(s)
     val nHash = 4
     // the corpus parquet is one small file -> 1-2 scan partitions; the
-    // signature map is CPU-bound (4 md5s x ~510 shingles per doc), so
+    // signature map is CPU-bound (one md5 per ~510 shingles/doc, four
+    // 32-bit minhashes sliced from each digest), so
     // spread it across the cluster first (tiny shuffle, big win; at
     // 100 TB the scan already has thousands of partitions and AQE
     // leaves this as a no-op coalesce)
@@ -665,7 +666,7 @@ object Llm {
         |FROM documents GROUP BY MD5(text) HAVING COUNT(*) > 1
         |ORDER BY h""".stripMargin,
     "q_dedup_minhash_lsh" -> {
-      val mhCols = (0 until 4).map(k => s"MIN(MD5('$k' || token)) AS mh$k").mkString(", ")
+      val mhCols = (0 until 4).map(k => s"MIN(SUBSTRING(MD5(token), ${8 * k + 1}, 8)) AS mh$k").mkString(", ")
       val bandEq = (0 until 4).map(k => s"a.mh$k = b.mh$k").mkString(" AND ")
       s"""WITH sh AS (
          |  SELECT doc_id,
@@ -693,7 +694,7 @@ object Llm {
          |WHERE jaccard >= 0.8 ORDER BY da, db""".stripMargin
     },
     "q_dedup_minhash_banded" -> {
-      val mhCols = (0 until 4).map(k => s"MIN(MD5('$k' || token)) AS mh$k").mkString(", ")
+      val mhCols = (0 until 4).map(k => s"MIN(SUBSTRING(MD5(token), ${8 * k + 1}, 8)) AS mh$k").mkString(", ")
       val bandOr = Seq(Seq(0, 1), Seq(2, 3))
         .map(band => band.map(k => s"a.mh$k = b.mh$k").mkString("(", " AND ", ")"))
         .mkString(" OR ")
@@ -723,7 +724,7 @@ object Llm {
          |WHERE jaccard >= 0.7 ORDER BY da, db""".stripMargin
     },
     "q_dedup_clusters" -> {
-      val mhCols = (0 until 4).map(k => s"MIN(MD5('$k' || token)) AS mh$k").mkString(", ")
+      val mhCols = (0 until 4).map(k => s"MIN(SUBSTRING(MD5(token), ${8 * k + 1}, 8)) AS mh$k").mkString(", ")
       val bandOr = Seq(Seq(0, 1), Seq(2, 3))
         .map(band => band.map(k => s"a.mh$k = b.mh$k").mkString("(", " AND ", ")"))
         .mkString(" OR ")
@@ -775,7 +776,7 @@ object Llm {
         |       GENERATE_SERIES(1, 512) AS g(i)
         |  WHERE i <= GREATEST(LEN(tk) - 2, 1)),
         |sig AS (
-        |  SELECT doc_id, MIN(MD5('0' || token)) AS mh0
+        |  SELECT doc_id, MIN(SUBSTRING(MD5(token), 1, 8)) AS mh0
         |  FROM (SELECT DISTINCT doc_id, token FROM sh) GROUP BY doc_id),
         |grams AS (
         |  SELECT DISTINCT doc_id, SUBSTRING(text, i, 4) AS gr
@@ -835,7 +836,7 @@ object Llm {
         |       GENERATE_SERIES(1, 512) AS g(i)
         |  WHERE i <= GREATEST(LEN(tk) - 2, 1)),
         |sig AS (
-        |  SELECT doc_id, MIN(MD5('0' || token)) AS mh0
+        |  SELECT doc_id, MIN(SUBSTRING(MD5(token), 1, 8)) AS mh0
         |  FROM (SELECT DISTINCT doc_id, token FROM sh) GROUP BY doc_id),
         |grams AS (
         |  SELECT DISTINCT doc_id, SUBSTRING(text, i, 4) AS gr
