@@ -496,8 +496,11 @@ object Llm {
              count(lit(1)).as("cnt"))
         .select(col("cid").as("scid"),
                 expr("transform(sums, x -> x / cnt)").as("newvec"))
+      // cent appears twice per iteration (assignment + fallback join):
+      // checkpoint the k-row table so each Lloyd pass runs exactly once
       cent = cent.join(sums, col("cid") === col("scid"), "left")
         .select(col("cid"), coalesce(col("newvec"), col("cvec")).as("cvec"))
+        .localCheckpoint()
     }
     cent
   }
@@ -529,8 +532,14 @@ object Llm {
     * lets the oracle unroll the same 4 steps; component min doc_id is
     * the canonical survivor. */
   def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    // iterative algorithm: truncate lineage or every iteration re-runs
+    // the whole LSH pipeline once per appearance in the tree (measured
+    // 11 s). Checkpoint at `pairs` — the union below references it
+    // TWICE, so a later checkpoint would still evaluate the pipeline
+    // twice. Same discipline as GibbsDistributed's sweeps.
     val pairs = minhashPairs(s, dir, Seq(Seq(0, 1), Seq(2, 3)), 0.7)
       .select(col("da"), col("db"))
+      .localCheckpoint()
     val edges = pairs.select(col("da").as("x"), col("db").as("y"))
       .unionByName(pairs.select(col("db").as("x"), col("da").as("y")))
     var lab = edges.select(col("x").as("id")).distinct()
@@ -540,6 +549,7 @@ object Llm {
         .groupBy(col("x").as("nid")).agg(min(col("lab")).as("nlab"))
       lab = lab.join(nbrMin, col("id") === col("nid"))
         .select(col("id"), least(col("lab"), col("nlab")).as("lab"))
+        .localCheckpoint()
     }
     lab.groupBy(col("lab").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"),
