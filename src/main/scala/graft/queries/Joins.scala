@@ -141,7 +141,33 @@ object Joins {
       .orderBy("aid")
   }
 
+  /** PURE range join — NO equi key anywhere: for each purchase, count
+    * ALL events (any user) in the strictly-preceding 60 seconds. The
+    * naive plan is a cartesian nested loop (N² at 100 TB); the scale
+    * plan is the standard bucketed range join: hash every event to its
+    * 60 s time bucket, probe each purchase against buckets {B, B-1}
+    * (any event within 60 s lives in one of the two), equi-join on the
+    * bucket, residual-filter the exact interval. Each event lands in
+    * exactly one bucket, so probes never double-count. */
+  def qJoinRangeBucketed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val evb = e.select(unix_micros(col("ts")).as("vts"),
+                       expr("unix_micros(ts) DIV 60000000").as("b"))
+    val pb = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), unix_micros(col("ts")).as("pts"))
+      .select(col("pid"), col("pts"),
+              explode(array(expr("pts DIV 60000000"),
+                            expr("pts DIV 60000000 - 1"))).as("b"))
+    pb.join(evb, "b")
+      .filter(col("vts") < col("pts") &&
+              col("vts") >= col("pts") - lit(60000000L))
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("n_near"), max(col("vts")).as("last_near_tsu"))
+      .orderBy("pid")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_range_bucketed" -> (qJoinRangeBucketed _),
     "q_join_inner" -> (qJoinInner _),
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_join_multiway" -> (qJoinMultiway _),
@@ -220,5 +246,13 @@ object Joins {
         | AND epoch_us(b.ts) > epoch_us(a.ts)
         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
         |GROUP BY a.event_id ORDER BY aid""".stripMargin,
+    "q_join_range_bucketed" ->
+      """SELECT p.event_id AS pid, COUNT(*) AS n_near,
+        |  MAX(epoch_us(v.ts)) AS last_near_tsu
+        |FROM events p JOIN events v
+        |  ON p.event_type = 'purchase'
+        | AND epoch_us(v.ts) < epoch_us(p.ts)
+        | AND epoch_us(v.ts) >= epoch_us(p.ts) - 60000000
+        |GROUP BY p.event_id ORDER BY pid""".stripMargin,
   )
 }

@@ -77,6 +77,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"means side not broadcast:\n$p")
   }
 
+  test("q_join_range_bucketed is an equi hash join, never a cartesian") {
+    // a PURE range predicate (no equi key) — the bucket blocking must
+    // turn it into a hash join on the time bucket
+    val p = finalPlan(Joins.qJoinRangeBucketed(spark, sf("sf0.001")))
+    assert(!p.contains("CartesianProduct"), s"range join went cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"range join went NLJ:\n$p")
+    assert(p.contains("Join"), s"no join at all?\n$p")
+  }
+
   test("q_sim_knn_all plans through the TopKPerKey bounded-heap operator") {
     val p = finalPlan(Llm.qSimKnnAll(spark, sf("sf0.001")))
     assert(p.contains("TopKPerKey"), s"custom operator not planned:\n$p")
