@@ -101,6 +101,25 @@ object Aggs {
       .orderBy("l_returnflag")
   }
 
+  /** Exact MODE (most frequent value) of l_quantity per returnflag,
+    * with a deterministic smallest-value tie-break encoded into one
+    * BIGINT argmax key (count major, negated scaled value minor) — the
+    * same tie-free composite-key trick as q_agg_argmax, because engine
+    * mode()/arg_max tie behavior is unspecified. Two hash aggregations,
+    * both map-side combinable. */
+  def qAggMode(s: SparkSession, dir: String): DataFrame = {
+    val perValue = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n"))
+    // l_quantity is 1..50 in .25 steps: q*100 is an exact small int
+    val key = col("n") * lit(1000000L) +
+      (lit(1000000L) - (col("l_quantity") * 100).cast("long"))
+    perValue.groupBy("l_returnflag")
+      .agg(max_by(col("l_quantity"), key).as("mode_qty"),
+           max(col("n")).as("mode_n"))
+      .orderBy("l_returnflag")
+  }
+
   /** Pearson correlation + population covariance per group, from exact
     * decimal cross-sums (the engine corr()/covar_pop() are incremental
     * double updates — order-dependent, never hash-safe): five exact
@@ -163,6 +182,7 @@ object Aggs {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_argmax" -> (qAggArgmax _),
     "q_agg_corr" -> (qAggCorr _),
+    "q_agg_mode" -> (qAggMode _),
     "q_agg_pivot" -> (qAggPivot _),
     "q_agg_pricing" -> (qAggPricing _),
     "q_agg_distinct" -> (qAggDistinct _),
@@ -209,6 +229,14 @@ object Aggs {
         |  COUNT(DISTINCT l_suppkey) AS nd_supp,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_mode" ->
+      """WITH pv AS (
+        |  SELECT l_returnflag, l_quantity, COUNT(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |SELECT l_returnflag,
+        |  ARG_MAX(l_quantity, n * 1000000 + (1000000 - CAST(l_quantity * 100 AS BIGINT))) AS mode_qty,
+        |  CAST(MAX(n) AS BIGINT) AS mode_n
+        |FROM pv GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_corr" -> {
       val sx = s"CAST(SUM(${D.dec("l_quantity")}) AS DOUBLE)"
       val sy = s"CAST(SUM(${D.dec("l_discount")}) AS DOUBLE)"
