@@ -46,15 +46,12 @@ object Sorts {
     // grouping — l_extendedprice is near-unique, a 600k-group hash agg
     // would dominate), count per bucket (256 groups, map-side combine),
     // locate each target rank's bucket + local offset on the tiny
-    // table, then sort ONLY the hit buckets (~N/256 rows each)
-    val mm = l.agg(min(col("v").cast("double")).as("_mn"),
-                   max(col("v").cast("double")).as("_mx"))
-    val raw = floor((col("v").cast("double") - col("_mn"))
-      / (col("_mx") - col("_mn")) * buckets)
-    val bucketed = l.crossJoin(broadcast(mm))
-      .withColumn("_pb", when(col("_mx") === col("_mn"), lit(0))
-        .otherwise(least(raw, lit(buckets - 1))).cast("int"))
-      .drop("_mn", "_mx")
+    // table, then sort ONLY the hit buckets (~N/256 rows each).
+    // Equi-depth boundaries (Prefix.depthBoundaries) keep every hit
+    // bucket near N/256 rows even on heavy-tailed price domains.
+    val bucketed =
+      l.withColumn("_pb", Prefix.bucketOf(col("v"),
+        Prefix.depthBoundaries(l, col("v"), buckets)))
     val counts = bucketed.groupBy("_pb").agg(count(lit(1)).as("bn"))
     val pref = counts.as("a")
       .join(counts.as("b"), col("b._pb") < col("a._pb"), "left")

@@ -45,6 +45,32 @@ class PrefixSpec extends SparkSpec {
     assert(row.length === 1 && row.head.getAs[Long]("n_before") === 0L)
   }
 
+  test("equi-depth buckets survive a pathological outlier distribution") {
+    // 99.95% of distinct keys uniform in (0, 1], one key at 1e12: the
+    // old equi-width map (min/max) would land every real row in bucket
+    // 0 — 64x the mean — recreating the single-partition regime this
+    // engine exists to avoid. Equi-depth boundaries must keep the
+    // largest bucket within ~4x the mean AND the prefixes exact.
+    val s = spark
+    import s.implicits._
+    val buckets = 64
+    val values = (1 to 2000).map(_ / 2000.0) :+ 1.0e12
+    val perValue = values.toDF("v").withColumn("n", lit(1L))
+    val bs = Prefix.depthBoundaries(perValue, col("v"), buckets)
+    val counts = perValue
+      .select(Prefix.bucketOf(col("v"), bs).as("b"))
+      .groupBy("b").count().collect().map(_.getLong(1))
+    val mean = values.size.toDouble / buckets
+    assert(counts.max <= 4 * mean,
+      s"max bucket ${counts.max} exceeds 4x mean bucket size $mean")
+    val got = Prefix.withPrefix(perValue, "v", Seq("n"), buckets)
+      .collect()
+      .map(r => r.getAs[Double]("v") -> r.getAs[Long]("n_before")).toMap
+    values.sorted.zipWithIndex.foreach { case (v, i) =>
+      assert(got(v) === i.toLong, s"prefix wrong at v=$v")
+    }
+  }
+
   test("idiv equals BigInt floor division for non-negative operands") {
     val s = spark
     import s.implicits._
