@@ -558,6 +558,27 @@ object Llm {
       .orderBy("cluster_id")
   }
 
+  /** Fixpoint variant of [[qDedupClusters]]: the same banded-LSH edge
+    * set, but components found by [[ConnectedComponents.labels]] —
+    * hash-min + pointer jumping iterated until zero label changes — so
+    * clusters of ANY diameter collapse fully (the 4-round face silently
+    * splits chains longer than 4; this is the path a production dedup
+    * run takes). Converged labels equal the component-min doc_id, so
+    * cluster_id == canonical_doc by construction. Oracle: exact
+    * transitive closure via DuckDB WITH RECURSIVE — also
+    * diameter-unbounded, so both sides are true fixpoints. */
+  def qDedupClustersConverged(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir, Seq(Seq(0, 1), Seq(2, 3)), 0.7)
+      .select(col("da"), col("db"))
+      .localCheckpoint()
+    ConnectedComponents.labels(pairs, "da", "db")
+      .groupBy(col("lab").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("id")).as("canonical_doc"),
+           max(col("id")).as("max_doc"))
+      .orderBy("cluster_id")
+  }
+
   /** Batch k-NN for a whole QUERY SET (not just one vector): top-3
     * neighbors for each of the 20 leading vectors, written as the
     * standard row_number<=k window — which the registered TopKPerKey
@@ -635,6 +656,7 @@ object Llm {
     "q_sim_ann_ivf_learned" -> (qSimAnnIvfLearned _),
     "q_sim_knn_all" -> (qSimKnnAll _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_clusters_converged" -> (qDedupClustersConverged _),
     "q_mm_meta" -> (qMmMeta _),
   )
 
@@ -777,6 +799,49 @@ object Llm {
          |SELECT lab AS cluster_id, COUNT(*) AS n_docs,
          |  MIN(id) AS canonical_doc, MAX(id) AS max_doc
          |FROM l4 GROUP BY lab ORDER BY cluster_id""".stripMargin
+    },
+    // fixpoint face: exact transitive closure (WITH RECURSIVE), so the
+    // oracle too is diameter-unbounded — labels are the component min
+    "q_dedup_clusters_converged" -> {
+      val mhCols = (0 until 4).map(k => s"MIN(SUBSTRING(MD5(token), ${8 * k + 1}, 8)) AS mh$k").mkString(", ")
+      val bandOr = Seq(Seq(0, 1), Seq(2, 3))
+        .map(band => band.map(k => s"a.mh$k = b.mh$k").mkString("(", " AND ", ")"))
+        .mkString(" OR ")
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id,
+         |    CONCAT_WS(' ', tk[i], tk[i + 1], tk[i + 2]) AS token
+         |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+         |       GENERATE_SERIES(1, 512) AS g(i)
+         |  WHERE i <= GREATEST(LEN(tk) - 2, 1)),
+         |t AS (
+         |  SELECT DISTINCT doc_id, token FROM sh),
+         |sig AS (
+         |  SELECT doc_id, $mhCols, COUNT(*) AS sz
+         |  FROM t GROUP BY doc_id),
+         |cand AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb
+         |  FROM sig a JOIN sig b
+         |    ON ($bandOr) AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT da, db FROM (
+         |    SELECT da, db, COUNT(*) AS nc, sa, sb
+         |    FROM cand
+         |    JOIN t ta ON ta.doc_id = da
+         |    JOIN t tb ON tb.doc_id = db AND ta.token = tb.token
+         |    GROUP BY da, db, sa, sb)
+         |  WHERE CAST(nc AS DOUBLE) / (sa + sb - nc) >= 0.7),
+         |edges AS (
+         |  SELECT da AS x, db AS y FROM pairs
+         |  UNION ALL SELECT db AS x, da AS y FROM pairs),
+         |reach(x, y) AS (
+         |  SELECT x, y FROM edges
+         |  UNION
+         |  SELECT r.x, e.y FROM reach r JOIN edges e ON e.x = r.y),
+         |lab AS (
+         |  SELECT x AS id, LEAST(x, MIN(y)) AS lab FROM reach GROUP BY x)
+         |SELECT lab AS cluster_id, COUNT(*) AS n_docs,
+         |  MIN(id) AS canonical_doc, MAX(id) AS max_doc
+         |FROM lab GROUP BY lab ORDER BY cluster_id""".stripMargin
     },
     "q_dedup_jaccard_ngram" ->
       """WITH sh AS (
