@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   *
   * Decode dispatch: REAL jpg/png bytes (recognized by magic numbers)
   * decode through JDK ImageIO ([[ImageCodec]] — actual width, height,
-  * channels, and a 16-bin luminance histogram as the feature vector; no
-  * external dependencies). Everything else — audio, and payloads that
-  * are not real images (the testdata synthesizes media bytes from doc
-  * text) — falls back to the deterministic [[StubCodec]], which derives
+  * channels, and a 16-bin luminance histogram as the feature vector),
+  * and REAL RIFF/wav bytes parse through [[AudioCodec]] (header fields
+  * + PCM amplitude histogram — plain byte reads, no codec libraries).
+  * Payloads that are neither (the testdata synthesizes media bytes from
+  * doc text) fall back to the deterministic [[StubCodec]], which derives
   * pseudo properties from the bytes so the pipeline stays testable
   * end-to-end in this codec-less container.
   */
@@ -68,10 +69,72 @@ object Multimodal {
       } catch { case _: Exception => None }
   }
 
-  /** STUB for formats with no in-container codec (audio) and for bytes
-    * that are not real media: derives deterministic pseudo "decoded"
-    * properties from the byte content so the pipeline is testable
-    * end-to-end. */
+  /** Real RIFF/WAVE header + PCM decode — pure byte reads, no codec
+    * libraries needed: the fmt chunk carries channels/sample-rate/
+    * bits-per-sample, the data chunk length gives the exact duration,
+    * and the features are a 16-bin normalized amplitude histogram over
+    * stride-sampled PCM (bounded work per file, like ImageCodec's pixel
+    * stride). Mirrors the ImageIO path: magic-number dispatch, None on
+    * anything malformed (fail-soft — a corrupt file in a 100 TB corpus
+    * must not kill the task). */
+  object AudioCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    private def isRiffWave(b: Array[Byte]): Boolean =
+      b.length > 44 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    def decode(bytes: Array[Byte]): Option[Decoded] =
+      if (!isRiffWave(bytes)) None
+      else try {
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        var channels = 0; var sampleRate = 0; var byteRate = 0
+        var bitsPerSample = 0; var dataOff = -1; var dataLen = 0
+        var off = 12
+        while (off + 8 <= bytes.length) {
+          val id = new String(bytes, off, 4, "US-ASCII")
+          val size = bb.getInt(off + 4)
+          if (size < 0) return None
+          if (id == "fmt " && off + 24 <= bytes.length) {
+            channels = bb.getShort(off + 10).toInt
+            sampleRate = bb.getInt(off + 12)
+            byteRate = bb.getInt(off + 16)
+            bitsPerSample = bb.getShort(off + 22).toInt
+          } else if (id == "data") {
+            dataOff = off + 8
+            dataLen = math.min(size.toLong, (bytes.length - dataOff).toLong).toInt
+          }
+          off += 8 + size + (size & 1) // chunks are word-aligned
+        }
+        if (channels <= 0 || byteRate <= 0 || dataOff < 0) None
+        else {
+          val durationMs = dataLen * 1000L / byteRate
+          val hist = new Array[Float](StubCodec.FeatureDim)
+          val bytesPerSample = math.max(1, bitsPerSample / 8)
+          val nSamples = dataLen / bytesPerSample
+          val stride = math.max(1, nSamples / 4096)
+          var n = 0; var s = 0
+          while (s < nSamples) {
+            val p = dataOff + s * bytesPerSample
+            val bin =
+              if (bitsPerSample == 16 && p + 1 < bytes.length)
+                (bb.getShort(p) + 32768) / 4096
+              else (bytes(p) & 0xff) / 16
+            hist(math.min(math.max(bin, 0), 15)) += 1f
+            n += 1
+            s += stride
+          }
+          if (n > 0) { var i = 0; while (i < hist.length) { hist(i) /= n; i += 1 } }
+          Some(Decoded(0, 0, channels, durationMs, hist))
+        }
+      } catch { case _: Exception => None }
+  }
+
+  /** STUB fallback for bytes that are not real media (the testdata
+    * synthesizes media payloads from doc text): derives deterministic
+    * pseudo "decoded" properties from the byte content so the pipeline
+    * is testable end-to-end. */
   object StubCodec {
     val FeatureDim = 16
 
@@ -122,6 +185,8 @@ object Multimodal {
           val d = fmt match {
             case "jpg" | "png" =>
               ImageCodec.decode(bytes).getOrElse(StubCodec.decode(bytes, fmt))
+            case "wav" =>
+              AudioCodec.decode(bytes).getOrElse(StubCodec.decode(bytes, fmt))
             case _ => StubCodec.decode(bytes, fmt)
           }
           (id, fmt, bytes.length.toLong, d.width, d.height, d.channels,

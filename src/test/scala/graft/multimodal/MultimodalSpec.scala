@@ -72,4 +72,47 @@ class MultimodalSpec extends SparkSpec {
     // non-image bytes tagged as png fall back to the stub, not a crash
     assert(out(2).getAs[Int]("width") >= 64)
   }
+
+  /** Build a minimal valid RIFF/WAVE in-memory: 16-bit mono PCM,
+    * sampleRate Hz, nSamples frames of a deterministic ramp. */
+  private def wavBytes(sampleRate: Int, channels: Int,
+                       nSamples: Int): Array[Byte] = {
+    val bps = 2 * channels
+    val dataLen = nSamples * bps
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * bps).putShort(bps.toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    for (i <- 0 until nSamples * channels)
+      bb.putShort(((i * 131) % 65536 - 32768).toShort)
+    bb.array()
+  }
+
+  test("real wav bytes decode through the RIFF header, not the stub") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (0L, wavBytes(8000, 1, 4000), "wav"),   // exactly 500 ms mono
+      (1L, wavBytes(16000, 2, 16000), "wav"), // exactly 1000 ms stereo
+      (2L, "not audio at all".getBytes("UTF-8"), "wav")) // stub fallback
+    val out = Multimodal.decodeAndFeaturize(spark, rows.toDF(
+      "doc_id", "content", "format")).orderBy("doc_id").collect()
+    assert((out(0).getAs[Int]("channels"), out(0).getAs[Long]("duration_ms"))
+      === ((1, 500L)))
+    assert((out(1).getAs[Int]("channels"), out(1).getAs[Long]("duration_ms"))
+      === ((2, 1000L)))
+    // amplitude histogram is normalized over sampled PCM frames
+    val feats = out(0).getAs[scala.collection.Seq[Float]]("features")
+    assert(math.abs(feats.sum - 1.0f) < 1e-3)
+    assert(feats.count(_ > 0f) > 1, "ramp PCM must spread over bins")
+    // direct parse agrees with the distributed path
+    val d = Multimodal.AudioCodec.decode(wavBytes(8000, 1, 4000)).get
+    assert(d.durationMs === 500L && d.channels === 1)
+    // non-RIFF bytes fall back to the stub's pseudo duration, not a crash
+    assert(out(2).getAs[Long]("duration_ms") >= 1000L)
+  }
 }
