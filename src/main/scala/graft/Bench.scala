@@ -12,6 +12,8 @@ object Bench {
       // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 only reads it
       // as a long (see graft.Tables.events normalization).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same config-time extension injection as production / Verify
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM / codegen / parquet reader on EVERY table so the
@@ -36,7 +38,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver captures only a stdout tail (BENCH_r03.json lost 32 of
+    // 95 per-query medians to truncation) — persist the full line too
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

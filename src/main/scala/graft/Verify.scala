@@ -15,6 +15,10 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 only reads it
       // as a long (see graft.Tables.events normalization).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // production injection path: the oracle run carries the custom
+      // rule/strategy through SparkSessionExtensions (config-time), not
+      // just the in-process spark.experimental fallback
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -374,30 +374,40 @@ object Llm {
 
   /** Embedding-cosine near-dup pairs, blocked twice (never all-pairs):
     * by label (IVF-style) AND by the sign bits of the first three
-    * dimensions — random-hyperplane LSH blocking, the standard way to
-    * keep embedding dedup subquadratic (near-identical vectors agree on
-    * every sign bit). Within a block, each candidate pair's dot and
-    * norms come from ONE graft_dot6 codegen call over the two array
-    * columns — no posexplode 64x row blow-up, no pairwise shuffle
+    * dimensions — random-hyperplane LSH, MULTI-PROBE: a pair straddling
+    * one hyperplane (sign vectors at Hamming distance 1) still meets,
+    * because every vector also probes its 3 one-bit-flip neighbor
+    * blocks. The probe fan-out rides a broadcast 32-row adjacency
+    * relation (block -> {self, 3 flips}) instead of an explode, so the
+    * plan stays Generate-free: one BroadcastHashJoin to fan out the
+    * probe side 4x, then ONE equi shuffle join on (block, label); each
+    * qualifying pair matches exactly one adjacency row (the XOR of its
+    * two blocks), so no dedup pass is needed. Quantize + norm run ONCE
+    * per vector (graft_quant6); each candidate pair then costs one
+    * pure-long dot (graft_dotq12) — no posexplode 64x row blow-up
     * (round 1 measured 80 s for interpreted per-pair HOF lambdas and
     * ~5 s for explode+hash-agg; the fused kernel removes the explode
     * entirely while staying bit-identical to the decimal oracle). */
   def qDedupEmbedCosine(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.VectorOps.register(s)
-    val sign = (1 to 3).map(i =>
-      (element_at(col("embedding"), i) >= 0).cast("int").cast("string"))
-    // quantize + norm ONCE per vector (graft_quant6); each candidate
-    // pair then costs one pure-long dot (graft_dotq12)
-    val withBlock = Tables.embeddings(s, dir)
-      .withColumn("blk", concat(concat_ws("", sign: _*), lit("#"), col("label")))
-      .select(col("vec_id"), col("blk"),
+    import s.implicits._
+    def bit(i: Int) = (element_at(col("embedding"), i) >= 0).cast("int")
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+              (bit(1) * 4 + bit(2) * 2 + bit(3)).as("blk"),
               expr("graft_quant6(embedding)").as("q"),
               expr("graft_dot6(embedding, embedding)").as("nrm"))
-    val a = withBlock.select(col("vec_id").as("va"), col("blk"),
-                             col("q").as("qa"), col("nrm").as("na"))
-    val b = withBlock.select(col("vec_id").as("vb"), col("blk").as("blk2"),
-                             col("q").as("qb"), col("nrm").as("nb"))
-    a.join(b, col("blk") === col("blk2") && col("va") < col("vb"))
+    val adj = (0 until 8)
+      .flatMap(k => Seq(k -> k, k -> (k ^ 1), k -> (k ^ 2), k -> (k ^ 4)))
+      .toDF("ablk", "nbr")
+    val a = base.select(col("vec_id").as("va"), col("label").as("la"),
+                        col("blk"), col("q").as("qa"), col("nrm").as("na"))
+      .join(broadcast(adj), col("blk") === col("ablk"))
+    val b = base.select(col("vec_id").as("vb"), col("label").as("lb"),
+                        col("blk").as("blkb"), col("q").as("qb"),
+                        col("nrm").as("nb"))
+    a.join(b, col("nbr") === col("blkb") && col("la") === col("lb") &&
+              col("va") < col("vb"))
       .select(col("va"), col("vb"),
               (expr("graft_dotq12(qa, qb)") /
                  (sqrt(col("na")) * sqrt(col("nb")))).as("cos"))
@@ -944,16 +954,19 @@ object Llm {
     "q_sim_cosine_fused" -> cosineSql,
     "q_sim_cosine_topk" -> cosineSql,
     "q_dedup_embed_cosine" -> {
-      val blk = "CAST(embedding[1] >= 0 AS INTEGER) || CAST(embedding[2] >= 0 AS INTEGER) || CAST(embedding[3] >= 0 AS INTEGER) || '#' || label"
+      // multi-probe: same label AND sign blocks at Hamming distance <= 1
+      // (XOR of the 3-bit block codes is 0 or a power of two)
+      val blk = "(CAST(embedding[1] >= 0 AS INTEGER) * 4 + CAST(embedding[2] >= 0 AS INTEGER) * 2 + CAST(embedding[3] >= 0 AS INTEGER))"
       s"""WITH eb AS (
-         |  SELECT vec_id, embedding, $blk AS blk FROM embeddings),
+         |  SELECT vec_id, label, embedding, $blk AS blk FROM embeddings),
          |per AS (
          |  SELECT a.vec_id AS va, b.vec_id AS vb,
          |    CAST(SUM(${D.decf("a.embedding[i]")} * ${D.decf("b.embedding[i]")}) AS DOUBLE) AS dot,
          |    CAST(SUM(${D.decf("a.embedding[i]")} * ${D.decf("a.embedding[i]")}) AS DOUBLE) AS na,
          |    CAST(SUM(${D.decf("b.embedding[i]")} * ${D.decf("b.embedding[i]")}) AS DOUBLE) AS nb
          |  FROM eb a
-         |  JOIN eb b ON a.blk = b.blk AND a.vec_id < b.vec_id,
+         |  JOIN eb b ON a.label = b.label AND XOR(a.blk, b.blk) IN (0, 1, 2, 4)
+         |    AND a.vec_id < b.vec_id,
          |       GENERATE_SERIES(1, 64) AS g(i)
          |  GROUP BY a.vec_id, b.vec_id)
          |SELECT va, vb, dot / (SQRT(na) * SQRT(nb)) AS cos
