@@ -16,12 +16,14 @@ object SparkEntry {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.queries ++ Filters.queries ++ Aggs.queries ++ Sorts.queries ++
       SetOps.queries ++ Joins.queries ++ Windows.queries ++
-      Scalars.queries ++ Bdf.queries ++ Llm.queries ++ StreamingQ.queries
+      Scalars.queries ++ Bdf.queries ++ Llm.queries ++ Pipeline.queries ++
+      StreamingQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   val oracleSql: Map[String, String] =
     Scans.oracle ++ Filters.oracle ++ Aggs.oracle ++ Sorts.oracle ++
       SetOps.oracle ++ Joins.oracle ++ Windows.oracle ++
-      Scalars.oracle ++ Bdf.oracle ++ Llm.oracle ++ StreamingQ.oracle
+      Scalars.oracle ++ Bdf.oracle ++ Llm.oracle ++ Pipeline.oracle ++
+      StreamingQ.oracle
 }

@@ -179,7 +179,36 @@ object Aggs {
       .withColumnRenamed("O", "qty_o")
       .orderBy("l_returnflag")
 
+  /** Bitwise + boolean fold aggregates (BIT_AND/OR/XOR, BOOL_AND/OR) —
+    * all map-side combinable, one partial+final hash agg. */
+  def qAggBitwise(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(expr("bit_and(l_orderkey)").as("k_and"),
+           expr("bit_or(l_orderkey)").as("k_or"),
+           expr("bit_xor(l_orderkey)").as("k_xor"),
+           expr("bool_and(l_quantity > 0)").as("all_pos"),
+           expr("bool_or(l_discount > 0.05)").as("any_disc"))
+      .orderBy("l_returnflag")
+
+  /** Fixed-domain equi-width histogram of l_extendedprice: bucket id
+    * from a double floor-division (IEEE-identical on both engines, no
+    * data-dependent boundaries), then one hash agg — the profiling
+    * pass that scales as a single shuffle of (bucket, partials). */
+  def qAggHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(floor(col("l_extendedprice") / 10000.0).as("bucket"),
+              col("l_extendedprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"),
+           min(col("l_extendedprice")).as("min_price"),
+           max(col("l_extendedprice")).as("max_price"))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_bitwise" -> (qAggBitwise _),
+    "q_agg_histogram" -> (qAggHistogram _),
     "q_agg_argmax" -> (qAggArgmax _),
     "q_agg_corr" -> (qAggCorr _),
     "q_agg_mode" -> (qAggMode _),
@@ -199,6 +228,21 @@ object Aggs {
     s"CAST($discPriceSql * (CAST(1 AS DECIMAL(18,6)) + ${D.dec("l_tax")}) AS DECIMAL(18,6))"
 
   val oracle: Map[String, String] = Map(
+    "q_agg_bitwise" ->
+      """SELECT l_returnflag,
+        |  BIT_AND(l_orderkey) AS k_and,
+        |  BIT_OR(l_orderkey) AS k_or,
+        |  BIT_XOR(l_orderkey) AS k_xor,
+        |  BOOL_AND(l_quantity > 0) AS all_pos,
+        |  BOOL_OR(l_discount > 0.05) AS any_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_histogram" ->
+      s"""SELECT CAST(FLOOR(l_extendedprice / 10000.0) AS BIGINT) AS bucket,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(${D.dec("l_extendedprice")}) AS DOUBLE) AS sum_price,
+         |  MIN(l_extendedprice) AS min_price,
+         |  MAX(l_extendedprice) AS max_price
+         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_agg_argmax" ->
       """SELECT l_returnflag,
         |  ARG_MAX(l_orderkey, CAST(FLOOR(EPOCH(l_shipdate)) AS BIGINT) // 86400 * 10000000000 + l_orderkey) AS last_ship_order,

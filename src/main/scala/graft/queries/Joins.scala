@@ -166,7 +166,24 @@ object Joins {
       .orderBy("pid")
   }
 
+  /** Skew-mitigated equi-join through [[graft.sql.Salt.saltedJoin]]:
+    * lineitem's join key is salted over 8 buckets and the part side is
+    * replicated once per bucket, so a hot part key spreads across 8
+    * reducers instead of stalling one. Semantics identical to the plain
+    * join (the oracle IS the plain join); SaltSpec holds the
+    * equivalence, this row keeps the salting surface oracle-exercised. */
+  def qJoinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+    graft.sql.Salt.saltedJoin(l, p, col("l_partkey"), col("p_partkey"), 8)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+           sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_skew_salted" -> (qJoinSkewSalted _),
     "q_join_range_bucketed" -> (qJoinRangeBucketed _),
     "q_join_inner" -> (qJoinInner _),
     "q_join_broadcast" -> (qJoinBroadcast _),
@@ -185,6 +202,11 @@ object Joins {
     s"CAST(${D.dec("l_extendedprice")} * (CAST(1 AS DECIMAL(18,6)) - ${D.dec("l_discount")}) AS DECIMAL(18,6))"
 
   val oracle: Map[String, String] = Map(
+    "q_join_skew_salted" ->
+      s"""SELECT p_brand, COUNT(*) AS n_items,
+         |  ${D.dsum("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_join_inner" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n, ${D.dsum("o_totalprice")} AS sum_price
          |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data curation operators beyond the dedup/similarity family
+  * in [[Llm]]: within-document repetition signals (the Gopher-style
+  * quality gates), cross-document repeated-span discovery (the
+  * exact-substring flavor of dedup), token-budget sequence packing,
+  * denylist scrubbing (the C4 "bad words" pass), and TF-IDF term
+  * scoring. Everything is declarative DataFrame code with a DuckDB
+  * oracle twin; the only Generates are the per-token/per-span explodes
+  * that genuinely re-key rows (doc -> token/span), which shuffle
+  * fixed-width hashes, not text. */
+object Pipeline {
+
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+
+  /** Within-document repetition signals (quality-filter inputs):
+    * duplicate-token ratio and most-frequent-bigram fraction. A doc
+    * where one bigram dominates or few distinct tokens repeat is
+    * boilerplate/spam in a web corpus; these two are the cheap,
+    * per-doc-parallel versions of the Gopher repetition gates. */
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    val uni = toks(s, dir).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           countDistinct(col("token")).as("n_distinct"))
+    val bg = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1)," +
+          " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+        .as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+    val top = bg.groupBy("doc_id")
+      .agg(max(col("n")).as("top_bigram_n"), sum(col("n")).as("n_bigrams"))
+    uni.join(top, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+              ((col("n_tokens") - col("n_distinct")).cast("double") /
+                col("n_tokens")).as("dup_ratio"),
+              col("top_bigram_n"),
+              (col("top_bigram_n").cast("double") / col("n_bigrams"))
+                .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Repeated word-8-gram spans across documents — the discovery pass
+    * of exact-substring dedup (find spans shared by >1 doc, then clip
+    * them from all but one copy). Hashes are computed INSIDE the span
+    * array (transform -> md5 prefix), so the explode emits 16-char
+    * hashes, never span text: at 100 TB the shuffle carries
+    * ~16 B x tokens, and the groupBy is a plain partial-aggregated
+    * hash-agg on the span hash. */
+  def qDedupNgramSpans(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(tk) - 7, 1))," +
+          " i -> substring(md5(concat_ws(' ', slice(tk, i, 8))), 1, 16))"))
+        .as("h"))
+      .groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_occ"),
+           min(col("doc_id")).as("min_doc"),
+           max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy("h")
+
+  /** Token-budget sequence packing: assign documents (in doc_id order)
+    * to contiguous ~2048-token training sequences. The global running
+    * token count comes from [[Prefix.withPrefix]] — bucketed prefix
+    * sums, NO single-partition window — so the pass stays parallel at
+    * any corpus size; bin = tokens-before DIV budget. */
+  def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tok"))
+    Prefix.withPrefix(d, "doc_id", Seq("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+              expr("n_tok_before div 2048").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("sum_tok"),
+           min(col("doc_id")).as("min_doc"),
+           max(col("doc_id")).as("max_doc"))
+      .orderBy("bin")
+  }
+
+  /** Denylist scrub (C4-style "bad words" pass) as a higher-order
+    * array filter — one narrow codegen pass per doc, no explode, no
+    * UDF: hit count, scrubbed text hash and length per affected doc. */
+  def qTextBlocklist(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+              expr("size(filter(tk, t -> t IN ('slow', 'big')))")
+                .cast("long").as("n_hits"),
+              expr("array_join(filter(tk, t -> NOT t IN ('slow', 'big')), ' ')")
+                .as("clean"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("n_hits"),
+              length(col("clean")).as("clean_len"),
+              md5(col("clean").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  /** Top-3 TF-IDF terms per document. IDF is the exact rational
+    * surrogate 1e9 DIV df (monotone in 1/df, integer-exact on both
+    * engines — a float log() would risk last-ulp divergence in the
+    * oracle hash); score = tf * (1e9 DIV df). The per-doc top-3 is a
+    * partitioned window (or the TopKPerKey bounded heap once its rule
+    * is registered) — never a global sort. */
+  def qTextTfidf(s: SparkSession, dir: String): DataFrame = {
+    val tf = toks(s, dir).groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = toks(s, dir).select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df_docs"))
+    val scored = tf.join(df, "token")
+      .select(col("doc_id"), col("token"), col("tf"), col("df_docs"),
+              expr("tf * (1000000000 div df_docs)").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df_docs"),
+              col("score"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_repetition" -> (qTextRepetition _),
+    "q_dedup_ngram_spans" -> (qDedupNgramSpans _),
+    "q_pack_sequences" -> (qPackSequences _),
+    "q_text_blocklist" -> (qTextBlocklist _),
+    "q_text_tfidf" -> (qTextTfidf _),
+  )
+
+  private val tokCte =
+    """toks AS (
+      |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      |  FROM documents), tok AS (
+      |  SELECT doc_id, token FROM toks WHERE token <> '')""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_text_repetition" ->
+      s"""WITH $tokCte,
+         |uni AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |    COUNT(DISTINCT token) AS n_distinct
+         |  FROM tok GROUP BY doc_id),
+         |tkl AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS b
+         |  FROM tkl, GENERATE_SERIES(1, 512) AS g(i)
+         |  WHERE i <= LEN(tk) - 1),
+         |bgc AS (SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY doc_id, b),
+         |top AS (
+         |  SELECT doc_id, MAX(n) AS top_bigram_n,
+         |    CAST(SUM(n) AS BIGINT) AS n_bigrams
+         |  FROM bgc GROUP BY doc_id)
+         |SELECT u.doc_id, n_tokens, n_distinct,
+         |  CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_ratio,
+         |  top_bigram_n,
+         |  CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac
+         |FROM uni u JOIN top t USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_dedup_ngram_spans" ->
+      """WITH tkl AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |sp AS (
+        |  SELECT doc_id, SUBSTRING(MD5(CONCAT_WS(' ',
+        |    tk[i], tk[i+1], tk[i+2], tk[i+3],
+        |    tk[i+4], tk[i+5], tk[i+6], tk[i+7])), 1, 16) AS h
+        |  FROM tkl, GENERATE_SERIES(1, 512) AS g(i)
+        |  WHERE i <= GREATEST(LEN(tk) - 7, 1))
+        |SELECT h, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+        |ORDER BY h""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM d)
+        |SELECT bef // 2048 AS bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM p GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_text_blocklist" ->
+      """WITH b AS (
+        |  SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(LIST_FILTER(tk, t -> t IN ('slow', 'big'))) AS BIGINT)
+        |      AS n_hits,
+        |    ARRAY_TO_STRING(LIST_FILTER(tk, t -> t NOT IN ('slow', 'big')), ' ')
+        |      AS clean
+        |  FROM b)
+        |SELECT doc_id, n_hits, CAST(LEN(clean) AS INT) AS clean_len,
+        |  MD5(clean) AS clean_md5
+        |FROM f WHERE n_hits > 0 ORDER BY doc_id""".stripMargin,
+    "q_text_tfidf" ->
+      s"""WITH $tokCte,
+         |tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM tok GROUP BY doc_id, token),
+         |df AS (
+         |  SELECT token, COUNT(*) AS df_docs
+         |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token),
+         |sc AS (
+         |  SELECT doc_id, tf.token AS token, tf.tf AS tf, df_docs,
+         |    tf.tf * (1000000000 // df_docs) AS score
+         |  FROM tf JOIN df ON tf.token = df.token),
+         |rk AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, token ASC) AS rk
+         |  FROM sc)
+         |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df_docs AS BIGINT) AS df_docs, CAST(score AS BIGINT) AS score,
+         |  CAST(rk AS INT) AS rk
+         |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+  )
+}

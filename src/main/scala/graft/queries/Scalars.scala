@@ -85,7 +85,33 @@ object Scalars {
               element_at(map_values(col("m")), 1).as("v"))
       .orderBy("event_id")
 
+  /** StructType round-trip: pack columns into nested structs, compare
+    * structs field-order-lexicographically (Catalyst struct ordering)
+    * to pick one, then read fields back out flat. Structs stay
+    * unserialized inside whole-stage codegen — this is the typed-row
+    * surface, not a UDF. */
+  def qFnStruct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+              struct(col("o_custkey").as("ck"),
+                     col("o_orderpriority").as("pri")).as("os"),
+              struct(col("o_totalprice").as("tp"),
+                     col("o_orderdate").as("dt")).as("pd"))
+      .select(col("o_orderkey"),
+              col("os.ck").as("ck"),
+              col("os.pri").as("pri"),
+              // struct comparison: (tp, dt) vs a pinned constant struct,
+              // Catalyst orders field-by-field like SQL row comparison
+              (col("pd") > struct(lit(100000.0).as("tp"),
+                 lit("1995-01-01").cast("timestamp").as("dt")))
+                .as("big_late"),
+              col("pd.tp").as("tp"),
+              unix_timestamp(col("pd.dt")).as("dt_epoch"))
+      .filter(col("ck") % 50 === 0)
+      .orderBy("o_orderkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_struct" -> (qFnStruct _),
     "q_fn_string" -> (qFnString _),
     "q_fn_date" -> (qFnDate _),
     "q_fn_math" -> (qFnMath _),
@@ -95,6 +121,13 @@ object Scalars {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_fn_struct" ->
+      """SELECT o_orderkey, o_custkey AS ck, o_orderpriority AS pri,
+        |  (o_totalprice > 100000.0 OR (o_totalprice = 100000.0
+        |     AND o_orderdate > TIMESTAMP '1995-01-01')) AS big_late,
+        |  o_totalprice AS tp,
+        |  CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS dt_epoch
+        |FROM orders WHERE o_custkey % 50 = 0 ORDER BY o_orderkey""".stripMargin,
     "q_fn_string" ->
       """SELECT p_partkey,
         |  UPPER(p_name) AS up_name,

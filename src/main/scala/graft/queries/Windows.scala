@@ -168,7 +168,22 @@ object Windows {
       .orderBy("l_partkey")
   }
 
+  /** Rank-distribution functions (PERCENT_RANK / CUME_DIST) per market
+    * segment over customer balance. No unique tiebreak needed: both are
+    * constant within a peer group by definition, and the (rank-1)/(N-1)
+    * double divisions are IEEE-identical across engines. Partitioned
+    * window — parallel in the number of segments x partitions. */
+  def qWinDistribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+              percent_rank().over(w).as("pr"),
+              cume_dist().over(w).as("cd"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_distribution" -> (qWinDistribution _),
     "q_win_topk_key" -> (qWinTopkKey _),
     "q_win_median_grouped" -> (qWinMedianGrouped _),
     "q_win_navigation" -> (qWinNavigation _),
@@ -180,6 +195,13 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_distribution" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  CUME_DIST() OVER w AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+        |ORDER BY c_custkey""".stripMargin,
     "q_win_navigation" ->
       """SELECT event_id, user_id,
         |  FIRST_VALUE(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_v,
