@@ -39,8 +39,14 @@ object Prefix {
     * columns. */
   def withPrefix(df: DataFrame, valueCol: String, sumCols: Seq[String],
                  buckets: Int = 256): DataFrame = {
-    val bs = depthBoundaries(df, col(valueCol), buckets)
-    val bucketed = df.withColumn("_pb", bucketOf(col(valueCol), bs))
+    // The input feeds THREE consumers (boundary sketch, per-bucket
+    // totals, final join) — materialize it once instead of recomputing
+    // the upstream plan per consumer. localCheckpoint (not persist):
+    // the blocks are ContextCleaner-reclaimed once the result DF is
+    // unreferenced, so library callers can't leak cache entries.
+    val frozen = df.localCheckpoint(true)
+    val bs = depthBoundaries(frozen, col(valueCol), buckets)
+    val bucketed = frozen.withColumn("_pb", bucketOf(col(valueCol), bs))
 
     val totalAggs = sumCols.map(c => sum(col(c)).as(s"_t_$c"))
     val totals = bucketed.groupBy(col("_pb").as("_tb"))
