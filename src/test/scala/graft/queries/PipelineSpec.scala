@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants + plan pins for the round-5 curation operators.
+  * (Exact values are the oracle gate's job; these hold the properties
+  * that must survive ANY corpus.) */
+class PipelineSpec extends SparkSpec {
+
+  test("q_pack_sequences conserves docs and bounds every bin by budget + max doc") {
+    val d = sf("sf0.001")
+    val bins = Pipeline.qPackSequences(spark, d).collect()
+    val nDocs = bins.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == 500, s"packing lost/duplicated docs: $nDocs")
+    // bins are the consecutive prefix cells 0..B-1
+    val ids = bins.map(_.getAs[Long]("bin")).sorted
+    assert(ids.head == 0 && ids.last == ids.length - 1,
+      s"non-contiguous bins: ${ids.mkString(",")}")
+    // a bin holds the docs whose prefix-start lands inside one
+    // 2048-token cell, so its total is < budget + one max-size doc
+    val maxDoc = 100
+    bins.foreach { r =>
+      assert(r.getAs[Long]("sum_tok") < 2048 + maxDoc,
+        s"bin ${r.getAs[Long]("bin")} overfull: ${r.getAs[Long]("sum_tok")}")
+    }
+    // doc ranges must not overlap across bins (contiguous packing)
+    val ranges = bins.sortBy(_.getAs[Long]("bin"))
+      .map(r => (r.getAs[Long]("min_doc"), r.getAs[Long]("max_doc")))
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, "bin ranges overlap")
+      case _ =>
+    }
+  }
+
+  test("q_pack_sequences plans without a global (empty-partition) window") {
+    val df = Pipeline.qPackSequences(spark, sf("sf0.001"))
+    val globals = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, "packing fell back to a single-partition window")
+  }
+
+  test("q_text_blocklist scrubs every denylist token and plans Generate-free") {
+    val df = Pipeline.qTextBlocklist(spark, sf("sf0.001"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"), s"blocklist explodes rows:\n$p")
+    // re-derive the scrub independently and compare the md5s
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    Pipeline.qTextBlocklist(spark, sf("sf0.001")).collect().foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).split(" ")
+      val clean = toks.filterNot(t => t == "slow" || t == "big").mkString(" ")
+      assert(!clean.split(" ").exists(t => t == "slow" || t == "big"))
+      assert(r.getAs[Long]("n_hits") ==
+        toks.count(t => t == "slow" || t == "big").toLong)
+      assert(r.getAs[Int]("clean_len") == clean.length)
+    }
+  }
+
+  test("q_text_tfidf emits at most 3 ranked rows per doc, scores non-increasing") {
+    val rows = Pipeline.qTextTfidf(spark, sf("sf0.001"))
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, rs) =>
+      assert(rs.length <= 3, s"doc $id has ${rs.length} rows")
+      val byRk = rs.sortBy(_.getAs[Int]("rk"))
+      assert(byRk.map(_.getAs[Int]("rk")).toSeq == (1 to rs.length),
+        s"doc $id ranks not 1..k")
+      val scores = byRk.map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"doc $id scores increase: ${scores.mkString(",")}")
+    }
+  }
+
+  test("q_text_repetition ratios stay in range and distinct <= total") {
+    Pipeline.qTextRepetition(spark, sf("sf0.001")).collect().foreach { r =>
+      val nTok = r.getAs[Long]("n_tokens")
+      val nDis = r.getAs[Long]("n_distinct")
+      assert(nDis >= 1 && nDis <= nTok)
+      val dup = r.getAs[Double]("dup_ratio")
+      assert(dup >= 0.0 && dup < 1.0)
+      val tb = r.getAs[Double]("top_bigram_frac")
+      assert(tb > 0.0 && tb <= 1.0)
+    }
+  }
+
+  test("q_dedup_ngram_spans only reports cross-doc spans, hashes not text") {
+    val df = Pipeline.qDedupNgramSpans(spark, sf("sf0.001"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2)
+      assert(r.getAs[Long]("n_occ") >= r.getAs[Long]("n_docs"))
+      assert(r.getAs[String]("h").length == 16, "span shuffled as text?")
+      assert(r.getAs[Long]("min_doc") < r.getAs[Long]("max_doc"))
+    }
+    // near-dup docs (minhash pairs at J>=0.8) share long runs, so every
+    // such pair must be bracketed by at least one repeated span (the
+    // bracket can widen past the pair when a third copy exists)
+    val brackets = rows.map(r =>
+      (r.getAs[Long]("min_doc"), r.getAs[Long]("max_doc")))
+    val lsh = Llm.qDedupMinhashLsh(spark, sf("sf0.001")).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
+    assert(lsh.forall { case (a, b) =>
+      brackets.exists { case (lo, hi) => lo <= a && b <= hi }
+    }, "an exact near-dup pair is bracketed by no repeated 8-gram span")
+  }
+
+  test("q_join_skew_salted never plans a cartesian product") {
+    val df = Joins.qJoinSkewSalted(spark, sf("sf0.001"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"salted join went cartesian:\n$p")
+  }
+}
