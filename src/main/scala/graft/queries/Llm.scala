@@ -589,6 +589,34 @@ object Llm {
       .orderBy("cluster_id")
   }
 
+  /** The APPLY step of near-dedup — the filtered-corpus view a training
+    * run actually reads: drop every clustered doc except its
+    * component-min canonical, keep all unclustered docs, report
+    * per-language kept/dropped counts and surviving characters. Same
+    * fixpoint labels as [[qDedupClustersConverged]]; the drop set
+    * shuffles only (doc_id) and the final pass is one left-anti-shaped
+    * aggregate over the corpus. */
+  def qDedupKeepCanonical(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir, Seq(Seq(0, 1), Seq(2, 3)), 0.7)
+      .select(col("da"), col("db"))
+      .localCheckpoint()
+    val drops = ConnectedComponents.labels(pairs, "da", "db")
+      .filter(col("id") =!= col("lab"))
+      .select(col("id").as("doc_id"), lit(1).as("dropped"))
+    // no broadcast hint: the drop set scales with the corpus's dup rate
+    // (often 30%+ on the web) — AQE broadcasts while it fits, degrades
+    // to shuffle join when it doesn't
+    Tables.documents(s, dir)
+      .join(drops, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("dropped").isNull, 1).otherwise(0)).as("n_keep"),
+           sum(when(col("dropped").isNull, 0).otherwise(1)).as("n_drop"),
+           sum(when(col("dropped").isNull, col("n_chars")).otherwise(0L))
+             .as("kept_chars"))
+      .orderBy("lang")
+  }
+
   /** Batch k-NN for a whole QUERY SET (not just one vector): top-3
     * neighbors for each of the 20 leading vectors, written as the
     * standard row_number<=k window — which the registered TopKPerKey
@@ -667,6 +695,7 @@ object Llm {
     "q_sim_knn_all" -> (qSimKnnAll _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_clusters_converged" -> (qDedupClustersConverged _),
+    "q_dedup_keep_canonical" -> (qDedupKeepCanonical _),
     "q_mm_meta" -> (qMmMeta _),
   )
 
@@ -690,6 +719,50 @@ object Llm {
        |    $sums
        |  FROM hs GROUP BY doc_id)
        |SELECT doc_id, $sim AS simhash FROM agg ORDER BY doc_id""".stripMargin
+  }
+
+  /** Shared WITH RECURSIVE prefix for the fixpoint-dedup oracles:
+    * banded-LSH pairs -> symmetric edges -> exact transitive closure ->
+    * per-node component-min labels in CTE `lab(id, lab)`. Both sides
+    * are diameter-unbounded, so it matches ConnectedComponents.labels
+    * for ANY cluster shape. */
+  private def convergedLabCte: String = {
+    val mhCols = (0 until 4).map(k => s"MIN(SUBSTRING(MD5(token), ${8 * k + 1}, 8)) AS mh$k").mkString(", ")
+    val bandOr = Seq(Seq(0, 1), Seq(2, 3))
+      .map(band => band.map(k => s"a.mh$k = b.mh$k").mkString("(", " AND ", ")"))
+      .mkString(" OR ")
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id,
+       |    CONCAT_WS(' ', tk[i], tk[i + 1], tk[i + 2]) AS token
+       |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+       |       GENERATE_SERIES(1, 512) AS g(i)
+       |  WHERE i <= GREATEST(LEN(tk) - 2, 1)),
+       |t AS (
+       |  SELECT DISTINCT doc_id, token FROM sh),
+       |sig AS (
+       |  SELECT doc_id, $mhCols, COUNT(*) AS sz
+       |  FROM t GROUP BY doc_id),
+       |cand AS (
+       |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb
+       |  FROM sig a JOIN sig b
+       |    ON ($bandOr) AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT da, db FROM (
+       |    SELECT da, db, COUNT(*) AS nc, sa, sb
+       |    FROM cand
+       |    JOIN t ta ON ta.doc_id = da
+       |    JOIN t tb ON tb.doc_id = db AND ta.token = tb.token
+       |    GROUP BY da, db, sa, sb)
+       |  WHERE CAST(nc AS DOUBLE) / (sa + sb - nc) >= 0.7),
+       |edges AS (
+       |  SELECT da AS x, db AS y FROM pairs
+       |  UNION ALL SELECT db AS x, da AS y FROM pairs),
+       |reach(x, y) AS (
+       |  SELECT x, y FROM edges
+       |  UNION
+       |  SELECT r.x, e.y FROM reach r JOIN edges e ON e.x = r.y),
+       |lab AS (
+       |  SELECT x AS id, LEAST(x, MIN(y)) AS lab FROM reach GROUP BY x)""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -812,47 +885,20 @@ object Llm {
     },
     // fixpoint face: exact transitive closure (WITH RECURSIVE), so the
     // oracle too is diameter-unbounded — labels are the component min
-    "q_dedup_clusters_converged" -> {
-      val mhCols = (0 until 4).map(k => s"MIN(SUBSTRING(MD5(token), ${8 * k + 1}, 8)) AS mh$k").mkString(", ")
-      val bandOr = Seq(Seq(0, 1), Seq(2, 3))
-        .map(band => band.map(k => s"a.mh$k = b.mh$k").mkString("(", " AND ", ")"))
-        .mkString(" OR ")
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id,
-         |    CONCAT_WS(' ', tk[i], tk[i + 1], tk[i + 2]) AS token
-         |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
-         |       GENERATE_SERIES(1, 512) AS g(i)
-         |  WHERE i <= GREATEST(LEN(tk) - 2, 1)),
-         |t AS (
-         |  SELECT DISTINCT doc_id, token FROM sh),
-         |sig AS (
-         |  SELECT doc_id, $mhCols, COUNT(*) AS sz
-         |  FROM t GROUP BY doc_id),
-         |cand AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb
-         |  FROM sig a JOIN sig b
-         |    ON ($bandOr) AND a.doc_id < b.doc_id),
-         |pairs AS (
-         |  SELECT da, db FROM (
-         |    SELECT da, db, COUNT(*) AS nc, sa, sb
-         |    FROM cand
-         |    JOIN t ta ON ta.doc_id = da
-         |    JOIN t tb ON tb.doc_id = db AND ta.token = tb.token
-         |    GROUP BY da, db, sa, sb)
-         |  WHERE CAST(nc AS DOUBLE) / (sa + sb - nc) >= 0.7),
-         |edges AS (
-         |  SELECT da AS x, db AS y FROM pairs
-         |  UNION ALL SELECT db AS x, da AS y FROM pairs),
-         |reach(x, y) AS (
-         |  SELECT x, y FROM edges
-         |  UNION
-         |  SELECT r.x, e.y FROM reach r JOIN edges e ON e.x = r.y),
-         |lab AS (
-         |  SELECT x AS id, LEAST(x, MIN(y)) AS lab FROM reach GROUP BY x)
+    "q_dedup_clusters_converged" ->
+      s"""$convergedLabCte
          |SELECT lab AS cluster_id, COUNT(*) AS n_docs,
          |  MIN(id) AS canonical_doc, MAX(id) AS max_doc
-         |FROM lab GROUP BY lab ORDER BY cluster_id""".stripMargin
-    },
+         |FROM lab GROUP BY lab ORDER BY cluster_id""".stripMargin,
+    "q_dedup_keep_canonical" ->
+      s"""$convergedLabCte,
+         |drops AS (SELECT id FROM lab WHERE id <> lab)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(SUM(CASE WHEN d.id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_drop,
+         |  CAST(SUM(CASE WHEN d.id IS NULL THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+         |FROM documents LEFT JOIN drops d ON doc_id = d.id
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_dedup_jaccard_ngram" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -131,7 +131,36 @@ object Pipeline {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Composite quality gate (the C4/Gopher-style keep/drop decision):
+    * three one-pass signals — token count window, mean token length
+    * window, stopword-ratio cap — folded into a keep flag plus
+    * per-reason drop counts by language. All signals are single narrow
+    * projections (higher-order filter, no explode); at 100 TB this is
+    * one scan + one tiny aggregate. Reason counts are non-exclusive. */
+  def qTextFilterGate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+              col("text"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("lang"),
+              size(col("tk")).as("n_tok"),
+              ((length(col("text")) - (size(col("tk")) - 1)).cast("double") /
+                size(col("tk"))).as("avg_len"),
+              (expr("size(filter(tk, t -> t IN ('the', 'a', 'data')))")
+                .cast("double") / size(col("tk"))).as("stop_ratio"))
+    val okTok = col("n_tok") >= 20 && col("n_tok") <= 80
+    val okLen = col("avg_len") >= 4.0 && col("avg_len") <= 4.75
+    val okStop = col("stop_ratio") <= 0.12
+    d.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum((okTok && okLen && okStop).cast("int")).as("n_keep"),
+           sum((!okTok).cast("int")).as("n_drop_ntok"),
+           sum((!okLen).cast("int")).as("n_drop_toklen"),
+           sum((!okStop).cast("int")).as("n_drop_stop"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_filter_gate" -> (qTextFilterGate _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_dedup_ngram_spans" -> (qDedupNgramSpans _),
     "q_pack_sequences" -> (qPackSequences _),
@@ -146,6 +175,24 @@ object Pipeline {
       |  SELECT doc_id, token FROM toks WHERE token <> '')""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_text_filter_gate" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    LEN(STRING_SPLIT(text, ' ')) AS n_tok,
+        |    CAST(LEN(text) - (LEN(STRING_SPLIT(text, ' ')) - 1) AS DOUBLE)
+        |      / LEN(STRING_SPLIT(text, ' ')) AS avg_len,
+        |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+        |      t -> t IN ('the', 'a', 'data'))) AS DOUBLE)
+        |      / LEN(STRING_SPLIT(text, ' ')) AS stop_ratio
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_tok BETWEEN 20 AND 80
+        |    AND avg_len BETWEEN 4.0 AND 4.75
+        |    AND stop_ratio <= 0.12 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(SUM(CASE WHEN n_tok < 20 OR n_tok > 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_ntok,
+        |  CAST(SUM(CASE WHEN avg_len < 4.0 OR avg_len > 4.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_toklen,
+        |  CAST(SUM(CASE WHEN stop_ratio > 0.12 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_stop
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_repetition" ->
       s"""WITH $tokCte,
          |uni AS (
