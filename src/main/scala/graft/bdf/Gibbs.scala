@@ -83,7 +83,15 @@ object Gibbs {
       factors: Map[String, DataFrame] = Map.empty,
       /** Which execution path ran: "broadcast" or "distributed"
         * (observable outcome of the auto mode switch). */
-      mode: String = "broadcast")
+      mode: String = "broadcast",
+      /** Final-sample side-info link matrices (F x K, row-major) for
+        * every side-equipped entity. Together with [[priorMu]] they
+        * give COLD-START factors mu + beta^T x for entities never
+        * observed in training — the main payoff of the Macau §3.2
+        * link term (see Macau.coldStartFactors). */
+      links: Map[String, Array[Array[Double]]] = Map.empty,
+      /** Final-iteration Normal-Wishart prior mean per entity. */
+      priorMu: Map[String, Array[Double]] = Map.empty)
 
   /** Driver-resident doubles the broadcast mode would allocate: the
     * N x K factor matrix per entity plus the densified N x F side
@@ -172,6 +180,7 @@ object Gibbs {
     val linkMeans = scala.collection.mutable.Map[String, DenseMatrix[Double]]()
 
     var alpha = opts.alpha
+    var lastHyper: Map[String, NW] = Map.empty
     val rmseHist = scala.collection.mutable.ArrayBuffer[Double]()
 
     // running posterior mean over post-burnin samples, keyed by test row
@@ -188,6 +197,7 @@ object Gibbs {
         val centered = shift.map(u - _).getOrElse(u)
         e -> sampleNW(centered, opts.seed, iter, e.hashCode)
       }.toMap
+      lastHyper = hyper
 
       // -- (b) side-info link draw (Macau §3.2 ridge + noise injection) --
       sideData.foreach { case (e, xs) =>
@@ -365,7 +375,9 @@ object Gibbs {
         (i.toLong, Array.tabulate(k)(j => m(i, j))))
       e -> rows.toDF("id", "f")
     }.toMap
-    Result(preds, rmseHist.toSeq, rmseHist.last, factorDfs, mode = "broadcast")
+    Result(preds, rmseHist.toSeq, rmseHist.last, factorDfs, mode = "broadcast",
+      links = betas.map { case (e, b) => e -> toArrays(b) }.toMap,
+      priorMu = lastHyper.map { case (e, nw) => e -> nw.mu.toArray })
   }
 
   // ---------- helpers ----------

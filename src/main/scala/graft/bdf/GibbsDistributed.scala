@@ -83,6 +83,8 @@ object GibbsDistributed {
     }
     // (id, shift = beta^T x_i), refreshed each sweep
     val linkShift = scala.collection.mutable.Map[String, DataFrame]()
+    val betas = scala.collection.mutable.Map[String, DenseMatrix[Double]]()
+    var lastHyper: Map[String, Gibbs.NW] = Map.empty
 
     val rmseHist = scala.collection.mutable.ArrayBuffer[Double]()
     var predSum: Option[DataFrame] = None
@@ -142,6 +144,7 @@ object GibbsDistributed {
           (mean * mean.t) * n.toDouble
         e -> Gibbs.sampleNWFromStats(n, mean, scatter, seed, iter, e.hashCode)
       }.toMap
+      lastHyper = hyper
 
       // -- (b) side-info link draw: noise-injected centered target
       //       (distributed map) -> distributed CG -> refreshed shift --
@@ -182,6 +185,7 @@ object GibbsDistributed {
             Cg.solveNormal(spark, xt, fDims(e), kk, opts.lambdaBeta,
               rhsExtra = Some(e2))
           }
+        betas(e) = beta
         val bBeta = spark.sparkContext.broadcast(beta.toArray) // column-major F x K
         val fD = fDims(e)
         linkShift(e) =
@@ -366,7 +370,12 @@ object GibbsDistributed {
     }
 
     val preds = currentPrediction(testCoo, predSum.get, nSamples, opts)
-    Result(preds, rmseHist.toSeq, rmseHist.last, factors.toMap, mode = "distributed")
+    Result(preds, rmseHist.toSeq, rmseHist.last, factors.toMap,
+      mode = "distributed",
+      links = betas.map { case (e, b) =>
+        e -> Array.tabulate(b.rows)(i => Array.tabulate(b.cols)(j => b(i, j)))
+      }.toMap,
+      priorMu = lastHyper.map { case (e, nw) => e -> nw.mu.toArray })
   }
 
   private def currentPrediction(testCoo: DataFrame, predSum: DataFrame,

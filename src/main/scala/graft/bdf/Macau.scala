@@ -99,6 +99,41 @@ object Macau {
                 entities: Seq[String]): Map[String, DataFrame] =
     entities.map(e => e -> spark.read.parquet(s"$path/$e")).toMap
 
+  /** COLD START (Macau §3.2's main payoff): factor rows for entities
+    * NEVER observed in training, from side features alone — the prior
+    * mean u_new = mu + beta^T x with the trained link matrix. Returns
+    * the same (id, f) shape as [[Gibbs.Result.factors]], so it composes
+    * directly with [[predict]]: swap the cold table in for the entity's
+    * factor table and score any (new, old) cell. beta (F x K) and mu
+    * are tiny driver state broadcast once; the map over `xNew` is one
+    * narrow pass at any scale. */
+  def coldStartFactors(spark: SparkSession, res: Gibbs.Result,
+                       entity: String, xNew: DataFrame): DataFrame = {
+    import spark.implicits._
+    val beta = res.links(entity)   // F x K row-major
+    val mu = res.priorMu(entity)   // K
+    require(beta.nonEmpty, s"no trained link matrix for entity $entity")
+    val bBeta = spark.sparkContext.broadcast(beta)
+    val bMu = spark.sparkContext.broadcast(mu)
+    val kk = mu.length
+    xNew.select(col("id").cast("long"), col("features"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, x) =>
+        val b = bBeta.value
+        val u = bMu.value.clone()
+        var f = 0
+        while (f < x.length) {
+          val xf = x(f)
+          if (xf != 0.0) {
+            var j = 0
+            while (j < kk) { u(j) += xf * b(f)(j); j += 1 }
+          }
+          f += 1
+        }
+        (id, u)
+      }.toDF("id", "f")
+  }
+
   /** Score arbitrary cells with saved factors: for each row of `cells`
     * (one long id column per mode, named by `modeEntities`),
     * pred = sum_k prod_m U_m(id_m, k) — the same elementwise-product

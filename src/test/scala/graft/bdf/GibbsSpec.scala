@@ -379,4 +379,44 @@ class GibbsSpec extends SparkSpec {
     val sd = df.select(stddev_pop($"v")).head().getDouble(0)
     assert(res.finalRmse < sd, s"CG side-info rmse ${res.finalRmse} not < sd $sd")
   }
+
+  test("cold start: side info alone predicts rows never observed in training") {
+    val s = spark
+    import s.implicits._
+    // values depend ONLY on the row's side feature (plus noise), so a
+    // model that learned the link matrix can score brand-new rows
+    val nTrain = 30; val nCold = 10; val m = 20
+    def gOf(i: Int) = if (i % 2 == 0) 1.0 else -1.0
+    val train = for (i <- 0 until nTrain; j <- 0 until m) yield
+      (i.toLong, j.toLong, gOf(i) + 0.1 * CbRng.gaussian(31L, 1L, i.toLong, j.toLong))
+    val df = train.toDF("row", "col", "v")
+    val side = (0 until nTrain).map(i => (i.toLong, Array(gOf(i))))
+      .toDF("id", "features")
+    val rd0 = RelationData.fromDF(df, Seq("row", "col"), "v")
+    val rd = rd0.copy(entities = rd0.entities.updated("row",
+      rd0.entities("row").copy(side = Some(side))))
+    val split = Macau.assignToTest(rd, 0.1)
+    val res = Macau.macau(spark, split.train, split.test,
+      Gibbs.Options(numLatent = 4, burnin = 4, samples = 4, alpha = 20.0, seed = 37L))
+    assert(res.links.contains("row") && res.priorMu.contains("row"))
+
+    // rows nTrain..nTrain+nCold-1 were NEVER in the model — only their
+    // side features exist
+    val xNew = (0 until nCold).map(c => ((nTrain + c).toLong, Array(gOf(nTrain + c))))
+      .toDF("id", "features")
+    val coldU = Macau.coldStartFactors(spark, res, "row", xNew)
+    val cells = (for (c <- 0 until nCold; j <- 0 until m)
+      yield ((nTrain + c).toLong, j.toLong)).toDF("row", "col")
+    val preds = Macau.predict(spark,
+      res.factors + ("row" -> coldU), cells, Seq("row", "col"))
+    val truth = (for (c <- 0 until nCold; j <- 0 until m) yield {
+      val i = nTrain + c
+      (i.toLong, j.toLong, gOf(i) + 0.1 * CbRng.gaussian(31L, 1L, i.toLong, j.toLong))
+    }).toDF("row", "col", "t")
+    val rmse = math.sqrt(preds.join(truth, Seq("row", "col"))
+      .select(avg(pow($"pred" - $"t", 2))).head().getDouble(0))
+    val sd2 = truth.select(stddev_pop($"t")).head().getDouble(0)
+    assert(rmse < 0.6 * sd2,
+      s"cold-start rmse $rmse not < 0.6 * baseline $sd2")
+  }
 }

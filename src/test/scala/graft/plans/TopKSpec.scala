@@ -113,4 +113,33 @@ class TopKSpec extends SparkSpec {
     multi.collect()
     assert(multi.queryExecution.executedPlan.toString.contains("Window"))
   }
+
+  test("exec stays bounded and correct under 10^5 distinct keys") {
+    TopKPerKey.register(spark)
+    val keys = 100000
+    val df = spark.range(2L * keys).select(
+      (col("id") % keys).as("k"), col("id").as("v"))
+    val w = Window.partitionBy("k").orderBy(col("v").desc)
+    val top = df.select(col("k"), col("v"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 1)
+    // collect (not count) so the metrics below come from THIS
+    // queryExecution — count() plans and runs a separate one
+    assert(top.collect().length == keys, "one survivor per key expected")
+    val p = top.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), s"many-keys plan skipped the exec:\n$p")
+    def allNodes(pl: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = pl match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allNodes(s.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val execs = allNodes(top.queryExecution.executedPlan)
+      .collect { case t: TopKPerKeyExec => t }
+    assert(execs.nonEmpty)
+    // the heaps held at least one row per key somewhere across levels
+    assert(execs.map(_.metrics("heapRows").value).max >= keys,
+      "heapRows metric under-reports the many-keys load")
+  }
 }
