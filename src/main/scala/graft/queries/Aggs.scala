@@ -206,7 +206,27 @@ object Aggs {
            max(col("l_extendedprice")).as("max_price"))
       .orderBy("bucket")
 
+  /** Two-phase salted aggregation through [[graft.sql.Salt.saltedAgg]]:
+    * lineitem's 3 returnflag groups are the canonical few-massive-keys
+    * shape — a plain groupBy funnels ~N/3 rows into each of THREE
+    * reducers no matter how many executors exist. Salting spreads each
+    * key over 16 buckets first (partial count/sum per (key, salt)),
+    * then combines 48 tiny partials. Oracle IS the plain aggregation. */
+  def qAggSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    graft.sql.Salt.saltedAgg(l,
+        key = col("l_returnflag"),
+        salt = col("l_orderkey") * 8 + col("l_linenumber"), buckets = 16,
+        partials = Seq(count(lit(1)).as("pn"),
+                       sum(dec(col("l_quantity"))).as("pq")),
+        combine = Seq(sum(col("pn")).as("n"),
+                      sum(col("pq")).cast("double").as("sum_qty")))
+      .withColumnRenamed("key", "l_returnflag")
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_skew_salted" -> (qAggSkewSalted _),
     "q_agg_bitwise" -> (qAggBitwise _),
     "q_agg_histogram" -> (qAggHistogram _),
     "q_agg_argmax" -> (qAggArgmax _),
@@ -228,6 +248,10 @@ object Aggs {
     s"CAST($discPriceSql * (CAST(1 AS DECIMAL(18,6)) + ${D.dec("l_tax")}) AS DECIMAL(18,6))"
 
   val oracle: Map[String, String] = Map(
+    "q_agg_skew_salted" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  ${D.dsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_bitwise" ->
       """SELECT l_returnflag,
         |  BIT_AND(l_orderkey) AS k_and,

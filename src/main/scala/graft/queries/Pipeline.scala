@@ -159,7 +159,29 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Deterministic source mixing — the data-mixture pass that up/down-
+    * weights corpus sources toward a target blend before training.
+    * Per-source sampling rate w/4 (derived here from the source id;
+    * in production a supplied weight table), membership by the pure
+    * integer LCG (never engine rand(): reproducible across engines,
+    * partitionings and retries). One narrow filter fused into the scan
+    * + one tiny aggregate at any corpus size. */
+  def qMixSources(s: SparkSession, dir: String): DataFrame = {
+    import graft.sql.Det.lcgBucket
+    val w = expr("CAST(substring(source, 4) AS INT)") % 4 + 1
+    val kept = (lcgBucket(col("doc_id"), 4) < w).cast("int")
+    Tables.documents(s, dir)
+      .select(col("source"), w.as("w4"), kept.as("kept"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("kept")).as("n_kept"),
+           (max(col("w4")).cast("double") / 4).as("target_frac"),
+           (sum(col("kept")).cast("double") / count(lit(1))).as("kept_frac"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_sources" -> (qMixSources _),
     "q_text_filter_gate" -> (qTextFilterGate _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_dedup_ngram_spans" -> (qDedupNgramSpans _),
@@ -175,6 +197,19 @@ object Pipeline {
       |  SELECT doc_id, token FROM toks WHERE token <> '')""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_mix_sources" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(SUBSTRING(source, 4) AS INT) % 4 + 1 AS w4,
+        |    CASE WHEN ((doc_id * 2654435761) % 4294967296) % 4
+        |      < CAST(SUBSTRING(source, 4) AS INT) % 4 + 1
+        |      THEN 1 ELSE 0 END AS kept
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  CAST(MAX(w4) AS DOUBLE) / 4 AS target_frac,
+        |  CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS kept_frac
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "q_text_filter_gate" ->
       """WITH d AS (
         |  SELECT doc_id, lang,
