@@ -27,6 +27,34 @@ object Sorts {
                col("o_orderkey").asc)
       .limit(500)
 
+  /** Deep pagination WITHOUT a global sort: the rows at global ranks
+    * [4001, 4020] of `ORDER BY l_extendedprice, l_orderkey,
+    * l_linenumber` — the page-N read every result-browsing API needs,
+    * where `orderBy.limit.offset` degenerates into sorting (and
+    * shipping) everything before the page. Plan: per-distinct-price
+    * counts + bucketed prefix sums ([[Prefix.withPrefix]]) locate the
+    * few price values whose rank interval intersects the page; ONLY
+    * their rows (count ~ page size + duplicates) are windowed for
+    * in-value tiebreak ranks. At 100 TB: two narrow aggregate passes +
+    * one filtered scan, no global shuffle sort, page depth irrelevant. */
+  def qSortPaginate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (lo, hi) = (4001L, 4020L)
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_extendedprice").as("v"))
+    val perValue = l.groupBy("v").agg(count(lit(1)).as("n"))
+    val pre = Prefix.withPrefix(perValue, "v", Seq("n"))
+      .filter(col("n_before") < hi && col("n_before") + col("n") >= lo)
+      .select(col("v").as("pv"), col("n_before"))
+    val w = Window.partitionBy("v").orderBy("l_orderkey", "l_linenumber")
+    l.join(broadcast(pre), col("v") === col("pv"))
+      .withColumn("rank", col("n_before") + row_number().over(w))
+      .filter(col("rank").between(lo, hi))
+      .select(col("rank"), col("l_orderkey"), col("l_linenumber"), col("v"))
+      .orderBy("rank")
+  }
+
   /** Exact order statistics (selection, not sorting): the floor/ceil
     * rank values for five quantiles of l_extendedprice, found WITHOUT a
     * global sort — per-distinct-value counts + bucketed prefix sums
@@ -110,6 +138,7 @@ object Sorts {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sort_limit_topk" -> (qSortLimitTopk _),
+    "q_sort_paginate" -> (qSortPaginate _),
     "q_sort_multi" -> (qSortMulti _),
     "q_sort_percentile_exact" -> (qSortPercentileExact _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -120,6 +149,14 @@ object Sorts {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
         |LIMIT 100""".stripMargin,
+    "q_sort_paginate" ->
+      """WITH r AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice AS v,
+        |    ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+        |      l_linenumber) AS rank
+        |  FROM lineitem)
+        |SELECT CAST(rank AS BIGINT) AS rank, l_orderkey, l_linenumber, v
+        |FROM r WHERE rank BETWEEN 4001 AND 4020 ORDER BY rank""".stripMargin,
     "q_sort_multi" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
         |ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC

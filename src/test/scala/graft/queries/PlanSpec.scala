@@ -98,7 +98,8 @@ class PlanSpec extends SparkSpec {
     for ((name, q) <- Seq(
         "q_bdf_auc" -> Bdf.qBdfAuc _,
         "q_bdf_roc" -> Bdf.qBdfRoc _,
-        "q_win_ntile_dense" -> Windows.qWinNtileDense _)) {
+        "q_win_ntile_dense" -> Windows.qWinNtileDense _,
+        "q_sort_paginate" -> Sorts.qSortPaginate _)) {
       val df = q(spark, sf("sf0.001"))
       val globals = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
