@@ -48,6 +48,26 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Same repetition signals via the native one-pass kernel
+    * (graft.expressions.TextRep): no Generate, no shuffle — only the
+    * 4-long struct leaves the codegen'd scan. Shares
+    * [[qTextRepetition]]'s oracle bit-for-bit. */
+  def qTextRepetitionFast(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.TextRep.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr("graft_text_rep(text)").as("r"))
+      .filter(col("r.n_bigrams") > 0)
+      .select(col("doc_id"),
+              col("r.n_tokens").as("n_tokens"),
+              col("r.n_distinct").as("n_distinct"),
+              ((col("r.n_tokens") - col("r.n_distinct")).cast("double") /
+                col("r.n_tokens")).as("dup_ratio"),
+              col("r.top_bigram_n").as("top_bigram_n"),
+              (col("r.top_bigram_n").cast("double") / col("r.n_bigrams"))
+                .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Repeated word-8-gram spans across documents — the discovery pass
     * of exact-substring dedup (find spans shared by >1 doc, then clip
     * them from all but one copy). Hashes are computed INSIDE the span
@@ -184,6 +204,7 @@ object Pipeline {
     "q_mix_sources" -> (qMixSources _),
     "q_text_filter_gate" -> (qTextFilterGate _),
     "q_text_repetition" -> (qTextRepetition _),
+    "q_text_repetition_fast" -> (qTextRepetitionFast _),
     "q_dedup_ngram_spans" -> (qDedupNgramSpans _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_text_blocklist" -> (qTextBlocklist _),
@@ -228,7 +249,12 @@ object Pipeline {
         |  CAST(SUM(CASE WHEN avg_len < 4.0 OR avg_len > 4.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_toklen,
         |  CAST(SUM(CASE WHEN stop_ratio > 0.12 THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_stop
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
-    "q_text_repetition" ->
+    "q_text_repetition" -> repetitionSql,
+    // kernel twin: same values, one codegen pass — shares the oracle
+    "q_text_repetition_fast" -> repetitionSql,
+  ) ++ oracle2
+
+  private def repetitionSql: String =
       s"""WITH $tokCte,
          |uni AS (
          |  SELECT doc_id, COUNT(*) AS n_tokens,
@@ -248,7 +274,9 @@ object Pipeline {
          |  CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_ratio,
          |  top_bigram_n,
          |  CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac
-         |FROM uni u JOIN top t USING (doc_id) ORDER BY doc_id""".stripMargin,
+         |FROM uni u JOIN top t USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  private def oracle2: Map[String, String] = Map(
     "q_dedup_ngram_spans" ->
       """WITH tkl AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
         |sp AS (

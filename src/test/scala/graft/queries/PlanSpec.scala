@@ -65,7 +65,8 @@ class PlanSpec extends SparkSpec {
         "q_sim_cosine_fused" -> Llm.qSimCosineFused _,
         "q_dedup_embed_cosine" -> Llm.qDedupEmbedCosine _,
         "q_sim_knn_centroid" -> Llm.qSimKnnCentroid _,
-        "q_dedup_jaccard_ngram" -> Llm.qDedupJaccardNgram _)) {
+        "q_dedup_jaccard_ngram" -> Llm.qDedupJaccardNgram _,
+        "q_text_repetition_fast" -> Pipeline.qTextRepetitionFast _)) {
       val p = finalPlan(q(spark, sf("sf0.001")))
       assert(!p.contains("Generate"), s"$name explodes rows:\n$p")
       assert(!p.contains("CartesianProduct"), s"$name cartesian:\n$p")
