@@ -24,7 +24,7 @@ object Multimodal {
 
   final case class Decoded(
       width: Int, height: Int, channels: Int, durationMs: Long,
-      features: Array[Float])
+      frames: Int, features: Array[Float])
 
   /** Real image decode via JDK ImageIO (jpg/png ship with the JDK). */
   object ImageCodec {
@@ -64,7 +64,7 @@ object Multimodal {
             y += stride
           }
           if (n > 0) { var i = 0; while (i < hist.length) { hist(i) /= n; i += 1 } }
-          Some(Decoded(w, h, img.getColorModel.getNumComponents, 0L, hist))
+          Some(Decoded(w, h, img.getColorModel.getNumComponents, 0L, 1, hist))
         }
       } catch { case _: Exception => None }
   }
@@ -126,7 +126,78 @@ object Multimodal {
             s += stride
           }
           if (n > 0) { var i = 0; while (i < hist.length) { hist(i) /= n; i += 1 } }
-          Some(Decoded(0, 0, channels, durationMs, hist))
+          Some(Decoded(0, 0, channels, durationMs, 0, hist))
+        }
+      } catch { case _: Exception => None }
+  }
+
+  /** Real ISO-BMFF (mp4/mov) box walk — pure byte reads, no demuxer
+    * libraries: ftyp magic dispatch, mvhd timescale/duration for the
+    * exact duration_ms, each mdat box treated as a frame payload
+    * (true per-frame enumeration needs an stbl/avcC parse — a real
+    * codec; geometry therefore stays 0 and n_frames = mdat count,
+    * exactly the slots a production decode UDF fills in). Features:
+    * 16-bin byte histogram over stride-sampled mdat payload — the
+    * frame-sample stage of a video curation pipeline, bounded work per
+    * file. Fail-soft like the other codecs: None on anything
+    * malformed, caller falls back to the stub. */
+  object VideoCodec {
+    private def beInt(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+    private def isBmff(b: Array[Byte]): Boolean =
+      b.length > 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+    def decode(bytes: Array[Byte]): Option[Decoded] =
+      if (!isBmff(bytes)) None
+      else try {
+        var durationMs = 0L
+        var frames = 0
+        val hist = new Array[Float](StubCodec.FeatureDim)
+        var n = 0
+        def walk(lo: Int, hi: Int, depth: Int): Unit = {
+          var off = lo
+          var ok = true
+          while (ok && off + 8 <= hi) {
+            val size = beInt(bytes, off)
+            // size==1 means a 64-bit extended box — out of scope, bail
+            if (size < 8 || off + size > hi) ok = false
+            else {
+              val tp = new String(bytes, off + 4, 4, "US-ASCII")
+              tp match {
+                case "moov" if depth < 4 =>
+                  walk(off + 8, off + size.toInt, depth + 1)
+                case "mvhd" =>
+                  // version(1) flags(3) ctime(4) mtime(4) timescale(4)
+                  // duration(4) — version-0 layout
+                  if (bytes(off + 8) == 0 && off + 28 <= hi) {
+                    val ts = beInt(bytes, off + 20)
+                    val dur = beInt(bytes, off + 24)
+                    if (ts > 0) durationMs = dur * 1000L / ts
+                  }
+                case "mdat" =>
+                  frames += 1
+                  val pLo = off + 8
+                  val pHi = off + size.toInt
+                  val stride = math.max(1, (pHi - pLo) / 512)
+                  var p = pLo
+                  while (p < pHi) {
+                    hist((bytes(p) & 0xff) / 16) += 1f
+                    n += 1
+                    p += stride
+                  }
+                case _ =>
+              }
+              off += size.toInt
+            }
+          }
+        }
+        walk(0, bytes.length, 0)
+        if (frames == 0 && durationMs == 0L) None
+        else {
+          if (n > 0) { var i = 0; while (i < hist.length) { hist(i) /= n; i += 1 } }
+          Some(Decoded(0, 0, 0, durationMs, frames, hist))
         }
       } catch { case _: Exception => None }
   }
@@ -150,9 +221,11 @@ object Multimodal {
       val feats = Array.tabulate(FeatureDim)(k =>
         ((mix(k) % 2000000L) - 1000000L).toFloat / 1000000.0f)
       format match {
-        case "wav" => Decoded(0, 0, 1, 1000L + mix(99) % 60000L, feats)
+        case "wav" => Decoded(0, 0, 1, 1000L + mix(99) % 60000L, 0, feats)
+        case "mp4" => Decoded(0, 0, 0, 1000L + mix(99) % 60000L,
+                              1 + (mix(3) % 240L).toInt, feats)
         case _     => Decoded(64 + (mix(1) % 448L).toInt,
-                              64 + (mix(2) % 448L).toInt, 3, 0L, feats)
+                              64 + (mix(2) % 448L).toInt, 3, 0L, 1, feats)
       }
     }
   }
@@ -165,9 +238,10 @@ object Multimodal {
     docs.select(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("content"),
-      when(col("doc_id") % 3 === 0, "jpg")
-        .when(col("doc_id") % 3 === 1, "png")
-        .otherwise("wav").as("format"))
+      when(col("doc_id") % 4 === 0, "jpg")
+        .when(col("doc_id") % 4 === 1, "png")
+        .when(col("doc_id") % 4 === 2, "wav")
+        .otherwise("mp4").as("format"))
 
   /** The mapInPandas-shaped stage: per partition, decode in bounded
     * batches and emit a typed row per media item. Runs wherever the
@@ -187,14 +261,16 @@ object Multimodal {
               ImageCodec.decode(bytes).getOrElse(StubCodec.decode(bytes, fmt))
             case "wav" =>
               AudioCodec.decode(bytes).getOrElse(StubCodec.decode(bytes, fmt))
+            case "mp4" =>
+              VideoCodec.decode(bytes).getOrElse(StubCodec.decode(bytes, fmt))
             case _ => StubCodec.decode(bytes, fmt)
           }
           (id, fmt, bytes.length.toLong, d.width, d.height, d.channels,
-            d.durationMs, d.features)
+            d.durationMs, d.frames, d.features)
         }
       }
     }.toDF("doc_id", "format", "n_bytes", "width", "height", "channels",
-           "duration_ms", "features")
+           "duration_ms", "n_frames", "features")
   }
 
   /** Downstream example: per-format feature statistics (what a curation

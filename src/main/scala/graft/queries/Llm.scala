@@ -651,9 +651,10 @@ object Llm {
       col("doc_id"),
       octet_length(col("text")).cast("long").as("n_bytes"),
       md5(col("text").cast("binary")).as("content_md5"),
-      when(col("doc_id") % 3 === 0, "jpg")
-        .when(col("doc_id") % 3 === 1, "png")
-        .otherwise("wav").as("format"),
+      when(col("doc_id") % 4 === 0, "jpg")
+        .when(col("doc_id") % 4 === 1, "png")
+        .when(col("doc_id") % 4 === 2, "wav")
+        .otherwise("mp4").as("format"),
     ).orderBy("doc_id")
 
   /** Full multimodal path: binary column -> partition-batched (stubbed)
@@ -665,7 +666,7 @@ object Llm {
     Multimodal.decodeAndFeaturize(s, media)
       .select(col("doc_id"), col("format"), col("n_bytes"), col("width"),
               col("height"), col("channels"), col("duration_ms"),
-              size(col("features")).as("feat_dim"))
+              col("n_frames"), size(col("features")).as("feat_dim"))
       .orderBy("doc_id")
   }
 
@@ -1065,9 +1066,10 @@ object Llm {
       """SELECT doc_id,
         |  CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
         |  MD5(text) AS content_md5,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'jpg'
-        |       WHEN doc_id % 3 = 1 THEN 'png'
-        |       ELSE 'wav' END AS format
+        |  CASE WHEN doc_id % 4 = 0 THEN 'jpg'
+        |       WHEN doc_id % 4 = 1 THEN 'png'
+        |       WHEN doc_id % 4 = 2 THEN 'wav'
+        |       ELSE 'mp4' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 

@@ -16,14 +16,18 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.decodeAndFeaturize(spark, media)
     assert(out.count() === media.count())
     assert(out.columns.toSeq === Seq("doc_id", "format", "n_bytes", "width",
-      "height", "channels", "duration_ms", "features"))
+      "height", "channels", "duration_ms", "n_frames", "features"))
     val dims = out.select(size(col("features"))).distinct().collect().map(_.getInt(0))
     assert(dims.toSeq === Seq(Multimodal.StubCodec.FeatureDim))
     // wav rows carry duration, image rows carry dimensions
     val wav = out.filter(col("format") === "wav")
     assert(wav.filter(col("duration_ms") <= 0).count() === 0)
-    val img = out.filter(col("format") =!= "wav")
+    val img = out.filter(col("format") === "jpg" || col("format") === "png")
     assert(img.filter(col("width") < 64 || col("height") < 64).count() === 0)
+    // video rows carry duration AND a frame count
+    val vid = out.filter(col("format") === "mp4")
+    assert(vid.count() > 0)
+    assert(vid.filter(col("duration_ms") <= 0 || col("n_frames") <= 0).count() === 0)
   }
 
   test("decode is invariant to batch size and input partitioning") {
@@ -37,7 +41,7 @@ class MultimodalSpec extends SparkSpec {
   test("feature stats aggregate per format deterministically") {
     val out = Multimodal.featureStats(
       Multimodal.decodeAndFeaturize(spark, media))
-    assert(out.count() === 3L * Multimodal.StubCodec.FeatureDim)
+    assert(out.count() === 4L * Multimodal.StubCodec.FeatureDim)
   }
 
   /** Encode a real image in-memory and check the ImageIO path reports
@@ -114,5 +118,57 @@ class MultimodalSpec extends SparkSpec {
     assert(d.durationMs === 500L && d.channels === 1)
     // non-RIFF bytes fall back to the stub's pseudo duration, not a crash
     assert(out(2).getAs[Long]("duration_ms") >= 1000L)
+  }
+
+  /** Minimal ISO-BMFF: ftyp + moov{mvhd(timescale, duration)} + N mdat
+    * payload boxes — enough structure for the box-walk parser to
+    * recover exact duration and the frame-payload count. */
+  private def mp4Bytes(timescale: Int, duration: Int, nFrames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def be(i: Int): Array[Byte] =
+      Array(((i >> 24) & 0xff).toByte, ((i >> 16) & 0xff).toByte,
+            ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+    def box(tp: String, payload: Array[Byte]): Unit = {
+      bos.write(be(8 + payload.length)); bos.write(tp.getBytes("US-ASCII"))
+      bos.write(payload)
+    }
+    box("ftyp", "isom".getBytes("US-ASCII") ++ be(0))
+    val mvhd = new java.io.ByteArrayOutputStream()
+    mvhd.write(be(0))          // version 0 + flags
+    mvhd.write(be(0)); mvhd.write(be(0)) // ctime, mtime
+    mvhd.write(be(timescale)); mvhd.write(be(duration))
+    mvhd.write(be(0))          // padding past the fields the parser reads
+    val mvhdBytes = mvhd.toByteArray
+    val moov = be(8 + 8 + mvhdBytes.length) ++ "moov".getBytes("US-ASCII") ++
+      be(8 + mvhdBytes.length) ++ "mvhd".getBytes("US-ASCII") ++ mvhdBytes
+    bos.write(moov)
+    for (f <- 0 until nFrames)
+      box("mdat", Array.tabulate[Byte](64)(i => ((i * 7 + f * 31) & 0xff).toByte))
+    bos.toByteArray
+  }
+
+  test("real mp4 boxes decode through the BMFF walk, not the stub") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (0L, mp4Bytes(1000, 5000, 3), "mp4"),  // 5 s, 3 frame payloads
+      (1L, mp4Bytes(600, 1200, 1), "mp4"),   // 2 s, 1 frame payload
+      (2L, "not a video".getBytes("UTF-8"), "mp4")) // stub fallback
+    val out = Multimodal.decodeAndFeaturize(spark, rows.toDF(
+      "doc_id", "content", "format")).orderBy("doc_id").collect()
+    assert((out(0).getAs[Long]("duration_ms"), out(0).getAs[Int]("n_frames"))
+      === ((5000L, 3)))
+    assert((out(1).getAs[Long]("duration_ms"), out(1).getAs[Int]("n_frames"))
+      === ((2000L, 1)))
+    // frame-sample histogram is normalized over sampled payload bytes
+    val feats = out(0).getAs[scala.collection.Seq[Float]]("features")
+    assert(math.abs(feats.sum - 1.0f) < 1e-3)
+    assert(feats.count(_ > 0f) > 1, "ramp payload must spread over bins")
+    // direct parse agrees with the distributed path
+    val d = Multimodal.VideoCodec.decode(mp4Bytes(1000, 5000, 3)).get
+    assert(d.durationMs === 5000L && d.frames === 3)
+    // non-BMFF bytes fall back to the stub's pseudo fields, not a crash
+    assert(out(2).getAs[Long]("duration_ms") >= 1000L)
+    assert(out(2).getAs[Int]("n_frames") >= 1)
   }
 }
