@@ -109,6 +109,27 @@ class PipelineSpec extends SparkSpec {
     }, "an exact near-dup pair is bracketed by no repeated 8-gram span")
   }
 
+  test("graft_text_rep kernel equals brute force on random and degenerate texts") {
+    import graft.expressions.TextRep
+    val rnd = new scala.util.Random(77)
+    val vocab = Array("a", "bb", "ccc", "dd", "e")
+    val cases = Seq("", "solo", "a a", "x  y", " lead", "trail ") ++
+      (1 to 50).map(_ => Seq.fill(1 + rnd.nextInt(40))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    cases.foreach { text =>
+      val r = TextRep.rep(org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      val tk = text.split(" ", -1)
+      val real = tk.filter(_.nonEmpty)
+      assert(r.getLong(0) == real.length.toLong, s"n_tokens for '$text'")
+      assert(r.getLong(1) == real.distinct.length.toLong, s"n_distinct for '$text'")
+      val bigrams = tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val top = if (bigrams.isEmpty) 0L
+        else bigrams.groupBy(identity).values.map(_.size).max.toLong
+      assert(r.getLong(2) == top, s"top_bigram_n for '$text'")
+      assert(r.getLong(3) == math.max(tk.length - 1, 0).toLong, s"n_bigrams for '$text'")
+    }
+  }
+
   test("q_join_skew_salted never plans a cartesian product") {
     val df = Joins.qJoinSkewSalted(spark, sf("sf0.001"))
     df.collect()
