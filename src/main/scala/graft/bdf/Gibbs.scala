@@ -47,6 +47,15 @@ object Gibbs {
         * evaluation here. */
       binaryProbit: Boolean = false,
       lambdaBeta: Double = 5.0,      // side-info link ridge precision
+      /** Sample the link precision from its Gamma conditional instead
+        * of keeping the fixed ridge (the full Macau §3.2 model): with
+        * beta rows a priori N(0, λβ^-1 Λ^-1),
+        *   λβ | beta ~ Gamma(a0 + F·K/2, b0 + tr(beta Λ beta^T)/2),
+        * a0 = b0 = 1 (weakly informative), one λβ per side-equipped
+        * entity, drawn on the driver each sweep (F×K state). Works in
+        * both execution modes; final values observable via
+        * [[Result.linkPrecisions]]. */
+      sampleLambdaBeta: Boolean = false,
       /** Solve the side-info link with the distributed CG (Cg.scala)
         * instead of the driver Cholesky — the path for side matrices
         * too large for the driver (Macau §3.2). */
@@ -91,7 +100,10 @@ object Gibbs {
         * link term (see Macau.coldStartFactors). */
       links: Map[String, Array[Array[Double]]] = Map.empty,
       /** Final-iteration Normal-Wishart prior mean per entity. */
-      priorMu: Map[String, Array[Double]] = Map.empty)
+      priorMu: Map[String, Array[Double]] = Map.empty,
+      /** Final link precision λβ per side-equipped entity (the fixed
+        * Options.lambdaBeta unless sampleLambdaBeta drew it). */
+      linkPrecisions: Map[String, Double] = Map.empty)
 
   /** Driver-resident doubles the broadcast mode would allocate: the
     * N x K factor matrix per entity plus the densified N x F side
@@ -178,6 +190,7 @@ object Gibbs {
     }
     val betas = scala.collection.mutable.Map[String, DenseMatrix[Double]]()
     val linkMeans = scala.collection.mutable.Map[String, DenseMatrix[Double]]()
+    val lambdaBetas = scala.collection.mutable.Map[String, Double]()
 
     var alpha = opts.alpha
     var lastHyper: Map[String, NW] = Map.empty
@@ -201,8 +214,11 @@ object Gibbs {
 
       // -- (b) side-info link draw (Macau §3.2 ridge + noise injection) --
       sideData.foreach { case (e, xs) =>
-        val beta = sampleBeta(spark, factors(e), xs, hyper(e), opts, iter, e.hashCode)
+        val lb = lambdaBetas.getOrElse(e, opts.lambdaBeta)
+        val beta = sampleBeta(spark, factors(e), xs, hyper(e), opts, lb, iter, e.hashCode)
         betas(e) = beta
+        if (opts.sampleLambdaBeta)
+          lambdaBetas(e) = drawLambdaBeta(beta, hyper(e).lambda, opts.seed, iter, e.hashCode)
         val n = xs.length
         val lm = DenseMatrix.zeros[Double](n, k)
         var i = 0
@@ -377,7 +393,9 @@ object Gibbs {
     }.toMap
     Result(preds, rmseHist.toSeq, rmseHist.last, factorDfs, mode = "broadcast",
       links = betas.map { case (e, b) => e -> toArrays(b) }.toMap,
-      priorMu = lastHyper.map { case (e, nw) => e -> nw.mu.toArray })
+      priorMu = lastHyper.map { case (e, nw) => e -> nw.mu.toArray },
+      linkPrecisions = betas.keys.map(e =>
+        e -> lambdaBetas.getOrElse(e, opts.lambdaBeta)).toMap)
   }
 
   // ---------- helpers ----------
@@ -540,8 +558,27 @@ object Gibbs {
     * Small X solves on the driver with Cholesky; opts.useCgSideSolver
     * switches to the distributed CG (Cg.solveNormal) that never
     * materializes X^T X. */
+  /** λβ | beta ~ Gamma(1 + F·K/2, 1 + tr(beta Λ beta^T)/2) — the
+    * conjugate draw for the link precision under the matrix-normal
+    * prior rows ~ N(0, λβ^-1 Λ^-1). Driver-side, O(F·K²). */
+  private[bdf] def drawLambdaBeta(beta: DenseMatrix[Double],
+                                  lambda: DenseMatrix[Double],
+                                  seed: Long, iter: Int, tag: Int): Double = {
+    val bl = beta * lambda
+    var tr = 0.0
+    var f = 0
+    while (f < beta.rows) {
+      var j = 0
+      while (j < beta.cols) { tr += bl(f, j) * beta(f, j); j += 1 }
+      f += 1
+    }
+    val rng = new RngStream(seed, (iter.toLong * 131L) ^ tag ^ 0x1b9aL)
+    rng.nextGamma(1.0 + beta.rows * beta.cols / 2.0) / (1.0 + tr / 2.0)
+  }
+
   private def sampleBeta(spark: SparkSession, u: DenseMatrix[Double],
                          xs: Array[Array[Double]], nw: NW, opts: Options,
+                         lambdaBeta: Double,
                          iter: Int, tag: Int): DenseMatrix[Double] = {
     val n = u.rows; val k = u.cols; val fDim = xs(0).length
     val rng = new RngStream(opts.seed, (iter.toLong << 24) ^ tag ^ 0x5ea1L)
@@ -560,7 +597,7 @@ object Gibbs {
       i += 1
     }
     // prior-side noise: sqrt(lambda) E2, added to the RHS of the solve
-    val sqLb = math.sqrt(opts.lambdaBeta)
+    val sqLb = math.sqrt(lambdaBeta)
     val e2 = DenseMatrix.zeros[Double](fDim, k)
     i = 0
     while (i < fDim) {
@@ -572,12 +609,12 @@ object Gibbs {
       val xt = (0 until n).map { r =>
         (xs(r).toSeq, (0 until k).map(c => target(r, c)).toSeq)
       }.toDF("features", "target")
-      Cg.solveNormal(spark, xt, fDim, k, opts.lambdaBeta, rhsExtra = Some(e2))
+      Cg.solveNormal(spark, xt, fDim, k, lambdaBeta, rhsExtra = Some(e2))
     } else {
       val x = DenseMatrix.tabulate[Double](n, fDim)((r, j) => xs(r)(j))
       val xtx = x.t * x
       var j = 0
-      while (j < fDim) { xtx(j, j) += opts.lambdaBeta; j += 1 }
+      while (j < fDim) { xtx(j, j) += lambdaBeta; j += 1 }
       val lCh = cholesky(xtx)
       val xtU = (x.t * target) += e2
       val beta = DenseMatrix.zeros[Double](fDim, k)

@@ -84,6 +84,7 @@ object GibbsDistributed {
     // (id, shift = beta^T x_i), refreshed each sweep
     val linkShift = scala.collection.mutable.Map[String, DataFrame]()
     val betas = scala.collection.mutable.Map[String, DenseMatrix[Double]]()
+    val lambdaBetas = scala.collection.mutable.Map[String, Double]()
     var lastHyper: Map[String, Gibbs.NW] = Map.empty
 
     val rmseHist = scala.collection.mutable.ArrayBuffer[Double]()
@@ -150,6 +151,7 @@ object GibbsDistributed {
       //       (distributed map) -> distributed CG -> refreshed shift --
       sideDFs.foreach { case (e, sd) =>
         val nw = hyper(e)
+        val lb = lambdaBetas.getOrElse(e, opts.lambdaBeta)
         val bMu = spark.sparkContext.broadcast(nw.mu.toArray)
         val kk = k; val it = iter.toLong; val tagL = e.hashCode.toLong
         // beta's conditional is matrix-normal with row precision
@@ -165,7 +167,7 @@ object GibbsDistributed {
           val e1 = Gibbs.upperSolveT(lmat, eps) // N(0, Lambda^-1)
           (id, Array.tabulate(kk)(j => f(j) - bMu.value(j) + e1(j)))
         }.toDF("id", "target")
-        val sqLb = math.sqrt(opts.lambdaBeta)
+        val sqLb = math.sqrt(lb)
         val fD0 = fDims(e)
         val e2 = DenseMatrix.zeros[Double](fD0, kk)
         var fi = 0
@@ -178,14 +180,16 @@ object GibbsDistributed {
         val beta =
           if (sideSparse(e)) {
             val xt = sd.join(target, "id").select("indices", "values", "target")
-            Cg.solveNormalSparse(spark, xt, fDims(e), kk, opts.lambdaBeta,
+            Cg.solveNormalSparse(spark, xt, fDims(e), kk, lb,
               rhsExtra = Some(e2))
           } else {
             val xt = sd.join(target, "id").select("features", "target")
-            Cg.solveNormal(spark, xt, fDims(e), kk, opts.lambdaBeta,
+            Cg.solveNormal(spark, xt, fDims(e), kk, lb,
               rhsExtra = Some(e2))
           }
         betas(e) = beta
+        if (opts.sampleLambdaBeta)
+          lambdaBetas(e) = Gibbs.drawLambdaBeta(beta, nw.lambda, seed, iter, e.hashCode)
         val bBeta = spark.sparkContext.broadcast(beta.toArray) // column-major F x K
         val fD = fDims(e)
         linkShift(e) =
@@ -375,7 +379,9 @@ object GibbsDistributed {
       links = betas.map { case (e, b) =>
         e -> Array.tabulate(b.rows)(i => Array.tabulate(b.cols)(j => b(i, j)))
       }.toMap,
-      priorMu = lastHyper.map { case (e, nw) => e -> nw.mu.toArray })
+      priorMu = lastHyper.map { case (e, nw) => e -> nw.mu.toArray },
+      linkPrecisions = betas.keys.map(e =>
+        e -> lambdaBetas.getOrElse(e, opts.lambdaBeta)).toMap)
   }
 
   private def currentPrediction(testCoo: DataFrame, predSum: DataFrame,

@@ -380,6 +380,41 @@ class GibbsSpec extends SparkSpec {
     assert(res.finalRmse < sd, s"CG side-info rmse ${res.finalRmse} not < sd $sd")
   }
 
+  test("sampled link precision (lambda_beta) still converges and is observable") {
+    val s = spark
+    import s.implicits._
+    val n = 30; val m = 20
+    val cells = for (i <- 0 until n; j <- 0 until m) yield {
+      val g = if (i % 2 == 0) 1.0 else -1.0
+      (i.toLong, j.toLong, g + 0.1 * CbRng.gaussian(41L, 1L, i.toLong, j.toLong))
+    }
+    val df = cells.toDF("row", "col", "v")
+    val side = (0 until n).map(i => (i.toLong, Array(if (i % 2 == 0) 1.0 else -1.0)))
+      .toDF("id", "features")
+    val rd0 = RelationData.fromDF(df, Seq("row", "col"), "v")
+    val rd = rd0.copy(entities = rd0.entities.updated("row",
+      rd0.entities("row").copy(side = Some(side))))
+    val split = Macau.assignToTest(rd, 0.2)
+    val res = Macau.macau(spark, split.train, split.test,
+      Gibbs.Options(numLatent = 4, burnin = 3, samples = 3, alpha = 20.0,
+        seed = 43L, sampleLambdaBeta = true))
+    val sd = df.select(stddev_pop($"v")).head().getDouble(0)
+    assert(res.finalRmse < sd, s"sampled-lambda rmse ${res.finalRmse} not < sd $sd")
+    // the drawn precision must be positive and have actually moved off
+    // the fixed default
+    val lp = res.linkPrecisions("row")
+    assert(lp > 0.0 && math.abs(lp - Gibbs.Options().lambdaBeta) > 1e-9,
+      s"lambda_beta not sampled: $lp")
+
+    // distributed mode draws it too
+    val resD = Macau.macau(spark, split.train, split.test,
+      Gibbs.Options(numLatent = 4, burnin = 2, samples = 2, alpha = 20.0,
+        seed = 43L, sampleLambdaBeta = true, distributedFactors = Some(true)))
+    assert(resD.mode == "distributed")
+    val lpD = resD.linkPrecisions("row")
+    assert(lpD > 0.0 && math.abs(lpD - Gibbs.Options().lambdaBeta) > 1e-9)
+  }
+
   test("cold start: side info alone predicts rows never observed in training") {
     val s = spark
     import s.implicits._
