@@ -110,9 +110,10 @@ object Macau {
   def coldStartFactors(spark: SparkSession, res: Gibbs.Result,
                        entity: String, xNew: DataFrame): DataFrame = {
     import spark.implicits._
-    val beta = res.links(entity)   // F x K row-major
-    val mu = res.priorMu(entity)   // K
+    val beta = res.links.getOrElse(entity, Array.empty[Array[Double]])
     require(beta.nonEmpty, s"no trained link matrix for entity $entity")
+    val mu = res.priorMu(entity)   // K; beta is F x K row-major
+    val ff = beta.length
     val bBeta = spark.sparkContext.broadcast(beta)
     val bMu = spark.sparkContext.broadcast(mu)
     val kk = mu.length
@@ -120,6 +121,9 @@ object Macau {
       .as[(Long, Seq[Double])]
       .map { case (id, x) =>
         val b = bBeta.value
+        require(x.length <= ff,
+          s"feature vector for id=$id has ${x.length} entries; " +
+            s"link matrix was trained with F=$ff")
         val u = bMu.value.clone()
         var f = 0
         while (f < x.length) {

@@ -56,7 +56,7 @@ object Pipeline {
     graft.expressions.TextRep.register(s)
     Tables.documents(s, dir)
       .select(col("doc_id"), expr("graft_text_rep(text)").as("r"))
-      .filter(col("r.n_bigrams") > 0)
+      .filter(col("r.n_tokens") > 0 && col("r.n_bigrams") > 0)
       .select(col("doc_id"),
               col("r.n_tokens").as("n_tokens"),
               col("r.n_distinct").as("n_distinct"),
@@ -299,7 +299,7 @@ object Pipeline {
         |    COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
         |  FROM d)
-        |SELECT bef // 2048 AS bin, COUNT(*) AS n_docs,
+        |SELECT CAST(bef // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM p GROUP BY 1 ORDER BY bin""".stripMargin,
