@@ -1,0 +1,316 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sql.{DetSql => D}
+
+/** Round-6 curation / preparation operators: chunking for RAG-style
+  * retrieval corpora, deterministic reservoir sampling, temperature-
+  * scaled source mixing (the data-mixture knob every LLM training run
+  * turns), int8 embedding quantization, robust (median/MAD) outlier
+  * gating, gap-filling windows, unpivot, and URL parsing. All are
+  * declarative DataFrame plans with exact DuckDB oracle twins; the
+  * arithmetic follows the [[graft.sql.Det]] discipline (integer /
+  * decimal fixed-point everywhere a sum or division could otherwise
+  * accumulate order-dependent floating-point error). */
+object Curate {
+
+  /** Fixed-size token chunking (64-token chunks): the standard prep
+    * step for retrieval corpora and long-document training. One narrow
+    * pass per doc; the explode emits (chunk_id, count, 16-char md5) —
+    * never chunk text — so at 100 TB the shuffle carries ~30 B per
+    * chunk and the op parallelizes per document with no skew beyond
+    * document length itself. */
+  def qTextChunk(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0L, (size(tk) - 1) div 64)," +
+          " i -> struct(i AS chunk_id," +
+          " size(slice(tk, int(i * 64 + 1), 64)) AS n_tok_chunk," +
+          " substring(md5(concat_ws(' ', slice(tk, int(i * 64 + 1), 64)))," +
+          "   1, 16) AS chunk_md5))")).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+              col("c.n_tok_chunk").as("n_tok_chunk"),
+              col("c.chunk_md5").as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Deterministic per-group reservoir sample: 20 docs per lang, chosen
+    * by a Knuth-multiplicative-hash priority (reproducible across runs
+    * and engines — NOT engine rand()). The row_number()<=k plan is
+    * rewritten by [[graft.plans.TopKPerKey]] into bounded per-key
+    * heaps: only <=20 survivors per lang are shuffled, never the
+    * corpus, so the sample costs a scan + k-row-per-key shuffle at any
+    * scale. */
+  def qSampleReservoir(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.TopKPerKey.register(s)
+    val prio = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+    val w = Window.partitionBy("lang").orderBy(col("prio"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), prio.as("prio"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("lang"), col("rn").cast("long").as("rn"),
+              col("doc_id"), col("prio"))
+      .orderBy("lang", "rn")
+  }
+
+  /** Temperature-scaled source mixing (T=2, i.e. weights proportional
+    * to sqrt of source size) — the standard upweighting of small
+    * high-quality sources in an LLM training mixture. Weights are kept
+    * in integer micro-units (floor(sqrt(n)*1e6)) so shares come from
+    * exact integer division, not an order-dependent float sum. One
+    * partial-agg pass + a broadcast of the single-row total: no
+    * full-data shuffle at any scale. */
+  def qMixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("w", floor(sqrt(col("n").cast("double")) * 1e6).cast("long"))
+    val tot = per.agg(sum(col("w")).as("total"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n"), col("w"),
+              expr("w * 1000000 div total").as("share_ppm"))
+      .orderBy("source")
+  }
+
+  /** Symmetric int8 quantization of embedding vectors (the storage /
+    * ANN-speed knob for a 100 TB vector corpus): per-vector max-abs
+    * scale, each dim mapped to sign(v)*floor(|v|*127/max). All in
+    * integer fixed-point (micro-units) so Spark and the oracle agree
+    * bit-for-bit. A single narrow codegen pass over the vectors —
+    * no shuffle except the final order for the gate. */
+  def qEmbedQuantize(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr(
+        "transform(embedding," +
+          " x -> cast(cast(cast(x AS double) AS decimal(18,6)) * 1000000" +
+          " AS bigint))").as("vi"))
+      .select(col("vec_id"),
+              expr("array_max(transform(vi, x -> abs(x)))").as("m"),
+              col("vi"))
+      .select(col("vec_id"), col("m"), expr(
+        "transform(vi, x -> CASE WHEN m = 0 THEN 0L" +
+          " ELSE cast(signum(x) AS bigint) * ((abs(x) * 127) div m)" +
+          " END)").as("q"))
+      .select(col("vec_id"), col("m"),
+              expr("aggregate(q, 0L, (a, x) -> a + abs(x))").as("sum_abs_q"),
+              expr("size(filter(q, x -> abs(x) = 127))").as("n_sat"))
+      .orderBy("vec_id")
+
+  /** Robust per-language length outlier gate: exact median + MAD
+    * (median absolute deviation) of n_chars, flagging docs beyond
+    * 3 MAD. Languages are FEW and HUGE, so a partitioned window over
+    * raw docs would recreate the giant-partition regime — instead the
+    * median is computed on the (lang, n_chars) HISTOGRAM (domain-
+    * bounded: doc length), which shrinks the data to |langs|x|lengths|
+    * rows before any window. Medians are exact bracketing values kept
+    * in doubled/quadrupled integer units (med2 = 2*median,
+    * mad4 = 4*MAD) so every comparison is integer; the exported
+    * median/MAD are exact dyadic doubles (x/2, x/4). */
+  def qOutlierMad(s: SparkSession, dir: String): DataFrame = {
+    // The histogram feeds THREE consumers (median brackets, deviation
+    // histogram, final gate) — materialize the post-aggregation rows
+    // (|langs| x |lengths|, tiny) once so the 100 TB scan happens once,
+    // not three times. localCheckpoint, not persist: blocks are
+    // ContextCleaner-reclaimed (same discipline as Prefix.withPrefix).
+    val h = Tables.documents(s, dir)
+      .groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val wl = Window.partitionBy("lang").orderBy("n_chars")
+    val wn = Window.partitionBy("lang")
+    val cum = h.select(col("lang"), col("n_chars"), col("c"),
+      sum(col("c")).over(wl).as("cum"), sum(col("c")).over(wn).as("n"))
+    def bracket(df: DataFrame, v: String): DataFrame =
+      df.filter(col("cum") >= Prefix.idiv(col("n") + 1, lit(2L)))
+        .groupBy("lang").agg(min(col(v)).as("v_lo"))
+        .join(df.filter(col("cum") >= Prefix.idiv(col("n") + 2, lit(2L)))
+          .groupBy("lang").agg(min(col(v)).as("v_hi"), max(col("n")).as("n")),
+          "lang")
+    val med = bracket(cum, "n_chars")
+      .select(col("lang"), (col("v_lo") + col("v_hi")).as("med2"), col("n"))
+    val hd = h.join(broadcast(med), "lang")
+      .select(col("lang"), abs(lit(2) * col("n_chars") - col("med2"))
+        .as("dev2"), col("c"))
+      .groupBy("lang", "dev2").agg(sum(col("c")).as("c"))
+    val wd = Window.partitionBy("lang").orderBy("dev2")
+    val cumd = hd.select(col("lang"), col("dev2"), col("c"),
+      sum(col("c")).over(wd).as("cum"), sum(col("c")).over(wn).as("n"))
+    val mad = bracket(cumd, "dev2")
+      .select(col("lang"), (col("v_lo") + col("v_hi")).as("mad4"))
+    val gates = med.join(mad, "lang")
+    h.join(broadcast(gates), "lang")
+      .groupBy("lang")
+      .agg(max(col("n")).as("n"),
+           (max(col("med2")) / lit(2.0)).as("median_chars"),
+           (max(col("mad4")) / lit(4.0)).as("mad_chars"),
+           sum(when(lit(2) * abs(lit(2) * col("n_chars") - col("med2"))
+             > lit(3) * col("mad4"), col("c")).otherwise(lit(0L)))
+             .as("n_outliers"))
+      .orderBy("lang")
+  }
+
+  /** Gap-filling navigation window: each event carries the value of the
+    * user's most recent purchase at-or-before it (LAST_VALUE ... IGNORE
+    * NULLS). Partitioned per user — genuinely parallel; ordering is
+    * pinned to (microsecond ts, event_id) in BOTH engines so ties
+    * cannot reorder across the ns-vs-us parquet precision gap. */
+  def qWinFillForward(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+              unix_timestamp(col("ts")).as("ts_s"),
+              last(when(col("event_type") === "purchase", col("value")),
+                   ignoreNulls = true).over(w).as("last_purchase_v"))
+      .orderBy("event_id")
+  }
+
+  /** Unpivot (wide -> long): part metrics melted to (metric, val) rows
+    * via `stack` — a pure narrow Generate, 2 rows out per row in, no
+    * shuffle. The inverse face of q_agg_pivot. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .selectExpr("p_partkey",
+        "stack(2, 'retailprice', p_retailprice," +
+          " 'size', cast(p_size AS double)) AS (metric, val)")
+      .orderBy("p_partkey", "metric")
+
+  /** URL parsing (the log/crawl-processing workhorse): synthesizes a
+    * canonical URL per doc, then extracts host / path / query-param /
+    * fragment with Spark's native parse_url expression. The oracle
+    * rebuilds each component from the same ground-truth columns, so
+    * this checks parse_url's semantics exactly. Narrow, codegen, no
+    * shuffle. */
+  def qFnUrl(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example.org/docs/"),
+               col("doc_id"), lit("?lang="), col("lang"),
+               lit("&ref=graft#top")).as("url"))
+      .select(col("doc_id"), col("url"),
+              expr("parse_url(url, 'HOST')").as("host"),
+              expr("parse_url(url, 'PATH')").as("path"),
+              expr("parse_url(url, 'QUERY', 'lang')").as("q_lang"),
+              expr("parse_url(url, 'REF')").as("frag"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_chunk" -> (qTextChunk _),
+    "q_sample_reservoir" -> (qSampleReservoir _),
+    "q_mix_temperature" -> (qMixTemperature _),
+    "q_embed_quantize" -> (qEmbedQuantize _),
+    "q_outlier_mad" -> (qOutlierMad _),
+    "q_win_fill_forward" -> (qWinFillForward _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_fn_url" -> (qFnUrl _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_text_chunk" ->
+      """WITH tkl AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(LEN(tk[i*64+1 : i*64+64]) AS INT) AS n_tok_chunk,
+        |  SUBSTRING(MD5(ARRAY_TO_STRING(tk[i*64+1 : i*64+64], ' ')), 1, 16)
+        |    AS chunk_md5
+        |FROM tkl, GENERATE_SERIES(0, 63) AS g(i)
+        |WHERE i <= (LEN(tk) - 1) // 64
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_sample_reservoir" ->
+      """SELECT lang, rn, doc_id, prio FROM (
+        |  SELECT lang, doc_id, (doc_id * 2654435761) % 4294967296 AS prio,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
+    "q_mix_temperature" ->
+      """WITH per AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, n,
+        |  CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w
+        |  FROM per),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM w)
+        |SELECT source, n, w, w * 1000000 // total AS share_ppm
+        |FROM w, t ORDER BY source""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH u AS (
+        |  SELECT vec_id,
+        |    CAST(CAST(CAST(e AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+        |      AS vi
+        |  FROM (SELECT vec_id, UNNEST(embedding) AS e FROM embeddings)),
+        |mm AS (SELECT vec_id, MAX(ABS(vi)) AS m FROM u GROUP BY vec_id),
+        |q AS (
+        |  SELECT u.vec_id, mm.m,
+        |    CASE WHEN m = 0 THEN 0
+        |    ELSE CAST(SIGN(vi) AS BIGINT) * ((ABS(vi) * 127) // m) END AS qd
+        |  FROM u JOIN mm ON u.vec_id = mm.vec_id)
+        |SELECT vec_id, CAST(MAX(m) AS BIGINT) AS m,
+        |  CAST(SUM(ABS(qd)) AS BIGINT) AS sum_abs_q,
+        |  CAST(COUNT(*) FILTER (WHERE ABS(qd) = 127) AS INT) AS n_sat
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q_outlier_mad" ->
+      """WITH h AS (
+        |  SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, n_chars, c,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+        |    SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM h),
+        |med AS (
+        |  SELECT lo.lang, v_lo + v_hi AS med2, lo.n FROM
+        |    (SELECT lang, MIN(n_chars) AS v_lo, MAX(n) AS n FROM cum
+        |     WHERE cum >= (n + 1) // 2 GROUP BY lang) lo
+        |    JOIN (SELECT lang, MIN(n_chars) AS v_hi FROM cum
+        |     WHERE cum >= (n + 2) // 2 GROUP BY lang) hi
+        |    ON lo.lang = hi.lang),
+        |hd AS (
+        |  SELECT h.lang, ABS(2 * n_chars - med2) AS dev2, SUM(c) AS c
+        |  FROM h JOIN med ON h.lang = med.lang GROUP BY 1, 2),
+        |cumd AS (
+        |  SELECT lang, dev2, c,
+        |    SUM(c) OVER (PARTITION BY lang ORDER BY dev2) AS cum,
+        |    SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM hd),
+        |mad AS (
+        |  SELECT dlo.lang, d_lo + d_hi AS mad4 FROM
+        |    (SELECT lang, MIN(dev2) AS d_lo FROM cumd
+        |     WHERE cum >= (n + 1) // 2 GROUP BY lang) dlo
+        |    JOIN (SELECT lang, MIN(dev2) AS d_hi FROM cumd
+        |     WHERE cum >= (n + 2) // 2 GROUP BY lang) dhi
+        |    ON dlo.lang = dhi.lang)
+        |SELECT h.lang, CAST(MAX(med.n) AS BIGINT) AS n,
+        |  MAX(med2) / 2.0 AS median_chars,
+        |  MAX(mad4) / 4.0 AS mad_chars,
+        |  CAST(SUM(CASE WHEN 2 * ABS(2 * n_chars - med2) > 3 * mad4
+        |    THEN c ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM h JOIN med ON h.lang = med.lang JOIN mad ON h.lang = mad.lang
+        |GROUP BY h.lang ORDER BY h.lang""".stripMargin,
+    "q_win_fill_forward" ->
+      """SELECT event_id, user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_s,
+        |  LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+        |    IGNORE NULLS)
+        |    OVER (PARTITION BY user_id
+        |          ORDER BY EPOCH_NS(ts) // 1000, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_purchase_v
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_unpivot" ->
+      """SELECT p_partkey, metric, val FROM (
+        |  SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val
+        |  FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part)
+        |ORDER BY p_partkey, metric""".stripMargin,
+    "q_fn_url" ->
+      """SELECT doc_id,
+        |  'https://' || source || '.example.org/docs/' ||
+        |    CAST(doc_id AS VARCHAR) ||
+        |    '?lang=' || lang || '&ref=graft#top' AS url,
+        |  source || '.example.org' AS host,
+        |  '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+        |  lang AS q_lang,
+        |  'top' AS frag
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

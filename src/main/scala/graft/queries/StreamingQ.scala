@@ -127,7 +127,36 @@ object StreamingQ {
       .orderBy("cohort", "offset_h")
   }
 
+  /** The static enrichment dimension for [[qStreamEnrich]] — in a real
+    * deployment a slowly-changing reference table the stream joins
+    * against on every micro-batch. */
+  def enrichDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("view", 1L), ("click", 2L), ("signup", 3L),
+        ("purchase", 5L), ("error", 0L)).toDF("event_type", "weight")
+  }
+
+  /** Stream-static enrichment join: the event stream joined to a small
+    * static dimension (event_type -> weight), then hourly weighted
+    * sums. In streaming this is the canonical broadcast enrichment —
+    * the static side is broadcast to every task, the stream side never
+    * shuffles for the join, and state is only the windowed agg.
+    * Streaming parity (readStream + same join) is asserted in
+    * StreamingSpec; weighted sums are exact decimals per the Det
+    * discipline. */
+  def qStreamEnrich(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .join(broadcast(enrichDim(s)), "event_type")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("value")) * col("weight")).cast("double")
+             .as("wsum_value"))
+      .select(unix_timestamp(col("window.start")).as("ws"),
+              col("event_type"), col("n"), col("wsum_value"))
+      .orderBy("ws", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_retention" -> (qStreamRetention _),
     "q_stream_funnel" -> (qStreamFunnel _),
     "q_stream_tumbling" -> (qStreamTumbling _),
@@ -141,6 +170,16 @@ object StreamingQ {
   private val esSql = "CAST(FLOOR(EPOCH(ts)) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "q_stream_enrich" ->
+      s"""WITH dim(event_type, weight) AS (VALUES
+         |  ('view', 1), ('click', 2), ('signup', 3),
+         |  ('purchase', 5), ('error', 0))
+         |SELECT ($esSql // 3600) * 3600 AS ws, e.event_type,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6)) * weight) AS DOUBLE)
+         |    AS wsum_value
+         |FROM events e JOIN dim ON e.event_type = dim.event_type
+         |GROUP BY 1, 2 ORDER BY ws, e.event_type""".stripMargin,
     "q_stream_tumbling" ->
       s"""SELECT ($esSql // 3600) * 3600 AS ws, event_type,
          |  COUNT(*) AS n, ${D.dsum("value")} AS sum_value

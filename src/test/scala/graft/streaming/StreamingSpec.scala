@@ -211,4 +211,34 @@ class StreamingSpec extends SparkSpec {
     val dirs = new java.io.File(dir).listFiles().count(_.getName.startsWith("batch_id="))
     assert(dirs >= 2, s"expected >=2 batch partitions, found $dirs")
   }
+
+  test("stream-static enrichment join: stream result equals batch result") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dim = graft.queries.StreamingQ.enrichDim(s)
+    val rows = Seq(
+      (1L, ts(0), "view", 1.0), (2L, ts(5), "click", 2.0),
+      (3L, ts(12), "purchase", 3.0), (4L, ts(61), "view", 4.0),
+      (5L, ts(65), "error", 5.0))
+
+    def enrich(df: org.apache.spark.sql.DataFrame) =
+      df.join(broadcast(dim), "event_type")
+        .groupBy(window($"ts", "10 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value" * $"weight").as("ws"))
+
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    mem.addData(rows: _*)
+    val q = enrich(mem.toDF.toDF("event_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = s.table("enrich_out")
+      .select($"window.start", $"event_type", $"n", $"ws").collect().toSet
+    val exp = enrich(rows.toDF("event_id", "ts", "event_type", "value"))
+      .select($"window.start", $"event_type", $"n", $"ws").collect().toSet
+    assert(got === exp)
+  }
 }
