@@ -311,6 +311,44 @@ object Llm {
       .orderBy("eval_id")
   }
 
+  /** Incremental corpus update — the production dedup shape: a NEW
+    * batch of documents (doc_id % 7 == 3, ~14%) is checked against the
+    * standing corpus INDEX (everything else), and EVERY new doc gets a
+    * keep/drop verdict — novel docs included, via the left join. The
+    * per-doc signature table is exactly what a deployment keeps
+    * materialized between batches: signing is linear in the BATCH, the
+    * verify join touches only signature-blocked candidates, and the
+    * index is never re-shingled wholesale. Word-3-gram Jaccard >= 0.7
+    * via the same graft_shingle_common kernel as the LSH family. */
+  def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.ShingleOps.register(s)
+    val base = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"),
+              expr("graft_minhash_sig(text)").as("sg"))
+      .select(col("doc_id"), col("text"),
+              col("sg.mh0").as("mh0"), col("sg.sz").as("sz"))
+    val fresh = base.filter(pmod(col("doc_id"), lit(7)) === 3)
+      .select(col("doc_id").as("dn"), col("text").as("text_n"),
+              col("mh0"), col("sz").as("szn"))
+    val index = base.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      .select(col("doc_id").as("di"), col("text").as("text_i"),
+              col("mh0").as("nh0"), col("sz").as("szi"))
+    val hits = fresh.join(index, col("mh0") === col("nh0"))
+      .select(col("dn"), col("di"), col("szn"), col("szi"),
+              expr("graft_shingle_common(text_n, text_i)").as("nc"))
+      .filter(col("nc").cast("double") /
+        (col("szn") + col("szi") - col("nc")) >= 0.7)
+      .groupBy(col("dn").as("doc_id"))
+      .agg(count(lit(1)).as("nm"), min(col("di")).as("first_match"))
+    fresh.select(col("dn").as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("nm"), lit(0L)).as("n_matches"),
+              col("nm").isNotNull.cast("int").as("is_dup"),
+              col("first_match"))
+      .orderBy("doc_id")
+  }
+
   /** Regex (BPE-ish) token counting per language. */
   def qTextTokensBpe(s: SparkSession, dir: String): DataFrame = {
     val n = size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
@@ -686,6 +724,7 @@ object Llm {
     "q_text_quality" -> (qTextQuality _),
     "q_text_normalize" -> (qTextNormalize _),
     "q_text_contamination" -> (qTextContamination _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
     "q_text_tokens_bpe" -> (qTextTokensBpe _),
     "q_sim_cosine_topk" -> (qSimCosineTopk _),
     "q_sim_cosine_fused" -> (qSimCosineFused _),
@@ -781,6 +820,37 @@ object Llm {
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM documents GROUP BY MD5(text) HAVING COUNT(*) > 1
         |ORDER BY h""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CONCAT_WS(' ', tk[i], tk[i + 1], tk[i + 2]) AS token
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |       GENERATE_SERIES(1, 512) AS g(i)
+        |  WHERE i <= GREATEST(LEN(tk) - 2, 1)),
+        |t AS (SELECT DISTINCT doc_id, token FROM sh),
+        |sig AS (
+        |  SELECT doc_id, MIN(SUBSTRING(MD5(token), 1, 8)) AS mh0,
+        |    COUNT(*) AS sz
+        |  FROM t GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS dn, b.doc_id AS di, a.sz AS sa, b.sz AS sb
+        |  FROM sig a JOIN sig b ON a.mh0 = b.mh0
+        |   AND a.doc_id % 7 = 3 AND b.doc_id % 7 <> 3),
+        |pairs AS (
+        |  SELECT dn, di, COUNT(*) AS nc, sa + sb - COUNT(*) AS nu
+        |  FROM cand
+        |  JOIN t ta ON ta.doc_id = dn
+        |  JOIN t tb ON tb.doc_id = di AND ta.token = tb.token
+        |  GROUP BY dn, di, sa, sb),
+        |hits AS (
+        |  SELECT dn, COUNT(*) AS nm, MIN(di) AS first_match
+        |  FROM pairs WHERE CAST(nc AS DOUBLE) / nu >= 0.7 GROUP BY dn)
+        |SELECT d.doc_id, COALESCE(h.nm, 0) AS n_matches,
+        |  CASE WHEN h.nm IS NULL THEN 0 ELSE 1 END AS is_dup,
+        |  h.first_match AS first_match
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.dn
+        |WHERE d.doc_id % 7 = 3
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_minhash_lsh" -> {
       val mhCols = (0 until 4).map(k => s"MIN(SUBSTRING(MD5(token), ${8 * k + 1}, 8)) AS mh$k").mkString(", ")
       val bandEq = (0 until 4).map(k => s"a.mh$k = b.mh$k").mkString(" AND ")

@@ -200,7 +200,33 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** PII-style masking (the regex face of the scrub family): the
+    * generated corpus carries no PII-shaped strings (SURVEY §2 note),
+    * so the ID-bearing text is synthesized deterministically from
+    * ground-truth columns — then every digit run is masked, hits
+    * counted, and the redacted text fingerprinted. One narrow codegen
+    * pass, no shuffle; swapping the digit regex for email/phone
+    * patterns is configuration, not new plumbing. */
+  def qTextRedact(s: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"), lit(" uid:"), col("doc_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+           concat(lit(" ref:"), col("doc_id") * 31 + 7))
+        .otherwise(lit(" ref:none")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), aug.as("augmented"))
+      .select(col("doc_id"),
+              size(regexp_extract_all(col("augmented"), lit("[0-9]+"), lit(0)))
+                .as("n_hits"),
+              regexp_replace(col("augmented"), "[0-9]+", "<ID>").as("red"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("n_hits"),
+              length(col("red")).as("red_len"),
+              md5(col("red").cast("binary")).as("red_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_redact" -> (qTextRedact _),
     "q_mix_sources" -> (qMixSources _),
     "q_text_filter_gate" -> (qTextFilterGate _),
     "q_text_repetition" -> (qTextRepetition _),
@@ -218,6 +244,23 @@ object Pipeline {
       |  SELECT doc_id, token FROM toks WHERE token <> '')""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_text_redact" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    text || ' uid:' || CAST(doc_id AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' ref:' || CAST(doc_id * 31 + 7 AS VARCHAR)
+        |      ELSE ' ref:none' END AS augmented
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(REGEXP_EXTRACT_ALL(augmented, '[0-9]+')) AS INT)
+        |      AS n_hits,
+        |    REGEXP_REPLACE(augmented, '[0-9]+', '<ID>', 'g') AS red
+        |  FROM a)
+        |SELECT doc_id, n_hits, CAST(LENGTH(red) AS INT) AS red_len,
+        |  MD5(red) AS red_md5
+        |FROM r WHERE n_hits > 0 ORDER BY doc_id""".stripMargin,
     "q_mix_sources" ->
       """WITH d AS (
         |  SELECT source,

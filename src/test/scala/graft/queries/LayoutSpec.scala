@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: kernel exactness against a brute-force Morton code,
+  * and the actual data-skipping payoff measured on parquet footers —
+  * a box predicate overlaps FEWER files under the z-order layout than
+  * under a 1-D sort, on the dimension the 1-D sort ignores. */
+class LayoutSpec extends SparkSpec {
+
+  private def mortonRef(x: Int, y: Int): Long = {
+    var z = 0L
+    for (i <- 0 until 16)
+      z |= ((x >> i) & 1).toLong << (2 * i) | ((y >> i) & 1).toLong << (2 * i + 1)
+    z
+  }
+
+  test("z2 equals the bit-by-bit Morton reference on the 16-bit corners") {
+    val s = spark
+    import s.implicits._
+    val vals = Seq(0, 1, 2, 3, 255, 256, 4095, 32768, 65535, 40000)
+    val pairs = for (x <- vals; y <- vals) yield (x, y)
+    val got = pairs.toDF("x", "y")
+      .select($"x", $"y", graft.queries.Layout.z2($"x", $"y").as("z"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    pairs.foreach { case (x, y) =>
+      assert(got((x, y)) == mortonRef(x, y), s"z2($x, $y)")
+    }
+  }
+
+  test("q_layout_zorder buckets are interleave-consistent") {
+    val rows = Layout.qLayoutZorder(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, zmin, zmax) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(zmin >> 26 == b && zmax >> 26 == b, "bucket boundary violated")
+    }
+  }
+
+  /** Per-file [min,max] of a column straight from the parquet footers —
+    * exactly the stats a scan uses for row-group skipping. */
+  private def fileRanges(dir: String, column: String): Seq[(Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    new java.io.File(dir).listFiles
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+      .map { f =>
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f.getPath), new Configuration()))
+        try {
+          val ranges = r.getFooter.getBlocks.asScala.flatMap { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .map { c =>
+                val st = c.getStatistics
+                (st.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+                 st.genericGetMax.asInstanceOf[java.lang.Long].longValue)
+              }
+          }
+          (ranges.map(_._1).min, ranges.map(_._2).max)
+        } finally r.close()
+      }
+  }
+
+  test("z-order layout prunes a suppkey box that a partkey sort cannot") {
+    val li = graft.Tables.lineitem(spark, sf("sf0.001"))
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val base = java.nio.file.Files.createTempDirectory("graft_layout").toString
+
+    // 1-D layout: range-sorted by partkey only
+    li.repartitionByRange(8, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$base/linear")
+    // 2-D layout: z-ordered on (partkey, suppkey)
+    Layout.zorderWrite(li, "l_partkey", "l_suppkey", s"$base/zorder", 8)
+
+    def overlapping(dir: String, lo: Long, hi: Long): Int =
+      fileRanges(dir, "l_suppkey").count { case (mn, mx) => mx >= lo && mn <= hi }
+
+    // narrow box on the dimension the linear sort ignores
+    val (lo, hi) = (2L, 3L)
+    val linHit = overlapping(s"$base/linear", lo, hi)
+    val zHit = overlapping(s"$base/zorder", lo, hi)
+    assert(linHit == 8, s"partkey sort should leave every file overlapping, got $linHit")
+    assert(zHit < linHit, s"z-order must skip files on suppkey: $zHit vs $linHit")
+    // and both layouts return identical data
+    val a = spark.read.parquet(s"$base/linear").orderBy("l_orderkey", "l_partkey", "l_suppkey").collect.toSeq
+    val b = spark.read.parquet(s"$base/zorder").orderBy("l_orderkey", "l_partkey", "l_suppkey").collect.toSeq
+    assert(a == b, "layouts must hold the same rows")
+  }
+}
