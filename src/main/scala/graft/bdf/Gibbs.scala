@@ -103,7 +103,11 @@ object Gibbs {
       priorMu: Map[String, Array[Double]] = Map.empty,
       /** Final link precision λβ per side-equipped entity (the fixed
         * Options.lambdaBeta unless sampleLambdaBeta drew it). */
-      linkPrecisions: Map[String, Double] = Map.empty)
+      linkPrecisions: Map[String, Double] = Map.empty,
+      /** Test RMSE of each individual posterior SAMPLE (not the running
+        * mean `rmseHistory` tracks) — the stationary trace
+        * Diagnostics.rHat needs for multi-chain convergence checks. */
+      sampleRmseHistory: Seq[Double] = Nil)
 
   /** Driver-resident doubles the broadcast mode would allocate: the
     * N x K factor matrix per entity plus the densified N x F side
@@ -195,6 +199,7 @@ object Gibbs {
     var alpha = opts.alpha
     var lastHyper: Map[String, NW] = Map.empty
     val rmseHist = scala.collection.mutable.ArrayBuffer[Double]()
+    val sampleRmseHist = scala.collection.mutable.ArrayBuffer[Double]()
 
     // running posterior mean over post-burnin samples, keyed by test row
     var predSum: Option[DataFrame] = None
@@ -381,6 +386,10 @@ object Gibbs {
         val cur = currentPrediction(spark, testCoo, rd.relations.head, predSum.get, nSamples, opts)
         val rmse = math.sqrt(cur.select(avg(pow(col("pred") - col("v"), 2))).head().getDouble(0))
         rmseHist += rmse
+        // the SAMPLE's own RMSE (stationary trace for Diagnostics.rHat)
+        sampleRmseHist += math.sqrt(
+          p.join(testCoo.select(col("row_id"), col("v")), "row_id")
+            .select(avg(pow(col("pred") - col("v"), 2))).head().getDouble(0))
       }
     }
 
@@ -395,7 +404,8 @@ object Gibbs {
       links = betas.map { case (e, b) => e -> toArrays(b) }.toMap,
       priorMu = lastHyper.map { case (e, nw) => e -> nw.mu.toArray },
       linkPrecisions = betas.keys.map(e =>
-        e -> lambdaBetas.getOrElse(e, opts.lambdaBeta)).toMap)
+        e -> lambdaBetas.getOrElse(e, opts.lambdaBeta)).toMap,
+      sampleRmseHistory = sampleRmseHist.toSeq)
   }
 
   // ---------- helpers ----------

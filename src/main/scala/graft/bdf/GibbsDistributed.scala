@@ -88,6 +88,7 @@ object GibbsDistributed {
     var lastHyper: Map[String, Gibbs.NW] = Map.empty
 
     val rmseHist = scala.collection.mutable.ArrayBuffer[Double]()
+    val sampleRmseHist = scala.collection.mutable.ArrayBuffer[Double]()
     var predSum: Option[DataFrame] = None
     var nSamples = 0
     var alphaCur = opts.alpha
@@ -370,6 +371,10 @@ object GibbsDistributed {
         val cur = currentPrediction(testCoo, predSum.get, nSamples, opts)
         val rmse = math.sqrt(cur.select(avg(pow(col("pred") - col("v"), 2))).head().getDouble(0))
         rmseHist += rmse
+        // the SAMPLE's own RMSE (stationary trace for Diagnostics.rHat)
+        sampleRmseHist += math.sqrt(
+          p.join(testCoo.select(col("row_id"), col("v")), "row_id")
+            .select(avg(pow(col("pred") - col("v"), 2))).head().getDouble(0))
       }
     }
 
@@ -381,7 +386,8 @@ object GibbsDistributed {
       }.toMap,
       priorMu = lastHyper.map { case (e, nw) => e -> nw.mu.toArray },
       linkPrecisions = betas.keys.map(e =>
-        e -> lambdaBetas.getOrElse(e, opts.lambdaBeta)).toMap)
+        e -> lambdaBetas.getOrElse(e, opts.lambdaBeta)).toMap,
+      sampleRmseHistory = sampleRmseHist.toSeq)
   }
 
   private def currentPrediction(testCoo: DataFrame, predSum: DataFrame,

@@ -87,6 +87,28 @@ object Bdf {
       .agg(count(lit(1)).as("n"), davg(col("l_quantity")).as("mean_qty"))
       .orderBy("l_partkey", "l_suppkey")
 
+  /** A11 companion: posterior predictive UNCERTAINTY per cell — the
+    * std-dev the reference surfaces alongside the mean prediction
+    * (BPMF's predictive distribution has a spread, not just a point).
+    * Exact decimal sums of x and x² make the variance hash-stable; the
+    * remaining float ops (divide, subtract, sqrt) are correctly-rounded
+    * IEEE on identical inputs in both engines. Cells with n ≥ 2 only
+    * (a singleton's sample std is undefined). Same one-shuffle
+    * partial-agg shape as the mean. */
+  def qBdfPosteriorStd(s: SparkSession, dir: String): DataFrame = {
+    val n = count(lit(1))
+    val sq = sum(dec(col("l_quantity"))).cast("double")
+    val sq2 = sum((dec(col("l_quantity")) * dec(col("l_quantity")))
+      .cast(DecT)).cast("double")
+    Tables.lineitem(s, dir)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(n.as("n"), (sq / n).as("mean_qty"),
+           sqrt(greatest(sq2 / n - (sq / n) * (sq / n), lit(0.0)))
+             .as("std_qty"))
+      .filter(col("n") >= 2)
+      .orderBy("l_partkey", "l_suppkey")
+  }
+
   /** A11: clamp predictions to a valid range (macau clamp argument). */
   def qBdfClamp(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).select(
@@ -221,6 +243,7 @@ object Bdf {
     "q_bdf_auc" -> (qBdfAuc _),
     "q_bdf_roc" -> (qBdfRoc _),
     "q_bdf_predict_cells" -> (qBdfPredictCells _),
+    "q_bdf_posterior_std" -> (qBdfPosteriorStd _),
     "q_bdf_tensor_agg" -> (qBdfTensorAgg _),
     "q_bdf_multirel" -> (qBdfMultirel _),
   )
@@ -254,6 +277,15 @@ object Bdf {
     "q_bdf_posterior_mean" ->
       s"""SELECT l_partkey, l_suppkey, COUNT(*) AS n, ${D.davg("l_quantity")} AS mean_qty
          |FROM lineitem GROUP BY l_partkey, l_suppkey
+         |ORDER BY l_partkey, l_suppkey""".stripMargin,
+    "q_bdf_posterior_std" ->
+      s"""SELECT l_partkey, l_suppkey, COUNT(*) AS n,
+         |  ${D.davg("l_quantity")} AS mean_qty,
+         |  SQRT(GREATEST(
+         |    CAST(SUM(CAST(${D.dec("l_quantity")} * ${D.dec("l_quantity")} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         |    - (${D.davg("l_quantity")}) * (${D.davg("l_quantity")}), 0)) AS std_qty
+         |FROM lineitem GROUP BY l_partkey, l_suppkey
+         |HAVING COUNT(*) >= 2
          |ORDER BY l_partkey, l_suppkey""".stripMargin,
     "q_bdf_clamp" ->
       """SELECT o_orderkey,
