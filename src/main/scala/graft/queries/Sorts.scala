@@ -43,12 +43,28 @@ object Sorts {
     val l = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
               col("l_extendedprice").as("v"))
-    val perValue = l.groupBy("v").agg(count(lit(1)).as("n"))
-    val pre = Prefix.withPrefix(perValue, "v", Seq("n"))
-      .filter(col("n_before") < hi && col("n_before") + col("n") >= lo)
-      .select(col("v").as("pv"), col("n_before"))
-    val w = Window.partitionBy("v").orderBy("l_orderkey", "l_linenumber")
-    l.join(broadcast(pre), col("v") === col("pv"))
+    // Same selection machinery as q_sort_percentile_exact: bucket RAW
+    // rows on equi-depth value boundaries (l_extendedprice is
+    // near-unique, so a per-distinct-value grouping would be an
+    // O(N)-group agg — the round-5 formulation paid exactly that),
+    // count per bucket (256 groups, map-side combine), locate the
+    // page's bucket(s) on the tiny prefix table, and window ONLY their
+    // ~N/256 rows for the in-bucket tiebreak. Buckets are a function of
+    // v alone, so equal values never straddle a boundary and
+    // bucket-prefix + in-bucket row_number is the same total order as
+    // the oracle's global ROW_NUMBER. Page depth still never costs a
+    // shuffle sort.
+    val bucketed = l.withColumn("_pb", Prefix.bucketOf(col("v"),
+      Prefix.depthBoundaries(l, col("v"), 256)))
+    val counts = bucketed.groupBy("_pb").agg(count(lit(1)).as("bn"))
+    val pref = counts.as("a")
+      .join(counts.as("b"), col("b._pb") < col("a._pb"), "left")
+      .groupBy(col("a._pb").as("pb"), col("a.bn").as("bn"))
+      .agg(coalesce(sum(col("b.bn")), lit(0L)).as("n_before"))
+      .filter(col("n_before") < hi && col("n_before") + col("bn") >= lo)
+    val w = Window.partitionBy("_pb")
+      .orderBy("v", "l_orderkey", "l_linenumber")
+    bucketed.join(broadcast(pref), col("_pb") === col("pb"))
       .withColumn("rank", col("n_before") + row_number().over(w))
       .filter(col("rank").between(lo, hi))
       .select(col("rank"), col("l_orderkey"), col("l_linenumber"), col("v"))

@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Shuffle-VOLUME assertions: PlanSpec pins plan shapes; this spec pins
+  * the actual bytes crossing the wire, read from the executed plan's
+  * shuffle-write SQL metrics. These are the numeric tripwires for the
+  * SURVEY §2 scale claims — e.g. the minhash pipeline's "shuffles
+  * ~100 B of signature per document, never the shingle blow-up": if a
+  * Generate/DISTINCT formulation ever sneaks back in, the byte count
+  * jumps by orders of magnitude and this fails long before a human
+  * notices a slow plan. Thresholds carry ~4x headroom over measured
+  * sf0.01 values, far below the nearest pathological regression. */
+class ShuffleSpec extends SparkSpec {
+
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allNodes(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      allNodes(s.plan)
+    case other => other +: other.children.flatMap(allNodes)
+  }
+
+  /** Total shuffle bytes written across the executed plan (AQE-aware).
+    * SQL metrics are accumulators merged on task completion, so the
+    * values are settled once collect() returns. */
+  private def shuffleBytes(df: DataFrame): Long = {
+    df.collect()
+    allNodes(df.queryExecution.executedPlan)
+      .flatMap(_.metrics.get("shuffleBytesWritten").map(_.value))
+      .sum
+  }
+
+  test("minhash LSH shuffles signatures, never the shingle blow-up") {
+    val b = shuffleBytes(Llm.qDedupMinhashLsh(spark, sf("sf0.01")))
+    info(s"q_dedup_minhash_lsh shuffle bytes at sf0.01: $b")
+    // 500 docs x ~510 shingles x ~33 B ≈ 8+ MB if the explode+DISTINCT
+    // formulation ever returns; the signature plan stays in the tens of KB
+    assert(b < 1000 * 1000, s"signature-only claim violated: $b bytes")
+  }
+
+  test("reservoir sample shuffles only the per-key survivors") {
+    val b = shuffleBytes(Curate.qSampleReservoir(spark, sf("sf0.01")))
+    info(s"q_sample_reservoir shuffle bytes at sf0.01: $b")
+    // TopKPerKey ships <=20 rows per lang (plus partial heaps), not the corpus
+    assert(b < 200 * 1000, s"bounded-heap claim violated: $b bytes")
+  }
+
+  test("flagship aggregation shuffles only map-side partials") {
+    val b = shuffleBytes(Aggs.qAggPricing(spark, sf("sf0.01")))
+    info(s"q_agg_pricing shuffle bytes at sf0.01: $b")
+    // 60k rows reduce to a handful of (flag, status) partials per task
+    assert(b < 100 * 1000, s"partial-agg claim violated: $b bytes")
+  }
+
+  test("pack_sequences shuffles bucket metadata, not the corpus tokens") {
+    val b = shuffleBytes(Pipeline.qPackSequences(spark, sf("sf0.01")))
+    info(s"q_pack_sequences shuffle bytes at sf0.01: $b")
+    assert(b < 1000 * 1000, s"prefix-engine claim violated: $b bytes")
+  }
+}
