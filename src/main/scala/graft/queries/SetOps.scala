@@ -41,7 +41,31 @@ object SetOps {
       .except(Tables.lineitem(s, dir).select(col("l_partkey").as("partkey")))
       .orderBy("partkey")
 
+  /** Multiset difference (EXCEPT ALL): every lineitem part reference
+    * minus ONE copy per catalogued part — i.e. each partkey survives
+    * (uses - 1) times. Folded to (partkey, n_left) so the output is
+    * compact and deterministically ordered. Spark plans exceptAll as a
+    * counted hash join, not a sort. */
+  def qExceptAll(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(col("l_partkey").as("partkey"))
+      .exceptAll(Tables.part(s, dir).select(col("p_partkey").as("partkey")))
+      .groupBy("partkey").agg(count(lit(1)).as("n_left"))
+      .orderBy("partkey")
+
+  /** Multiset intersection (INTERSECT ALL): per partkey, min(multiplicity
+    * in returned lineitems, multiplicity in appealed ones) copies. */
+  def qIntersectAll(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    l.filter(col("l_returnflag") === "R").select(col("l_partkey").as("partkey"))
+      .intersectAll(l.filter(col("l_returnflag") === "A")
+        .select(col("l_partkey").as("partkey")))
+      .groupBy("partkey").agg(count(lit(1)).as("n_both"))
+      .orderBy("partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_except_all" -> (qExceptAll _),
+    "q_intersect_all" -> (qIntersectAll _),
     "q_union_all" -> (qUnionAll _),
     "q_union_distinct" -> (qUnionDistinct _),
     "q_intersect" -> (qIntersect _),
@@ -49,6 +73,18 @@ object SetOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_except_all" ->
+      """SELECT partkey, COUNT(*) AS n_left FROM (
+        |  SELECT l_partkey AS partkey FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT p_partkey AS partkey FROM part)
+        |GROUP BY partkey ORDER BY partkey""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT partkey, COUNT(*) AS n_both FROM (
+        |  SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'R'
+        |  INTERSECT ALL
+        |  SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'A')
+        |GROUP BY partkey ORDER BY partkey""".stripMargin,
     "q_union_all" ->
       s"""SELECT src, COUNT(*) AS n, ${D.dsum("bal")} AS sum_bal
          |FROM (SELECT 'cust' AS src, c_custkey AS id, c_acctbal AS bal FROM customer

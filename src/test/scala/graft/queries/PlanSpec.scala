@@ -78,6 +78,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"means side not broadcast:\n$p")
   }
 
+  test("round-6 narrow ops stay Generate-free and broadcast their tiny sides") {
+    // one codegen pass each — a Generate or shuffle join here would be
+    // the 100x-scale-up regression
+    for ((name, q) <- Seq(
+        "q_embed_quantize" -> Curate.qEmbedQuantize _,
+        "q_fn_url" -> Curate.qFnUrl _,
+        "q_text_redact" -> Pipeline.qTextRedact _)) {
+      val p = finalPlan(q(spark, sf("sf0.001")))
+      assert(!p.contains("Generate"), s"$name explodes rows:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name cartesian:\n$p")
+    }
+    // single-row/tiny-side joins must be broadcast, never CartesianProduct
+    for ((name, q) <- Seq(
+        "q_layout_zorder" -> Layout.qLayoutZorder _,
+        "q_outlier_mad" -> Curate.qOutlierMad _,
+        "q_mix_temperature" -> Curate.qMixTemperature _)) {
+      val p = finalPlan(q(spark, sf("sf0.001")))
+      assert(!p.contains("CartesianProduct"), s"$name cartesian:\n$p")
+      assert(p.contains("HashAggregate"), s"$name no hash agg:\n$p")
+    }
+    // incremental dedup must block on the signature, never all-pairs
+    val pi = finalPlan(Llm.qDedupIncremental(spark, sf("sf0.001")))
+    assert(!pi.contains("CartesianProduct"), s"incremental all-pairs:\n$pi")
+  }
+
   test("q_join_range_bucketed is an equi hash join, never a cartesian") {
     // a PURE range predicate (no equi key) — the bucket blocking must
     // turn it into a hash join on the time bucket
