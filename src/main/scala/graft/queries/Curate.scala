@@ -197,7 +197,33 @@ object Curate {
               expr("parse_url(url, 'REF')").as("frag"))
       .orderBy("doc_id")
 
+  /** Time-series resampling to a regular grid: per user, EVERY hour
+    * between their first and last event — observed hours carry their
+    * aggregates, gap hours are zero-filled. The companion to
+    * q_win_fill_forward (which fills at event times; this fills at GRID
+    * times — the shape every downstream forecasting/monitoring job
+    * wants). The explode is per-user bounded by the corpus's ~30-day
+    * window (≤720 rows/user), and the grid joins the PRE-AGGREGATED
+    * hourly table, so the fact table shuffles once as partials. */
+  def qResampleHourly(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .filter(col("user_id") < 10)
+      .select(col("user_id"),
+              expr("unix_micros(ts) DIV 3600000000").as("hr"), col("value"))
+    val hourly = e.groupBy("user_id", "hr")
+      .agg(count(lit(1)).as("cnt"), graft.sql.Det.dsum(col("value")).as("sv"))
+    val grid = e.groupBy("user_id")
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("hr"))
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"),
+              coalesce(col("cnt"), lit(0L)).as("n"),
+              coalesce(col("sv"), lit(0.0)).as("sum_value"))
+      .orderBy("user_id", "hr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_resample_hourly" -> (qResampleHourly _),
     "q_text_chunk" -> (qTextChunk _),
     "q_sample_reservoir" -> (qSampleReservoir _),
     "q_mix_temperature" -> (qMixTemperature _),
@@ -209,6 +235,25 @@ object Curate {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_resample_hourly" ->
+      """WITH e AS (
+        |  SELECT user_id, EPOCH_NS(ts) // 1000 // 3600000000 AS hr, value
+        |  FROM events WHERE user_id < 10),
+        |hourly AS (
+        |  SELECT user_id, hr, COUNT(*) AS cnt,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        |  FROM e GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM e GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, h0 + i AS hr
+        |  FROM span, GENERATE_SERIES(0, 1024) AS g(i)
+        |  WHERE h0 + i <= h1)
+        |SELECT g.user_id, g.hr, COALESCE(h.cnt, 0) AS n,
+        |  COALESCE(h.sv, 0.0) AS sum_value
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.user_id = h.user_id AND g.hr = h.hr
+        |ORDER BY g.user_id, g.hr""".stripMargin,
     "q_text_chunk" ->
       """WITH tkl AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents)
         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,

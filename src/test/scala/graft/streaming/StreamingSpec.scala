@@ -212,6 +212,42 @@ class StreamingSpec extends SparkSpec {
     assert(dirs >= 2, s"expected >=2 batch partitions, found $dirs")
   }
 
+  test("checkpoint restart: windowed state survives a stop and a new query") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("rec_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rec_ckpt").toString
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    def start() = mem.toDF.toDF("event_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"n")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+
+    // phase 1: accumulate per-window state, emit nothing (watermark low)
+    val q1 = start()
+    mem.addData((1L, ts(0), 1.0), (2L, ts(2), 1.0), (3L, ts(11), 1.0))
+    q1.processAllAvailable()
+    q1.stop()
+    // phase 2: a NEW query on the same checkpoint — the advancing
+    // watermark must close the phase-1 windows with their FULL counts
+    // (state recovered), exactly once (offsets recovered)
+    val q2 = start()
+    mem.addData((4L, ts(120), 1.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = s.read.parquet(outDir).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    assert(rows.size == 2, s"expected exactly the two closed windows: $rows")
+    assert(rows("2024-01-01 10:00:00.0") === 2L, s"phase-1 state lost: $rows")
+    assert(rows("2024-01-01 10:10:00.0") === 1L, s"phase-1 state lost: $rows")
+  }
+
   test("stream-static enrichment join: stream result equals batch result") {
     val s = spark
     import s.implicits._
