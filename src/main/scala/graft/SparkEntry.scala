@@ -17,7 +17,8 @@ object SparkEntry {
     Scans.queries ++ Filters.queries ++ Aggs.queries ++ Sorts.queries ++
       SetOps.queries ++ Joins.queries ++ Windows.queries ++
       Scalars.queries ++ Bdf.queries ++ Llm.queries ++ Pipeline.queries ++
-      Curate.queries ++ Layout.queries ++ StreamingQ.queries
+      Curate.queries ++ Layout.queries ++ Graph.queries ++
+      StreamingQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
     Scans.oracle ++ Filters.oracle ++ Aggs.oracle ++ Sorts.oracle ++
       SetOps.oracle ++ Joins.oracle ++ Windows.oracle ++
       Scalars.oracle ++ Bdf.oracle ++ Llm.oracle ++ Pipeline.oracle ++
-      Curate.oracle ++ Layout.oracle ++ StreamingQ.oracle
+      Curate.oracle ++ Layout.oracle ++ Graph.oracle ++
+      StreamingQ.oracle
 }
