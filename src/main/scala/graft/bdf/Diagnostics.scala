@@ -29,8 +29,12 @@ object Diagnostics {
     val w = chains.zip(means).map { case (c, mu) =>
       c.map(x => (x - mu) * (x - mu)).sum / (n - 1)
     }.sum / m
-    if (w == 0.0) 1.0 // degenerate: all chains constant and equal
-    else math.sqrt(((n - 1).toDouble / n * w + b / n) / w)
+    if (w == 0.0) {
+      // degenerate: every chain is internally constant. Equal chains
+      // are perfectly converged; UNEQUAL constant chains are maximally
+      // diverged (stuck in different regions) — never report 1.0 there.
+      if (b == 0.0) 1.0 else Double.PositiveInfinity
+    } else math.sqrt(((n - 1).toDouble / n * w + b / n) / w)
   }
 
   final case class MultiChain(results: Seq[Gibbs.Result], rHat: Double)

@@ -363,7 +363,12 @@ object Gibbs {
       // -- (e) post burn-in: fold prediction into the running mean
       //       (and sum of squares, for the posterior predictive std) --
       if (iter >= opts.burnin) {
+        // carry v and materialize ONCE: both consumers (the predSum
+        // fold and the per-sample RMSE) read the same cached blocks
+        // instead of re-running the prediction map per action
         val p = predictOnce(spark, testCoo, rd.relations.head, factors, k)
+          .join(testCoo.select(col("row_id"), col("v")), "row_id")
+          .localCheckpoint(true)
         predSum = predSum match {
           case None => Some(p
             .select(col("row_id"), col("pred").as("pred_sum"),
@@ -388,8 +393,10 @@ object Gibbs {
         rmseHist += rmse
         // the SAMPLE's own RMSE (stationary trace for Diagnostics.rHat)
         sampleRmseHist += math.sqrt(
-          p.join(testCoo.select(col("row_id"), col("v")), "row_id")
-            .select(avg(pow(col("pred") - col("v"), 2))).head().getDouble(0))
+          p.select(avg(pow(col("pred") - col("v"), 2))).head().getDouble(0))
+        // p's checkpoint blocks are ContextCleaner-reclaimed once p
+        // drops out of scope — no manual unpersist (the case-None
+        // predSum persist() is lazy and still reads them)
       }
     }
 

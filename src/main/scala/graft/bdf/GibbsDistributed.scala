@@ -348,10 +348,13 @@ object GibbsDistributed {
       // -- (e) post burn-in: fold prediction into the running mean --
       if (iter >= opts.burnin) {
         val rel = rd.relations.head
+        // carry v and materialize ONCE: the predSum fold and the
+        // per-sample RMSE both read the same cached blocks
         val p = withZ(testCoo.select(col("row_id"), col("ids"), col("v")), rel,
             rel.modeEntities.indices)
-          .select(col("row_id"),
+          .select(col("row_id"), col("v"),
                   expr("aggregate(z, 0D, (acc, x) -> acc + x)").as("pred"))
+          .localCheckpoint(true)
         predSum = predSum match {
           case None => Some(p
             .select(col("row_id"), col("pred").as("pred_sum"),
@@ -373,8 +376,7 @@ object GibbsDistributed {
         rmseHist += rmse
         // the SAMPLE's own RMSE (stationary trace for Diagnostics.rHat)
         sampleRmseHist += math.sqrt(
-          p.join(testCoo.select(col("row_id"), col("v")), "row_id")
-            .select(avg(pow(col("pred") - col("v"), 2))).head().getDouble(0))
+          p.select(avg(pow(col("pred") - col("v"), 2))).head().getDouble(0))
       }
     }
 

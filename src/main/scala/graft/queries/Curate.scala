@@ -260,9 +260,11 @@ object Curate {
         |  CAST(LEN(tk[i*64+1 : i*64+64]) AS INT) AS n_tok_chunk,
         |  SUBSTRING(MD5(ARRAY_TO_STRING(tk[i*64+1 : i*64+64], ' ')), 1, 16)
         |    AS chunk_md5
-        |FROM tkl, GENERATE_SERIES(0, 63) AS g(i)
+        |FROM tkl, GENERATE_SERIES(0, 511) AS g(i)
         |WHERE i <= (LEN(tk) - 1) // 64
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    // ^ 512-chunk cap = 32k-token docs; corpus max is ~100 tokens (same
+    //   headroom idiom as the 512-shingle series in the LSH oracles)
     "q_sample_reservoir" ->
       """SELECT lang, rn, doc_id, prio FROM (
         |  SELECT lang, doc_id, (doc_id * 2654435761) % 4294967296 AS prio,

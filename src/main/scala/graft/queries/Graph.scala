@@ -20,10 +20,12 @@ object Graph {
     * edges in BOTH directions so the walk has no dangling nodes).
     * Node ids are disambiguated as 2*custkey / 2*suppkey+1. Each
     * iteration localCheckpoints the (node, rank) vector — same
-    * lineage discipline as the CC loop. Intermediate products stay
-    * within int64 for in-degrees up to ~10^7 at 10^6-scaled ranks;
-    * beyond that the contribution sum needs a wider accumulator (the
-    * oracle's HUGEINT already is one). */
+    * lineage discipline as the CC loop. Divisions use SQL `div`
+    * (exact int64 integer division, not the double-based idiv trick,
+    * whose exactness ends at 2^53): products stay exact while
+    * 850000 * inc < 2^63, i.e. contribution sums to ~10^13 — beyond
+    * that the sum needs a wider accumulator (the oracle's HUGEINT
+    * already is one). */
   def qGraphPagerank(s: SparkSession, dir: String): DataFrame = {
     val ed = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir),
@@ -48,13 +50,12 @@ object Graph {
       val contrib = edges
         .join(rank, col("src") === col("node"))
         .join(deg, "src")
-        .select(col("dst"), Prefix.idiv(col("rank_ppm"), col("deg")).as("c"))
+        .select(col("dst"), expr("rank_ppm div deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("inc"))
       rank = nodes.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
-          (lit(150000L) + Prefix.idiv(
-            lit(850000L) * coalesce(col("inc"), lit(0L)),
-            lit(1000000L))).as("rank_ppm"))
+          expr("150000L + (850000L * coalesce(inc, 0L)) div 1000000L")
+            .as("rank_ppm"))
         .localCheckpoint(true)
     }
     rank.orderBy("node")

@@ -112,4 +112,21 @@ object Prefix {
     * a plain (a/b).cast("long") can be off by one near ulp boundaries). */
   def idiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
+
+  /** Raw-row equi-depth bucketing + the per-bucket count/prefix table —
+    * the shared selection machinery behind q_sort_percentile_exact and
+    * q_sort_paginate: rows tagged `_pb`, and a tiny (≤ buckets rows)
+    * table (pb, bn, n_before) from a triangular self-join. Callers
+    * locate target ranks on the small table, then touch only the hit
+    * buckets' rows. */
+  def bucketCountsWithPrefix(df: DataFrame, v: Column, buckets: Int)
+      : (DataFrame, DataFrame) = {
+    val bucketed = df.withColumn("_pb", bucketOf(v, depthBoundaries(df, v, buckets)))
+    val counts = bucketed.groupBy("_pb").agg(count(lit(1)).as("bn"))
+    val pref = counts.as("a")
+      .join(counts.as("b"), col("b._pb") < col("a._pb"), "left")
+      .groupBy(col("a._pb").as("pb"), col("a.bn").as("bn"))
+      .agg(coalesce(sum(col("b.bn")), lit(0L)).as("n_before"))
+    (bucketed, pref)
+  }
 }

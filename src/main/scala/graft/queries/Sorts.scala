@@ -54,13 +54,8 @@ object Sorts {
     // bucket-prefix + in-bucket row_number is the same total order as
     // the oracle's global ROW_NUMBER. Page depth still never costs a
     // shuffle sort.
-    val bucketed = l.withColumn("_pb", Prefix.bucketOf(col("v"),
-      Prefix.depthBoundaries(l, col("v"), 256)))
-    val counts = bucketed.groupBy("_pb").agg(count(lit(1)).as("bn"))
-    val pref = counts.as("a")
-      .join(counts.as("b"), col("b._pb") < col("a._pb"), "left")
-      .groupBy(col("a._pb").as("pb"), col("a.bn").as("bn"))
-      .agg(coalesce(sum(col("b.bn")), lit(0L)).as("n_before"))
+    val (bucketed, pref0) = Prefix.bucketCountsWithPrefix(l, col("v"), 256)
+    val pref = pref0
       .filter(col("n_before") < hi && col("n_before") + col("bn") >= lo)
     val w = Window.partitionBy("_pb")
       .orderBy("v", "l_orderkey", "l_linenumber")
@@ -93,15 +88,10 @@ object Sorts {
     // table, then sort ONLY the hit buckets (~N/256 rows each).
     // Equi-depth boundaries (Prefix.depthBoundaries) keep every hit
     // bucket near N/256 rows even on heavy-tailed price domains.
-    val bucketed =
-      l.withColumn("_pb", Prefix.bucketOf(col("v"),
-        Prefix.depthBoundaries(l, col("v"), buckets)))
-    val counts = bucketed.groupBy("_pb").agg(count(lit(1)).as("bn"))
-    val pref = counts.as("a")
-      .join(counts.as("b"), col("b._pb") < col("a._pb"), "left")
-      .groupBy(col("a._pb").as("pb"), col("a.bn").as("bn"))
-      .agg(coalesce(sum(col("b.bn")), lit(0L)).as("nb"))
-    val tot = counts.agg(sum(col("bn")).as("nt"))
+    val (bucketed, pref0) =
+      Prefix.bucketCountsWithPrefix(l, col("v"), buckets)
+    val pref = pref0.withColumnRenamed("n_before", "nb")
+    val tot = pref0.agg(sum(col("bn")).as("nt"))
     val quants = Seq(0.25, 0.5, 0.75, 0.9, 0.99).toDF("pct")
       .crossJoin(broadcast(tot))
       .select(col("pct"),

@@ -22,8 +22,11 @@ class DiagnosticsSpec extends SparkSpec {
       (0 until 50).map(lcg01(3L, _)))
     assert(Diagnostics.rHat(separated) > 3.0,
       s"separated chains: ${Diagnostics.rHat(separated)}")
-    // degenerate identical-constant chains define rHat = 1
+    // degenerate identical-constant chains define rHat = 1; UNEQUAL
+    // constant chains are maximally diverged, never "converged"
     assert(Diagnostics.rHat(Seq(Seq(2.0, 2.0), Seq(2.0, 2.0))) == 1.0)
+    assert(Diagnostics.rHat(Seq(Seq(2.0, 2.0), Seq(3.0, 3.0)))
+      == Double.PositiveInfinity)
   }
 
   test("three independent Gibbs chains on the rank-2 fixture mix (R-hat small)") {
@@ -44,6 +47,10 @@ class DiagnosticsSpec extends SparkSpec {
     // different seeds -> genuinely different chains
     assert(mc.results.map(_.sampleRmseHistory).distinct.length == 3)
     assert(mc.rHat < 1.7, s"chains should mix on a converged fixture: ${mc.rHat}")
-    assert(mc.rHat >= 1.0 - 1e-9)
+    // this estimator's floor is sqrt((n-1)/n) (reached when B << W),
+    // NOT 1.0 — asserting >= 1 would encode a false invariant
+    val n = mc.results.head.sampleRmseHistory.length
+    assert(mc.rHat >= math.sqrt((n - 1).toDouble / n) - 1e-9,
+      s"below the estimator's analytic floor: ${mc.rHat}")
   }
 }
