@@ -122,21 +122,30 @@ object VectorOps {
     }
   }
 
-  /** Exact-decimal squared euclidean distance: sum_i q12((a_i - b_i)^2)
+  /** Exact-decimal squared euclidean distance: sum_i q6((a_i - b_i)^2)
     * (the q_sim_ann_ivf / q_sim_knn_centroid kernel: the DIFFERENCE is
-    * double math, each squared term is quantized to DECIMAL(18,12),
-    * the sum is exact). */
+    * double math, each squared term is quantized to DECIMAL(18,6),
+    * the sum is exact).
+    *
+    * Scale 6, NOT 12, deliberately: at scale 12 the scaled product
+    * d^2 * 1e12 sits near 4e10 where a double's ulp is ~7.6e-6, so
+    * doubles landing EXACTLY on a .5 rounding tie occur about once per
+    * 131k terms — and DuckDB's double->DECIMAL cast resolves such ties
+    * differently from exact HALF_UP (observed at sf0.1: one term in
+    * 3.2M flipped the oracle hash). At scale 6 the scaled magnitude is
+    * ~1e4-1e7, ulp ~1e-9, and a tie needs a ~2^-30 coincidence —
+    * rounding-rule differences become unobservable. */
   def sqDist12(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     try {
-      var acc = 0L // units of 1e-12
+      var acc = 0L // units of 1e-6
       var i = 0
       while (i < n) {
         val d = a.getDouble(i) - b.getDouble(i)
-        acc = Math.addExact(acc, quantLong(d * d, 1e12, 12))
+        acc = Math.addExact(acc, quantLong(d * d, 1e6, 6))
         i += 1
       }
-      JBigDecimal.valueOf(acc, 12).doubleValue()
+      JBigDecimal.valueOf(acc, 6).doubleValue()
     } catch {
       case _: ArithmeticException => sqDist12Big(a, b, n)
     }
@@ -147,7 +156,7 @@ object VectorOps {
     var i = 0
     while (i < n) {
       val d = a.getDouble(i) - b.getDouble(i)
-      acc = acc.add(JBigDecimal.valueOf(d * d).setScale(12, RoundingMode.HALF_UP))
+      acc = acc.add(JBigDecimal.valueOf(d * d).setScale(6, RoundingMode.HALF_UP))
       i += 1
     }
     acc.doubleValue()

@@ -1098,14 +1098,14 @@ object Llm {
          |  FROM embeddings, GENERATE_SERIES(1, 64) AS g(i)
          |  GROUP BY label, i)
          |SELECT vec_id, label,
-         |  CAST(SUM(CAST((CAST(embedding[cpos] AS DOUBLE) - c) * (CAST(embedding[cpos] AS DOUBLE) - c) AS DECIMAL(18,12))) AS DOUBLE) AS dist2
+         |  CAST(SUM(CAST((CAST(embedding[cpos] AS DOUBLE) - c) * (CAST(embedding[cpos] AS DOUBLE) - c) AS DECIMAL(18,6))) AS DOUBLE) AS dist2
          |FROM embeddings JOIN cent ON label = clabel
          |GROUP BY vec_id, label ORDER BY vec_id""".stripMargin,
     "q_sim_ann_ivf" ->
       """WITH dist AS (
         |  SELECT e.vec_id, s.vec_id AS cid,
         |    CAST(SUM(CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(s.embedding[i] AS DOUBLE))
-        |      * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.embedding[i] AS DOUBLE)) AS DECIMAL(18,12))) AS DOUBLE) AS dist2
+        |      * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.embedding[i] AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS dist2
         |  FROM embeddings e, embeddings s, GENERATE_SERIES(1, 64) AS g(i)
         |  WHERE s.vec_id < 8
         |  GROUP BY e.vec_id, s.vec_id),
@@ -1123,7 +1123,7 @@ object Llm {
       """WITH d AS (
         |  SELECT q.vec_id AS qid, e.vec_id,
         |    CAST(SUM(CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
-        |      * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)) AS DECIMAL(18,12))) AS DOUBLE) AS dist2
+        |      * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS dist2
         |  FROM embeddings e, embeddings q, GENERATE_SERIES(1, 64) AS g(i)
         |  WHERE q.vec_id < 20 AND e.vec_id <> q.vec_id
         |  GROUP BY q.vec_id, e.vec_id)
@@ -1159,7 +1159,7 @@ object Llm {
       s"""d$k AS (
          |  SELECT e.vec_id, c.cid,
          |    CAST(SUM(CAST((CAST(e.embedding[c.pos] AS DOUBLE) - c.c)
-         |      * (CAST(e.embedding[c.pos] AS DOUBLE) - c.c) AS DECIMAL(18,12))) AS DOUBLE) AS dist2
+         |      * (CAST(e.embedding[c.pos] AS DOUBLE) - c.c) AS DECIMAL(18,6))) AS DOUBLE) AS dist2
          |  FROM embeddings e, $prevCent c
          |  GROUP BY e.vec_id, c.cid),
          |a$k AS (
@@ -1187,7 +1187,7 @@ object Llm {
        |dq AS (
        |  SELECT e.vec_id,
        |    CAST(SUM(CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
-       |      * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)) AS DECIMAL(18,12))) AS DOUBLE) AS dist2
+       |      * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS dist2
        |  FROM embeddings e, embeddings q, GENERATE_SERIES(1, 64) AS gq(i)
        |  WHERE q.vec_id = 0 GROUP BY e.vec_id),
        |qc AS (SELECT cid AS qcid FROM a4 WHERE vec_id = 0)

@@ -32,7 +32,12 @@ object StreamingQ {
       .orderBy("ws", "event_type")
 
   /** Per-user session windows with a 30-minute gap, on second-truncated
-    * timestamps (ns-precision trap, SURVEY.md §7.4.2). */
+    * timestamps (ns-precision trap, SURVEY.md §7.4.2). Spark's
+    * session_window merges an event at EXACTLY prev + gap into the
+    * running session (the window [ts, ts+gap] is closed on the right),
+    * so the oracle's gaps-and-islands split is `diff > 1800`, strictly
+    * — `>=` diverges on events landing exactly on the boundary (first
+    * seen at sf0.1: one 1800-second pair in 100k events). */
   def qStreamSession(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .select(col("user_id"), col("value"),
@@ -197,7 +202,7 @@ object StreamingQ {
          |flagged AS (
          |  SELECT user_id, value, tss,
          |    CASE WHEN LAG(tss) OVER w IS NULL
-         |              OR tss - LAG(tss) OVER w >= 1800 THEN 1 ELSE 0 END AS new_s
+         |              OR tss - LAG(tss) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
          |  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
          |sess AS (
          |  SELECT user_id, value, tss,
