@@ -64,6 +64,21 @@ object Joins {
       .orderBy("c_mktsegment")
   }
 
+  /** RIGHT outer join — the mirror API surface of [[qJoinLeft]] with
+    * the preserved side swapped (orders keep their row even without a
+    * matching BUILDING-segment customer). Spark plans it as the same
+    * hash join with the build side flipped. */
+  def qJoinRight(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "right")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("c_custkey")).as("n_matched"),
+           sum(when(col("c_custkey").isNull, 1).otherwise(0)).as("n_unmatched"))
+      .orderBy("o_orderpriority")
+  }
+
   def qJoinFull(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).select(col("c_custkey").as("ck")).distinct()
     val o = Tables.orders(s, dir).select(col("o_custkey").as("ok")).distinct()
@@ -189,6 +204,7 @@ object Joins {
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_join_multiway" -> (qJoinMultiway _),
     "q_join_left" -> (qJoinLeft _),
+    "q_join_right" -> (qJoinRight _),
     "q_join_full" -> (qJoinFull _),
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _),
@@ -228,6 +244,12 @@ object Joins {
         |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_order
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_join_right" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_rows, COUNT(c_custkey) AS n_matched,
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+        |FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+        |RIGHT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_join_full" ->
       """SELECT COALESCE(ck, ok) AS custkey,
         |  CAST(ck IS NOT NULL AS INTEGER) AS has_cust,
