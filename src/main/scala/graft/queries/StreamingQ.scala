@@ -132,6 +132,42 @@ object StreamingQ {
       .orderBy("cohort", "offset_h")
   }
 
+  /** Capped sessionization: sessions split on a 30-minute gap OR when
+    * the session would exceed a 30-minute total duration — the telemetry
+    * variant no window function can express (whether an event opens a
+    * new session depends recursively on which session the PREVIOUS
+    * event landed in, which the cap makes assignment-dependent). The
+    * genuinely-sequential per-user fold runs in typed
+    * groupByKey.flatMapGroups — the tier-(d) escape hatch used exactly
+    * where declarative operators cannot go; per-user data is bounded
+    * (the streaming analog is flatMapGroupsWithState). The oracle is a
+    * DuckDB WITH RECURSIVE over each user's event sequence. All
+    * outputs are integers (epoch seconds, counts, exact value
+    * centi-units), so the fold is hash-stable by construction. */
+  def qStreamSessionCapped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tss"),
+              col("event_id"),
+              (dec(col("value")) * 100).cast("long").as("v100"))
+      .as[(Long, Long, Long, Long)]
+    e.groupByKey(_._1).flatMapGroups { (uid, it) =>
+      val evs = it.toArray.sortBy(t => (t._2, t._3))
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      var start = -1L; var prev = -1L; var n = 0L; var sum = 0L
+      for ((_, tss, _, v) <- evs) {
+        if (start < 0 || tss - prev > 1800 || tss - start > 1800) {
+          if (start >= 0) out += ((uid, start, n, sum))
+          start = tss; n = 0L; sum = 0L
+        }
+        n += 1; sum += v; prev = tss
+      }
+      if (start >= 0) out += ((uid, start, n, sum))
+      out
+    }.toDF("user_id", "session_start", "n", "sum_v100")
+      .orderBy("user_id", "session_start")
+  }
+
   /** The static enrichment dimension for [[qStreamEnrich]] — in a real
     * deployment a slowly-changing reference table the stream joins
     * against on every micro-batch. */
@@ -161,6 +197,7 @@ object StreamingQ {
       .orderBy("ws", "event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_session_capped" -> (qStreamSessionCapped _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_retention" -> (qStreamRetention _),
     "q_stream_funnel" -> (qStreamFunnel _),
@@ -175,6 +212,24 @@ object StreamingQ {
   private val esSql = "CAST(FLOOR(EPOCH(ts)) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "q_stream_session_capped" ->
+      s"""WITH RECURSIVE seq AS (
+         |  SELECT user_id, $esSql AS tss, event_id,
+         |    CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS v100,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY $esSql, event_id) AS rn
+         |  FROM events),
+         |r AS (
+         |  SELECT user_id, rn, tss, v100, tss AS sess_start
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.user_id, s.rn, s.tss, s.v100,
+         |    CASE WHEN s.tss - r.tss > 1800 OR s.tss - r.sess_start > 1800
+         |         THEN s.tss ELSE r.sess_start END
+         |  FROM r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+         |SELECT user_id, sess_start AS session_start, COUNT(*) AS n,
+         |  CAST(SUM(v100) AS BIGINT) AS sum_v100
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stream_enrich" ->
       s"""WITH dim(event_type, weight) AS (VALUES
          |  ('view', 1), ('click', 2), ('signup', 3),
