@@ -137,33 +137,53 @@ object StreamingQ {
     * variant no window function can express (whether an event opens a
     * new session depends recursively on which session the PREVIOUS
     * event landed in, which the cap makes assignment-dependent). The
-    * genuinely-sequential per-user fold runs in typed
-    * groupByKey.flatMapGroups — the tier-(d) escape hatch used exactly
-    * where declarative operators cannot go; per-user data is bounded
+    * genuinely-sequential fold runs as a SECONDARY SORT — repartition
+    * by user, sortWithinPartitions (user, ts, id), then ONE streaming
+    * mapPartitions pass holding a single open session in memory — so a
+    * 10M-event power user costs O(1) executor memory, where a
+    * groupByKey.flatMapGroups would materialize their whole history
     * (the streaming analog is flatMapGroupsWithState). The oracle is a
     * DuckDB WITH RECURSIVE over each user's event sequence. All
     * outputs are integers (epoch seconds, counts, exact value
     * centi-units), so the fold is hash-stable by construction. */
   def qStreamSessionCapped(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables.events(s, dir)
+    val sorted = Tables.events(s, dir)
       .select(col("user_id"), unix_timestamp(col("ts")).as("tss"),
               col("event_id"),
               (dec(col("value")) * 100).cast("long").as("v100"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "tss", "event_id")
       .as[(Long, Long, Long, Long)]
-    e.groupByKey(_._1).flatMapGroups { (uid, it) =>
-      val evs = it.toArray.sortBy(t => (t._2, t._3))
-      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
-      var start = -1L; var prev = -1L; var n = 0L; var sum = 0L
-      for ((_, tss, _, v) <- evs) {
-        if (start < 0 || tss - prev > 1800 || tss - start > 1800) {
-          if (start >= 0) out += ((uid, start, n, sum))
-          start = tss; n = 0L; sum = 0L
+    sorted.mapPartitions { rows =>
+      new Iterator[(Long, Long, Long, Long)] {
+        // one finished session waiting to be emitted + one open session
+        private var ready: Option[(Long, Long, Long, Long)] = None
+        private var open: Option[(Long, Long, Long, Long)] = None
+        private var prev = 0L
+        private def advance(): Unit = {
+          while (ready.isEmpty && rows.hasNext) {
+            val (uid, tss, _, v) = rows.next()
+            open match {
+              case Some((cu, st, n, sm))
+                  if cu == uid && tss - prev <= 1800 && tss - st <= 1800 =>
+                open = Some((cu, st, n + 1, sm + v)); prev = tss
+              case Some(done) =>
+                ready = Some(done)
+                open = Some((uid, tss, 1L, v)); prev = tss
+              case None =>
+                open = Some((uid, tss, 1L, v)); prev = tss
+            }
+          }
+          if (ready.isEmpty && !rows.hasNext && open.isDefined) {
+            ready = open; open = None
+          }
         }
-        n += 1; sum += v; prev = tss
+        override def hasNext: Boolean = { advance(); ready.isDefined }
+        override def next(): (Long, Long, Long, Long) = {
+          advance(); val r = ready.get; ready = None; r
+        }
       }
-      if (start >= 0) out += ((uid, start, n, sum))
-      out
     }.toDF("user_id", "session_start", "n", "sum_v100")
       .orderBy("user_id", "session_start")
   }
