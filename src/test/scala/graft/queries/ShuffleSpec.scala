@@ -55,6 +55,14 @@ class ShuffleSpec extends SparkSpec {
     assert(b < 100 * 1000, s"partial-agg claim violated: $b bytes")
   }
 
+  test("capped sessionization shuffles one fixed-width pass of the events") {
+    val b = shuffleBytes(StreamingQ.qStreamSessionCapped(spark, sf("sf0.01")))
+    info(s"q_stream_session_capped shuffle bytes at sf0.01: $b")
+    // 10k events x 4 longs: the secondary-sort repartition + the final
+    // order; anything re-shuffling per-user histories would multiply this
+    assert(b < 2000 * 1000, s"secondary-sort claim violated: $b bytes")
+  }
+
   test("pack_sequences shuffles bucket metadata, not the corpus tokens") {
     val b = shuffleBytes(Pipeline.qPackSequences(spark, sf("sf0.01")))
     info(s"q_pack_sequences shuffle bytes at sf0.01: $b")
