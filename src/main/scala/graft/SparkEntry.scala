@@ -17,7 +17,7 @@ object SparkEntry {
     Scans.queries ++ Filters.queries ++ Aggs.queries ++ Sorts.queries ++
       SetOps.queries ++ Joins.queries ++ Windows.queries ++
       Scalars.queries ++ Bdf.queries ++ Llm.queries ++ Pipeline.queries ++
-      Curate.queries ++ Layout.queries ++ Graph.queries ++
+      Curate.queries ++ Layout.queries ++ Graph.queries ++ Ivf.queries ++
       StreamingQ.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -26,6 +26,6 @@ object SparkEntry {
     Scans.oracle ++ Filters.oracle ++ Aggs.oracle ++ Sorts.oracle ++
       SetOps.oracle ++ Joins.oracle ++ Windows.oracle ++
       Scalars.oracle ++ Bdf.oracle ++ Llm.oracle ++ Pipeline.oracle ++
-      Curate.oracle ++ Layout.oracle ++ Graph.oracle ++
+      Curate.oracle ++ Layout.oracle ++ Graph.oracle ++ Ivf.oracle ++
       StreamingQ.oracle
 }

@@ -553,11 +553,11 @@ object Llm {
     cent
   }
 
-  def qSimAnnIvfLearned(s: SparkSession, dir: String): DataFrame = {
-    graft.expressions.VectorOps.register(s)
-    graft.expressions.VecSum6.register(s)
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val assigned = ivfAssign(e, ivfLearnedCentroids(e))
+  /** Probe step shared by the learned and SAVED-index (graft.queries.Ivf)
+    * faces: assign every vector to its centroid, then true-distance
+    * top-10 within the query's (vec 0's) cell. */
+  private[queries] def ivfProbe(e: DataFrame, cent: DataFrame): DataFrame = {
+    val assigned = ivfAssign(e, cent)
       .select(col("vec_id"), col("cid"))
     val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
     val dq = e.crossJoin(broadcast(q0))
@@ -569,6 +569,13 @@ object Llm {
       .select(col("vec_id"), col("dist2"))
       .orderBy(col("dist2").asc, col("vec_id").asc)
       .limit(10)
+  }
+
+  def qSimAnnIvfLearned(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.VectorOps.register(s)
+    graft.expressions.VecSum6.register(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    ivfProbe(e, ivfLearnedCentroids(e))
   }
 
   /** Duplicate-CLUSTER assignment — the step that actually drops rows
@@ -1154,7 +1161,7 @@ object Llm {
     * centroids, then (assign, mean) x3, final assign + probe. Same
     * decimal quantization points as the Spark plan so doubles match
     * bit-for-bit. */
-  private lazy val ivfLearnedSql: String = {
+  private[queries] lazy val ivfLearnedSql: String = {
     def assignCte(k: Int, prevCent: String): String =
       s"""d$k AS (
          |  SELECT e.vec_id, c.cid,

@@ -54,4 +54,38 @@ class IvfSpec extends SparkSpec {
     assert(rLearned >= rSeed,
       f"Lloyd training reduced mean recall: seed=$rSeed%.3f learned=$rLearned%.3f")
   }
+
+  test("saved index round-trips: train -> save -> load -> probe equals in-query") {
+    graft.expressions.VectorOps.register(spark)
+    graft.expressions.VecSum6.register(spark)
+    val dir = sf("sf0.01")
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+
+    // centroid table survives the parquet hop bit-for-bit
+    val trained = Ivf.train(e)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("ivf_rt").toString + "/idx"
+    Ivf.save(trained, tmp)
+    val loaded = Ivf.load(spark, tmp)
+    val asMap = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(asMap(loaded) === asMap(trained), "centroids changed across save/load")
+
+    // the contract query (saved index, trained on first touch) is
+    // value-identical to the in-query learned face
+    val viaIndex = Ivf.qSimAnnIvfIndexed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val inQuery = Llm.qSimAnnIvfLearned(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaIndex === inQuery, "saved-index probe diverged from in-query training")
+
+    // second invocation hits the persisted index (no retrain): the
+    // _SUCCESS marker must exist and the result must be stable
+    val p = Ivf.indexPath(dir)
+    assert(new java.io.File(p, "_SUCCESS").exists(), s"index not persisted at $p")
+    val again = Ivf.qSimAnnIvfIndexed(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(again === viaIndex)
+  }
 }
