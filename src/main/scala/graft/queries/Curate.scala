@@ -203,11 +203,13 @@ object Curate {
     * q_win_fill_forward (which fills at event times; this fills at GRID
     * times — the shape every downstream forecasting/monitoring job
     * wants). The explode is per-user bounded by the corpus's ~30-day
-    * window (≤720 rows/user), and the grid joins the PRE-AGGREGATED
-    * hourly table, so the fact table shuffles once as partials. */
+    * window (≤720 rows/user — measured max span 719 h at both sf0.01
+    * and sf0.1), and the grid joins the PRE-AGGREGATED hourly table,
+    * so the fact table shuffles once as partials. Full user domain
+    * (round 7; the earlier user_id < 10 slice was oracle-output
+    * sizing that the measured span bound makes unnecessary). */
   def qResampleHourly(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
-      .filter(col("user_id") < 10)
       .select(col("user_id"),
               expr("unix_micros(ts) DIV 3600000000").as("hr"), col("value"))
     val hourly = e.groupBy("user_id", "hr")
@@ -222,7 +224,34 @@ object Curate {
       .orderBy("user_id", "hr")
   }
 
+  /** Deterministic training-order shuffle — the LAST step of the
+    * curation pipeline (dedup → gate → mix → pack → SHUFFLE): a global
+    * permutation of the corpus by LCG key, computed WITHOUT a global
+    * sort. Knuth's multiplicative hash k = doc_id * 2654435761 mod 2^32
+    * is a bijection (odd multiplier), so keys are collision-free and
+    * the permutation is reproducible across engines/retries — never
+    * rand(). Position = range-bucket prefix counts (the same
+    * Prefix.bucketCountsWithPrefix machinery as percentile/paginate:
+    * tiny triangular join on ≤256 bucket counts) + a PARTITIONED
+    * in-bucket window — at scale the bucket-sequential write IS the
+    * training order, no stage ever sorts the whole corpus. Only
+    * (doc_id, key) pairs shuffle — the text column is never even
+    * scanned (ShuffleSpec pins the volume). doc_id stays below 2^31
+    * in every sf, so the products are exact in both engines' BIGINTs. */
+  def qCorpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"),
+              pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("k"))
+    val (bucketed, pref) = Prefix.bucketCountsWithPrefix(keyed, col("k"), 256)
+    val w = Window.partitionBy("_pb").orderBy("k")
+    bucketed.join(broadcast(pref), col("_pb") === col("pb"))
+      .select((col("n_before") + row_number().over(w)).as("pos"),
+              col("doc_id"), col("k"))
+      .orderBy("pos")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_shuffle" -> (qCorpusShuffle _),
     "q_resample_hourly" -> (qResampleHourly _),
     "q_text_chunk" -> (qTextChunk _),
     "q_sample_reservoir" -> (qSampleReservoir _),
@@ -235,19 +264,29 @@ object Curate {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_corpus_shuffle" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY k ASC) AS BIGINT) AS pos,
+        |  doc_id, k
+        |FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS k
+        |      FROM documents)
+        |ORDER BY pos""".stripMargin,
     "q_resample_hourly" ->
       """WITH e AS (
         |  SELECT user_id, EPOCH_NS(ts) // 1000 // 3600000000 AS hr, value
-        |  FROM events WHERE user_id < 10),
+        |  FROM events),
         |hourly AS (
         |  SELECT user_id, hr, COUNT(*) AS cnt,
         |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
         |  FROM e GROUP BY 1, 2),
         |span AS (
         |  SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM e GROUP BY 1),
+        |-- series bound 8192 h (~341 days) vs the generator's measured
+        |-- ~720 h max per-user span: ~11x headroom; if the corpus window
+        |-- ever exceeds it, this truncates where Spark's unbounded
+        |-- sequence(h0, h1) does not — widen alongside the generator
         |grid AS (
         |  SELECT user_id, h0 + i AS hr
-        |  FROM span, GENERATE_SERIES(0, 1024) AS g(i)
+        |  FROM span, GENERATE_SERIES(0, 8192) AS g(i)
         |  WHERE h0 + i <= h1)
         |SELECT g.user_id, g.hr, COALESCE(h.cnt, 0) AS n,
         |  COALESCE(h.sv, 0.0) AS sum_value

@@ -91,4 +91,21 @@ class CurateSpec extends SparkSpec {
         "T=2 mixing must upweight the small source relative to raw counts")
     }
   }
+
+  test("q_corpus_shuffle is an exact permutation in LCG-key order") {
+    val rows = Curate.qCorpusShuffle(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = graft.Tables.documents(spark, sf("sf0.001")).count()
+    // every doc appears exactly once, positions are exactly 1..N
+    assert(rows.length === n)
+    assert(rows.map(_._1).toSet === (1L to n).toSet)
+    assert(rows.map(_._2).distinct.length === n.toInt)
+    // position order IS key order (the bucketed plan must agree with
+    // the straightforward global sort it replaces)
+    assert(rows.sortBy(_._1).map(_._3).toSeq === rows.map(_._3).sorted.toSeq)
+    // and the key really is the Knuth LCG of doc_id
+    rows.foreach { case (_, d, k) =>
+      assert(k === java.lang.Long.remainderUnsigned(d * 2654435761L, 4294967296L))
+    }
+  }
 }

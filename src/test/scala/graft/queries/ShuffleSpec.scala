@@ -63,6 +63,14 @@ class ShuffleSpec extends SparkSpec {
     assert(b < 2000 * 1000, s"secondary-sort claim violated: $b bytes")
   }
 
+  test("corpus shuffle ships only (doc_id, key) pairs, never text") {
+    val b = shuffleBytes(Curate.qCorpusShuffle(spark, sf("sf0.01")))
+    info(s"q_corpus_shuffle shuffle bytes at sf0.01: $b")
+    // 500 docs x ~2 KB text ≈ 1+ MB if the permutation ever drags the
+    // text column through; (doc_id, k) pairs + bucket counts stay tiny
+    assert(b < 200 * 1000, s"key-only claim violated: $b bytes")
+  }
+
   test("pack_sequences shuffles bucket metadata, not the corpus tokens") {
     val b = shuffleBytes(Pipeline.qPackSequences(spark, sf("sf0.01")))
     info(s"q_pack_sequences shuffle bytes at sf0.01: $b")
