@@ -135,7 +135,7 @@ object VectorOps {
     * 3.2M flipped the oracle hash). At scale 6 the scaled magnitude is
     * ~1e4-1e7, ulp ~1e-9, and a tie needs a ~2^-30 coincidence —
     * rounding-rule differences become unobservable. */
-  def sqDist12(a: ArrayData, b: ArrayData): Double = {
+  def sqDistQ(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     try {
       var acc = 0L // units of 1e-6
@@ -147,11 +147,11 @@ object VectorOps {
       }
       JBigDecimal.valueOf(acc, 6).doubleValue()
     } catch {
-      case _: ArithmeticException => sqDist12Big(a, b, n)
+      case _: ArithmeticException => sqDistQBig(a, b, n)
     }
   }
 
-  private def sqDist12Big(a: ArrayData, b: ArrayData, n: Int): Double = {
+  private def sqDistQBig(a: ArrayData, b: ArrayData, n: Int): Double = {
     var acc = JBigDecimal.ZERO
     var i = 0
     while (i < n) {
@@ -202,17 +202,19 @@ case class DecimalDot(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
-/** expr("graft_sqdist12(a, b)") — see [[VectorOps.sqDist12]]. */
+/** expr("graft_sqdist12(a, b)") — see [[VectorOps.sqDistQ]]. The SQL
+  * name keeps its historical "12" (every query and oracle formulation
+  * references it); the accumulation scale is 6 — see the scaladoc. */
 case class DecimalSqDist(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_sqdist12"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorOps.sqDist12(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VectorOps.sqDistQ(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.expressions.VectorOps.sqDist12($a, $b);")
+      s"${ev.value} = graft.expressions.VectorOps.sqDistQ($a, $b);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DecimalSqDist =
     copy(left = l, right = r)

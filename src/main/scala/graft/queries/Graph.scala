@@ -22,10 +22,10 @@ object Graph {
     * iteration localCheckpoints the (node, rank) vector — same
     * lineage discipline as the CC loop. Divisions use SQL `div`
     * (exact int64 integer division, not the double-based idiv trick,
-    * whose exactness ends at 2^53): products stay exact while
-    * 850000 * inc < 2^63, i.e. contribution sums to ~10^13 — beyond
-    * that the sum needs a wider accumulator (the oracle's HUGEINT
-    * already is one). */
+    * whose exactness ends at 2^53): the contribution sum accumulates
+    * in DECIMAL(38,0) — the Spark-side twin of the oracle's HUGEINT —
+    * so 850000 * inc stays exact far past the ~10^13 scale where a
+    * BIGINT sum would wrap silently with ANSI off. */
   def qGraphPagerank(s: SparkSession, dir: String): DataFrame = {
     val ed = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir),
@@ -51,11 +51,17 @@ object Graph {
         .join(rank, col("src") === col("node"))
         .join(deg, "src")
         .select(col("dst"), expr("rank_ppm div deg").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("inc"))
+        // accumulate in DECIMAL(38,0), matching the oracle's HUGEINT:
+        // a BIGINT sum would WRAP silently (ANSI off) once
+        // 850000 * inc passes 2^63 (~10^13 contribution scale); the
+        // decimal path stays exact to 38 digits and errors loudly
+        // beyond, so overflow can never diverge quietly
+        .groupBy("dst")
+        .agg(sum(col("c").cast("decimal(38,0)")).as("inc"))
       rank = nodes.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
-          expr("150000L + (850000L * coalesce(inc, 0L)) div 1000000L")
-            .as("rank_ppm"))
+          expr("150000L + (850000L * coalesce(inc, CAST(0 AS DECIMAL(38,0))))" +
+            " div 1000000L").as("rank_ppm"))
         .localCheckpoint(true)
     }
     rank.orderBy("node")

@@ -151,7 +151,12 @@ object StreamingQ {
     val sorted = Tables.events(s, dir)
       .select(col("user_id"), unix_timestamp(col("ts")).as("tss"),
               col("event_id"),
-              (dec(col("value")) * 100).cast("long").as("v100"))
+              // explicit ROUND before the bigint cast: Spark's
+              // decimal->bigint truncates toward zero while DuckDB's
+              // rounds, so without it agreement would silently depend
+              // on `value` carrying <= 2 decimal places. Both engines'
+              // ROUND on exact decimals is half-away-from-zero.
+              round(dec(col("value")) * 100, 0).cast("long").as("v100"))
       .repartition(col("user_id"))
       .sortWithinPartitions("user_id", "tss", "event_id")
       .as[(Long, Long, Long, Long)]
@@ -235,7 +240,7 @@ object StreamingQ {
     "q_stream_session_capped" ->
       s"""WITH RECURSIVE seq AS (
          |  SELECT user_id, $esSql AS tss, event_id,
-         |    CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS v100,
+         |    CAST(ROUND(CAST(value AS DECIMAL(18,6)) * 100, 0) AS BIGINT) AS v100,
          |    ROW_NUMBER() OVER (PARTITION BY user_id
          |      ORDER BY $esSql, event_id) AS rn
          |  FROM events),

@@ -85,7 +85,13 @@ class LayoutSpec extends SparkSpec {
     val (lo, hi) = (2L, 3L)
     val linHit = overlapping(s"$base/linear", lo, hi)
     val zHit = overlapping(s"$base/zorder", lo, hi)
-    assert(linHit == 8, s"partkey sort should leave every file overlapping, got $linHit")
+    // compare against the ACTUAL file count, not a literal 8: the range
+    // partitioner / AQE may produce fewer non-empty files without any
+    // layout regression — the claim is only "a partkey sort skips
+    // nothing on suppkey, z-order skips something"
+    val linFiles = fileRanges(s"$base/linear", "l_suppkey").size
+    assert(linHit == linFiles,
+      s"partkey sort should leave every file overlapping: $linHit of $linFiles")
     assert(zHit < linHit, s"z-order must skip files on suppkey: $zHit vs $linHit")
     // and both layouts return identical data
     val a = spark.read.parquet(s"$base/linear").orderBy("l_orderkey", "l_partkey", "l_suppkey").collect.toSeq
