@@ -63,6 +63,25 @@ class ShuffleSpec extends SparkSpec {
     assert(b < 2000 * 1000, s"secondary-sort claim violated: $b bytes")
   }
 
+  test("char-ngram dedup band-joins signatures; corpus text never shuffles") {
+    val b = shuffleBytes(Llm.qDedupJaccardNgram(spark, sf("sf0.01")))
+    info(s"q_dedup_jaccard_ngram shuffle bytes at sf0.01: $b")
+    // the pre-round-7 one-phase formulation shuffled the corpus text
+    // twice through its mh0 self-join (~2+ MB at sf0.01); the two-phase
+    // plan ships ~24 B/doc signatures + broadcast candidate pairs
+    assert(b < 500 * 1000, s"text-free band-join claim violated: $b bytes")
+  }
+
+  test("keep_canonical: signatures + (id,label) pairs, never the corpus") {
+    val b = shuffleBytes(Llm.qDedupKeepCanonical(spark, sf("sf0.01")))
+    info(s"q_dedup_keep_canonical shuffle bytes at sf0.01: $b")
+    // LSH signatures + CC label rounds + the drop-set left join; the
+    // round-6 bench regression had no tripwire — now a plan change that
+    // re-shuffles doc text (or a CC round that stops converging) trips
+    // here instead of surfacing as an unexplained bench delta
+    assert(b < 1000 * 1000, s"dedup-apply shuffle claim violated: $b bytes")
+  }
+
   test("corpus shuffle ships only (doc_id, key) pairs, never text") {
     val b = shuffleBytes(Curate.qCorpusShuffle(spark, sf("sf0.01")))
     info(s"q_corpus_shuffle shuffle bytes at sf0.01: $b")
