@@ -94,8 +94,29 @@ object Bpe {
     merges.reduce(_ unionByName _).orderBy("mrank")
   }
 
+  /** The APPLY face — tokenize the corpus under the trained vocab:
+    * per doc, word count and total BPE token count (what token-budget
+    * planning / pack_sequences sizing actually consumes). Scale shape:
+    * the merge chain tokenizes only the VOCAB (tens of rows); the
+    * corpus pass is one explode + broadcast join against that map —
+    * the merge loop never touches corpus rows. */
+  def qBpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val (_, finalW) = trainFull(s, dir)
+    val vocab = finalW.select(col("token"),
+      size(split(expr("substring(syms, 2, length(syms) - 2)"), "\\|\\|"))
+        .cast("long").as("nsym"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(vocab), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("nsym")).as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_tokenize" -> (qBpeTokenize _),
   )
 
   /** Unrolled k-round CTE: same histogram, same wrapped-string merge
@@ -113,33 +134,55 @@ object Bpe {
        |b$k AS (SELECT lhs, rhs, pf FROM p$k
        |        ORDER BY pf DESC, lhs ASC, rhs ASC LIMIT 1),
        |w$k AS (
-       |  SELECT w.freq,
+       |  SELECT w.token, w.freq,
        |    REPLACE(w.syms, '|' || b.lhs || '||' || b.rhs || '|',
        |            '|' || b.lhs || b.rhs || '|') AS syms
        |  FROM $prev w, b$k b)""".stripMargin
   }
 
-  private lazy val trainSql: String = {
+  /** Shared CTE prefix: histogram + w0 + the k unrolled rounds. */
+  private lazy val trainCtes: String = {
     val rounds = (1 to K).map(roundCte).mkString(",\n")
-    val out = (1 to K).map(k =>
-      s"SELECT $k AS mrank, lhs, rhs, lhs || rhs AS merged, pf FROM b$k")
-      .mkString("\nUNION ALL ")
     s"""WITH toks AS (
        |  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents),
        |words AS (
        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM toks WHERE token <> '' GROUP BY token),
        |w0 AS (
-       |  SELECT freq,
+       |  SELECT token, freq,
        |    '|' || SUBSTRING(REGEXP_REPLACE(token, '(.)', '\\1||', 'g'),
        |                     1, LENGTH(token) * 3 - 1) AS syms
        |  FROM words),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val trainSql: String = {
+    val out = (1 to K).map(k =>
+      s"SELECT $k AS mrank, lhs, rhs, lhs || rhs AS merged, pf FROM b$k")
+      .mkString("\nUNION ALL ")
+    s"""$trainCtes
        |$out
        |ORDER BY mrank""".stripMargin
   }
 
+  private lazy val tokenizeSql: String =
+    s"""$trainCtes,
+       |vocab AS (
+       |  SELECT token,
+       |    CAST(LEN(STRING_SPLIT(SUBSTRING(syms, 2, LENGTH(syms) - 2),
+       |                          '||')) AS BIGINT) AS nsym
+       |  FROM w$K),
+       |dw AS (
+       |  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+       |  FROM documents)
+       |SELECT dw.doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(v.nsym) AS BIGINT) AS n_bpe
+       |FROM dw JOIN vocab v ON v.token = dw.token
+       |WHERE dw.token <> ''
+       |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_bpe_train" -> trainSql,
+    "q_bpe_tokenize" -> tokenizeSql,
   )
 }
