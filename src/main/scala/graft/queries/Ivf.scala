@@ -80,12 +80,44 @@ object Ivf {
     Llm.ivfProbe(e, load(s, ensureIndex(s, dir)))
   }
 
+  /** Multi-probe (nprobe=2) on the saved index — the standard IVF
+    * recall knob: search the query's TWO nearest cells instead of one.
+    * The candidate set is a superset of nprobe=1's, so recall can only
+    * improve (IvfSpec proves it against the exact top-10); cost stays
+    * two cells' members + the k-row centroid table, never the corpus. */
+  def qSimAnnIvfProbe2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.expressions.VectorOps.register(s)
+    graft.expressions.VecSum6.register(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cent = load(s, ensureIndex(s, dir))
+    val assigned = Llm.ivfAssign(e, cent).select(col("vec_id"), col("cid"))
+    val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+    // the query's two nearest CELLS, by the same (embedding, centroid)
+    // kernel argument order as the assignment pass / oracle d4
+    val qcells = cent.crossJoin(broadcast(q0))
+      .select(col("cid"), expr("graft_sqdist12(qemb, cvec)").as("qd"))
+      .orderBy(col("qd").asc, col("cid").asc)
+      .limit(2)
+      .select(col("cid").as("qcid"))
+    val dq = e.crossJoin(broadcast(q0))
+      .select(col("vec_id").as("dvid"),
+              expr("graft_sqdist12(embedding, qemb)").as("dist2"))
+    assigned.join(broadcast(qcells), col("cid") === col("qcid"))
+      .join(dq, col("vec_id") === col("dvid"))
+      .select(col("vec_id"), col("dist2"))
+      .orderBy(col("dist2").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_ann_ivf_indexed" -> (qSimAnnIvfIndexed _),
+    "q_sim_ann_ivf_probe2" -> (qSimAnnIvfProbe2 _),
   )
 
-  /** Bit-identical to the learned face by construction. */
+  /** Indexed face bit-identical to the learned face by construction. */
   val oracle: Map[String, String] = Map(
     "q_sim_ann_ivf_indexed" -> Llm.ivfLearnedSql,
+    "q_sim_ann_ivf_probe2" -> Llm.ivfProbe2Sql,
   )
 }

@@ -1170,51 +1170,62 @@ object Llm {
       |WHERE i <= LENGTH(text)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  /** Unrolled 3-iteration Lloyd twin of qSimAnnIvfLearned: c0 = seed
-    * centroids, then (assign, mean) x3, final assign + probe. Same
-    * decimal quantization points as the Spark plan so doubles match
-    * bit-for-bit. */
-  private[queries] lazy val ivfLearnedSql: String = {
-    def assignCte(k: Int, prevCent: String): String =
-      s"""d$k AS (
-         |  SELECT e.vec_id, c.cid,
-         |    CAST(SUM(CAST((CAST(e.embedding[c.pos] AS DOUBLE) - c.c)
-         |      * (CAST(e.embedding[c.pos] AS DOUBLE) - c.c) AS DECIMAL(18,6))) AS DOUBLE) AS dist2
-         |  FROM embeddings e, $prevCent c
-         |  GROUP BY e.vec_id, c.cid),
-         |a$k AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT vec_id, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
-         |    FROM d$k) WHERE rn = 1)""".stripMargin
-    def centCte(k: Int, prevCent: String): String =
-      s"""c$k AS (
-         |  SELECT p.cid, p.pos, COALESCE(n.c, p.c) AS c
-         |  FROM $prevCent p LEFT JOIN (
-         |    SELECT a.cid, i AS pos,
-         |      CAST(SUM(${D.decf("e.embedding[i]")}) AS DOUBLE) / COUNT(*) AS c
-         |    FROM a$k a, embeddings e, GENERATE_SERIES(1, 64) AS g$k(i)
-         |    WHERE e.vec_id = a.vec_id
-         |    GROUP BY a.cid, i) n ON n.cid = p.cid AND n.pos = p.pos)""".stripMargin
+  /** Unrolled Lloyd CTE prefix shared by the learned/indexed/probe2
+    * oracles: c0 = seed centroids, (assign, mean) x3, final assignment
+    * a4 + per-vector query distances dq. Same decimal quantization
+    * points as the Spark plan so doubles match bit-for-bit. */
+  private def ivfAssignCte(k: Int, prevCent: String): String =
+    s"""d$k AS (
+       |  SELECT e.vec_id, c.cid,
+       |    CAST(SUM(CAST((CAST(e.embedding[c.pos] AS DOUBLE) - c.c)
+       |      * (CAST(e.embedding[c.pos] AS DOUBLE) - c.c) AS DECIMAL(18,6))) AS DOUBLE) AS dist2
+       |  FROM embeddings e, $prevCent c
+       |  GROUP BY e.vec_id, c.cid),
+       |a$k AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+       |    FROM d$k) WHERE rn = 1)""".stripMargin
+  private def ivfCentCte(k: Int, prevCent: String): String =
+    s"""c$k AS (
+       |  SELECT p.cid, p.pos, COALESCE(n.c, p.c) AS c
+       |  FROM $prevCent p LEFT JOIN (
+       |    SELECT a.cid, i AS pos,
+       |      CAST(SUM(${D.decf("e.embedding[i]")}) AS DOUBLE) / COUNT(*) AS c
+       |    FROM a$k a, embeddings e, GENERATE_SERIES(1, 64) AS g$k(i)
+       |    WHERE e.vec_id = a.vec_id
+       |    GROUP BY a.cid, i) n ON n.cid = p.cid AND n.pos = p.pos)""".stripMargin
+  private[queries] lazy val ivfLloydCtes: String = {
     val iters = (1 to 3).map(k =>
-      assignCte(k, s"c${k - 1}") + ",\n" + centCte(k, s"c${k - 1}"))
+      ivfAssignCte(k, s"c${k - 1}") + ",\n" + ivfCentCte(k, s"c${k - 1}"))
       .mkString(",\n")
     s"""WITH c0 AS (
        |  SELECT vec_id AS cid, i AS pos, CAST(embedding[i] AS DOUBLE) AS c
        |  FROM embeddings, GENERATE_SERIES(1, 64) AS g0(i) WHERE vec_id < 8),
        |$iters,
-       |${assignCte(4, "c3")},
+       |${ivfAssignCte(4, "c3")},
        |dq AS (
        |  SELECT e.vec_id,
        |    CAST(SUM(CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
        |      * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS dist2
        |  FROM embeddings e, embeddings q, GENERATE_SERIES(1, 64) AS gq(i)
-       |  WHERE q.vec_id = 0 GROUP BY e.vec_id),
+       |  WHERE q.vec_id = 0 GROUP BY e.vec_id)""".stripMargin
+  }
+  private[queries] lazy val ivfLearnedSql: String =
+    s"""$ivfLloydCtes,
        |qc AS (SELECT cid AS qcid FROM a4 WHERE vec_id = 0)
        |SELECT a.vec_id, d.dist2
        |FROM a4 a JOIN qc ON a.cid = qc.qcid JOIN dq d ON d.vec_id = a.vec_id
        |ORDER BY d.dist2 ASC, a.vec_id ASC LIMIT 10""".stripMargin
-  }
+  /** nprobe=2: the query's TWO nearest cells (by its centroid
+    * distances in d4), searched together. */
+  private[queries] lazy val ivfProbe2Sql: String =
+    s"""$ivfLloydCtes,
+       |qc2 AS (SELECT cid AS qcid FROM d4 WHERE vec_id = 0
+       |        ORDER BY dist2 ASC, cid ASC LIMIT 2)
+       |SELECT a.vec_id, d.dist2
+       |FROM a4 a JOIN qc2 ON a.cid = qc2.qcid JOIN dq d ON d.vec_id = a.vec_id
+       |ORDER BY d.dist2 ASC, a.vec_id ASC LIMIT 10""".stripMargin
 
   private lazy val cosineSql: String =
     s"""WITH per AS (

@@ -88,4 +88,24 @@ class IvfSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(again === viaIndex)
   }
+
+  test("nprobe=2 recall@10 >= nprobe=1 against the exact top-10") {
+    graft.expressions.VectorOps.register(spark)
+    graft.expressions.VecSum6.register(spark)
+    val dir = sf("sf0.01")
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    // exact global top-10 for query vec 0 by brute force
+    val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+    val exact = e.crossJoin(q0)
+      .select(col("vec_id"), expr("graft_sqdist12(embedding, qemb)").as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val p1 = Ivf.qSimAnnIvfIndexed(spark, dir).collect().map(_.getLong(0)).toSet
+    val p2 = Ivf.qSimAnnIvfProbe2(spark, dir).collect().map(_.getLong(0)).toSet
+    val (r1, r2) = (exact.intersect(p1).size, exact.intersect(p2).size)
+    info(s"recall@10: nprobe=1 $r1/10, nprobe=2 $r2/10")
+    // probe2's candidate cell set is a superset, so recall cannot drop
+    assert(r2 >= r1, s"multi-probe lost recall: $r2 < $r1")
+  }
 }
