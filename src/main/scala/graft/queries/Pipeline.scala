@@ -90,6 +90,45 @@ object Pipeline {
       .filter(col("n_docs") > 1)
       .orderBy("h")
 
+  /** The APPLY face of exact-substring dedup (the removal accounting of
+    * Lee et al.'s "Deduplicating Training Data" pass): for every doc,
+    * how many of its tokens sit inside a word-8-gram span that also
+    * occurs in ANOTHER doc — i.e. the union of cross-doc repeated
+    * intervals — and what would remain after cutting them.
+    * [[qDedupNgramSpans]] is the discovery pass over the same spans;
+    * this resolves overlaps exactly via DISTINCT (doc, token-index)
+    * pairs. The wire carries only (doc_id, pos, 16-char hash) per span
+    * occurrence and (doc_id, int) pairs for coverage — never text. */
+  def qDedupSpanMask(s: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("n_tok"), explode(expr(
+        "transform(sequence(1, greatest(size(tk) - 7, 1))," +
+          " i -> struct(i AS pos, substring(md5(concat_ws(' ', slice(tk, i, 8))), 1, 16) AS h))"))
+        .as("sp"))
+      .select(col("doc_id"), col("n_tok"),
+              col("sp.pos").as("pos"), col("sp.h").as("h"))
+    val rep = spans.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"))
+    val covered = spans.join(rep, "h")
+      .select(col("doc_id"),
+              explode(expr("sequence(pos, least(pos + 7, n_tok))")).as("ti"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_covered"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+              coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+              (col("n_tokens") - coalesce(col("n_covered"), lit(0L)))
+                .as("n_retained"))
+      .orderBy("doc_id")
+  }
+
   /** Token-budget sequence packing: assign documents (in doc_id order)
     * to contiguous ~2048-token training sequences. The global running
     * token count comes from [[Prefix.withPrefix]] — bucketed prefix
@@ -232,6 +271,7 @@ object Pipeline {
     "q_text_repetition" -> (qTextRepetition _),
     "q_text_repetition_fast" -> (qTextRepetitionFast _),
     "q_dedup_ngram_spans" -> (qDedupNgramSpans _),
+    "q_dedup_span_mask" -> (qDedupSpanMask _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_text_blocklist" -> (qTextBlocklist _),
     "q_text_tfidf" -> (qTextTfidf _),
@@ -332,6 +372,32 @@ object Pipeline {
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
         |ORDER BY h""".stripMargin,
+    "q_dedup_span_mask" ->
+      """WITH tkl AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |sp AS (
+        |  SELECT doc_id, LEN(tk) AS n_tok, i AS pos,
+        |    SUBSTRING(MD5(CONCAT_WS(' ',
+        |      tk[i], tk[i+1], tk[i+2], tk[i+3],
+        |      tk[i+4], tk[i+5], tk[i+6], tk[i+7])), 1, 16) AS h
+        |  FROM tkl, GENERATE_SERIES(1, 512) AS g(i)
+        |  WHERE i <= GREATEST(LEN(tk) - 7, 1)),
+        |rep AS (
+        |  SELECT h FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+        |cov AS (
+        |  SELECT DISTINCT s.doc_id, s.pos + j AS ti
+        |  FROM sp s JOIN rep r ON s.h = r.h,
+        |       GENERATE_SERIES(0, 7) AS gj(j)
+        |  WHERE s.pos + j <= s.n_tok),
+        |cnt AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_covered
+        |  FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  COALESCE(c.n_covered, 0) AS n_covered,
+        |  CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT)
+        |    - COALESCE(c.n_covered, 0) AS n_retained
+        |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -136,4 +136,24 @@ class PipelineSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"salted join went cartesian:\n$p")
   }
+
+  test("q_dedup_span_mask: coverage bounded, consistent with span discovery") {
+    val dir = sf("sf0.001")
+    val rows = Pipeline.qDedupSpanMask(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(rows.length === nDocs, "one verdict per doc, incl. uncovered")
+    rows.foreach { case (d, nt, nc, nr) =>
+      assert(nc >= 0 && nc <= nt, s"doc $d coverage $nc outside [0, $nt]")
+      assert(nr === nt - nc, s"doc $d retained mismatch")
+    }
+    // every doc that the discovery pass names as hosting a cross-doc
+    // repeated span must have at least one 8-token interval covered
+    val byDoc = rows.map(r => r._1 -> r._3).toMap
+    val hosts = Pipeline.qDedupNgramSpans(spark, dir).collect()
+      .flatMap(r => Seq(r.getLong(3), r.getLong(4))).toSet
+    hosts.foreach { d =>
+      assert(byDoc(d) >= 8, s"span-hosting doc $d covers only ${byDoc(d)} tokens")
+    }
+  }
 }
