@@ -231,7 +231,36 @@ object Bdf {
       .orderBy("entity_id")
   }
 
+  /** A11/A12 companion: per-cell posterior CREDIBLE INTERVAL — the
+    * exact empirical 10%/90% order statistics of the repeated cell
+    * observations ([[qBdfPosteriorStd]]'s cells, n >= 2). Bracket
+    * ranks use pure-integer ceil division ((n+9) div 10, (9n+9) div
+    * 10): a float ceil(0.1*n) is an off-by-one trap at n = 20 where
+    * IEEE 0.1*20 > 2. The window is partitioned by cell — ~20k small
+    * groups, the fully-parallel regime (same as q_win_median_grouped),
+    * never a global sort. */
+  def qBdfCredible(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cell = Window.partitionBy("l_partkey", "l_suppkey")
+    val ranked = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+              dec(col("l_quantity")).cast("double").as("q"))
+      // value-at-rank is tie-order independent: equal q, equal value
+      .withColumn("rn", row_number().over(cell.orderBy("q")))
+      .withColumn("n", count(lit(1)).over(cell))
+      .filter(col("n") >= 2)
+    ranked
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(first(col("n")).as("n"),
+           max(when(col("rn") === expr("(n + 9) div 10"), col("q")))
+             .as("lo_qty"),
+           max(when(col("rn") === expr("(9 * n + 9) div 10"), col("q")))
+             .as("hi_qty"))
+      .orderBy("l_partkey", "l_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bdf_credible" -> (qBdfCredible _),
     "q_bdf_relation_index" -> (qBdfRelationIndex _),
     "q_bdf_split" -> (qBdfSplit _),
     "q_bdf_spmv" -> (qBdfSpmv _),
@@ -249,6 +278,23 @@ object Bdf {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_bdf_credible" ->
+      """WITH b AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DOUBLE) AS q
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_partkey, l_suppkey, q,
+        |    ROW_NUMBER() OVER (PARTITION BY l_partkey, l_suppkey
+        |                       ORDER BY q) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_partkey, l_suppkey) AS n
+        |  FROM b)
+        |SELECT l_partkey, l_suppkey, n,
+        |  MAX(CASE WHEN rn = (n + 9) // 10 THEN q END) AS lo_qty,
+        |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN q END) AS hi_qty
+        |FROM r WHERE n >= 2
+        |GROUP BY l_partkey, l_suppkey, n
+        |ORDER BY l_partkey, l_suppkey""".stripMargin,
     "q_bdf_relation_index" ->
       s"""SELECT l_partkey, COUNT(*) AS n, ${D.davg("l_quantity")} AS mean_qty
          |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,

@@ -221,7 +221,31 @@ object StreamingQ {
               col("event_type"), col("n"), col("wsum_value"))
       .orderBy("ws", "event_type")
 
+  /** Windowed TOP-K: the 3 most frequent event types per hourly window
+    * (ties broken by type name) — the "trending items per window"
+    * streaming dashboard shape. Written as the standard
+    * row_number<=k window+filter, which the registered TopKPerKey rule
+    * rewrites into bounded per-window heaps: only <=3 survivors per
+    * hour shuffle after the windowed partial agg, never a sort of all
+    * (window, type) pairs. In streaming the same plan runs after a
+    * watermarked windowed aggregation per micro-batch. */
+  def qStreamTopk(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.TopKPerKey.register(s)
+    val hourly = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"),
+              col("event_type"), col("n"))
+    val w = Window.partitionBy("ws")
+      .orderBy(col("n").desc, col("event_type").asc)
+    hourly.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy("ws", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_topk" -> (qStreamTopk _),
     "q_stream_session_capped" -> (qStreamSessionCapped _),
     "q_stream_enrich" -> (qStreamEnrich _),
     "q_stream_retention" -> (qStreamRetention _),
@@ -237,6 +261,17 @@ object StreamingQ {
   private val esSql = "CAST(FLOOR(EPOCH(ts)) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "q_stream_topk" ->
+      s"""WITH hourly AS (
+         |  SELECT ($esSql // 3600) * 3600 AS ws, event_type,
+         |    COUNT(*) AS n
+         |  FROM events GROUP BY 1, 2)
+         |SELECT ws, event_type, n, rnk FROM (
+         |  SELECT ws, event_type, n,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY ws
+         |      ORDER BY n DESC, event_type ASC) AS INTEGER) AS rnk
+         |  FROM hourly)
+         |WHERE rnk <= 3 ORDER BY ws, rnk""".stripMargin,
     "q_stream_session_capped" ->
       s"""WITH RECURSIVE seq AS (
          |  SELECT user_id, $esSql AS tss, event_id,

@@ -118,6 +118,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), s"WindowExec survived the rewrite:\n$p")
   }
 
+  test("q_stream_topk plans through TopKPerKey after the windowed agg") {
+    val p = finalPlan(StreamingQ.qStreamTopk(spark, sf("sf0.001")))
+    assert(p.contains("TopKPerKey"), s"custom operator not planned:\n$p")
+    assert(!p.contains("Window,"), s"WindowExec survived the rewrite:\n$p")
+  }
+
   test("rank-sum queries contain no global (empty-partition) window") {
     // the round-2 judge's weak list: auc/roc/ntile funneled all rows
     // through ONE task's Window.orderBy — pin the bucketed-prefix shape
