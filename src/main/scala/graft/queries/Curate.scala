@@ -197,6 +197,47 @@ object Curate {
               expr("parse_url(url, 'REF')").as("frag"))
       .orderBy("doc_id")
 
+  /** URL-canonicalization dedup — the crawl-dedup production step that
+    * runs BEFORE any content hashing: collapse page variants that
+    * differ only by host case, trailing slash, tracking params, or
+    * fragment. Four deterministic variants per page are synthesized
+    * from doc_id (ground truth: page = doc_id div 4), then
+    * canonicalized with the native parse_url expression (lowercased
+    * host, slash-stripped path, only the meaningful `lang` param
+    * kept — utm_* and fragments dropped). One narrow codegen pass +
+    * one hash agg; the oracle REBUILDS each canonical URL from the
+    * ground-truth page id, checking the parse/normalize semantics
+    * exactly (same discipline as q_fn_url). */
+  def qDedupUrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val page = expr("doc_id div 4")
+    val src = expr("CASE pmod(doc_id div 4, 3) WHEN 0 THEN 'alpha' " +
+      "WHEN 1 THEN 'beta' ELSE 'gamma' END")
+    val lang = expr("CASE pmod(doc_id div 4, 2) WHEN 0 THEN 'en' ELSE 'de' END")
+    val url = concat(
+      lit("https://"), src,
+      when(pmod(col("doc_id"), lit(4)) === 2, lit(".EXAMPLE.ORG/page/"))
+        .otherwise(lit(".example.org/page/")),
+      page,
+      when(pmod(col("doc_id"), lit(4)) === 1, lit("/")).otherwise(lit("")),
+      lit("?lang="), lang,
+      when(pmod(col("doc_id"), lit(4)) === 2, lit("&utm_source=feed"))
+        .otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 3, lit("#section-2"))
+        .otherwise(lit("")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), concat(
+        lit("https://"), lower(expr("parse_url(url, 'HOST')")),
+        regexp_replace(expr("parse_url(url, 'PATH')"), "/$", ""),
+        lit("?lang="), expr("parse_url(url, 'QUERY', 'lang')"))
+        .as("canon"))
+      .groupBy("canon")
+      .agg(count(lit(1)).as("n_variants"),
+           min(col("doc_id")).as("min_doc"),
+           max(col("doc_id")).as("max_doc"))
+      .orderBy("canon", "min_doc")
+  }
+
   /** Time-series resampling to a regular grid: per user, EVERY hour
     * between their first and last event — observed hours carry their
     * aggregates, gap hours are zero-filled. The companion to
@@ -252,6 +293,7 @@ object Curate {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_shuffle" -> (qCorpusShuffle _),
+    "q_dedup_url_canonical" -> (qDedupUrlCanonical _),
     "q_resample_hourly" -> (qResampleHourly _),
     "q_text_chunk" -> (qTextChunk _),
     "q_sample_reservoir" -> (qSampleReservoir _),
@@ -264,6 +306,19 @@ object Curate {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_url_canonical" ->
+      """WITH canon AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE (doc_id // 4) % 3 WHEN 0 THEN 'alpha'
+        |      WHEN 1 THEN 'beta' ELSE 'gamma' END ||
+        |    '.example.org/page/' || CAST(doc_id // 4 AS VARCHAR) ||
+        |    '?lang=' ||
+        |    CASE (doc_id // 4) % 2 WHEN 0 THEN 'en' ELSE 'de' END AS canon
+        |  FROM documents)
+        |SELECT canon, COUNT(*) AS n_variants,
+        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        |FROM canon GROUP BY canon ORDER BY canon, min_doc""".stripMargin,
     "q_corpus_shuffle" ->
       """SELECT CAST(ROW_NUMBER() OVER (ORDER BY k ASC) AS BIGINT) AS pos,
         |  doc_id, k
