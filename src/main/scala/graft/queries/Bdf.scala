@@ -192,7 +192,9 @@ object Bdf {
     * both engines), which makes every product and partial sum EXACT in
     * double, so the zip_with/aggregate fold in predict matches the
     * oracle's SUM regardless of accumulation order. */
-  def qBdfPredictCells(s: SparkSession, dir: String): DataFrame = {
+  /** Shared 20x20 scored grid over the dyadic-quantized factor fixture
+    * (exact in double => cross-engine hash-stable). */
+  private def bdfScoredCells(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val quant =
       "transform(slice(embedding, 1, 8), x -> round(CAST(x AS DOUBLE) * 1024D) / 1024D)"
@@ -203,7 +205,26 @@ object Bdf {
     val cells = fu.select(col("id").as("u"))
       .crossJoin(fv.select(col("id").as("v")))
     graft.bdf.Macau.predict(s, Map("u" -> fu, "v" -> fv), cells, Seq("u", "v"))
-      .orderBy("u", "v")
+  }
+
+  def qBdfPredictCells(s: SparkSession, dir: String): DataFrame =
+    bdfScoredCells(s, dir).orderBy("u", "v")
+
+  /** A11 serving face: TOP-N RECOMMENDATION — the query a deployed
+    * factorization model answers all day: the 3 highest-scored items
+    * per user over the candidate grid. Written as the standard
+    * row_number<=k window; the TopKPerKey rule rewrites it into
+    * bounded per-user heaps (map-side 3-per-user, only survivors
+    * shuffle — at 100 TB the candidate grid is users x items and a
+    * sort would dwarf the scoring itself). */
+  def qBdfTopnRecommend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.TopKPerKey.register(s)
+    val w = Window.partitionBy("u").orderBy(col("pred").desc, col("v").asc)
+    bdfScoredCells(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy("u", "rnk")
   }
 
   /** A9: 3-mode tensor build — (user, event_type, hour) cells. */
@@ -261,6 +282,7 @@ object Bdf {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bdf_credible" -> (qBdfCredible _),
+    "q_bdf_topn_recommend" -> (qBdfTopnRecommend _),
     "q_bdf_relation_index" -> (qBdfRelationIndex _),
     "q_bdf_split" -> (qBdfSplit _),
     "q_bdf_spmv" -> (qBdfSpmv _),
@@ -390,6 +412,26 @@ object Bdf {
         |SELECT u, v, SUM(x * y) AS pred
         |FROM fu JOIN fv ON fu.i = fv.i
         |GROUP BY u, v ORDER BY u, v""".stripMargin,
+    "q_bdf_topn_recommend" ->
+      """WITH fu AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS u, i,
+        |    ROUND(CAST(embedding[i] AS DOUBLE) * 1024) / 1024 AS x
+        |  FROM embeddings, GENERATE_SERIES(1, 8) AS gu(i)
+        |  WHERE vec_id < 20),
+        |fv AS (
+        |  SELECT CAST(vec_id - 50 AS BIGINT) AS v, i,
+        |    ROUND(CAST(embedding[i] AS DOUBLE) * 1024) / 1024 AS y
+        |  FROM embeddings, GENERATE_SERIES(1, 8) AS gv(i)
+        |  WHERE vec_id >= 50 AND vec_id < 70),
+        |scored AS (
+        |  SELECT u, v, SUM(x * y) AS pred
+        |  FROM fu JOIN fv ON fu.i = fv.i GROUP BY u, v)
+        |SELECT u, v, pred, rnk FROM (
+        |  SELECT u, v, pred,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY u
+        |      ORDER BY pred DESC, v ASC) AS INTEGER) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3 ORDER BY u, rnk""".stripMargin,
     "q_bdf_tensor_agg" ->
       s"""SELECT user_id, event_type,
          |  CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 AS hour_bucket,
