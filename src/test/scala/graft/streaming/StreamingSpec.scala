@@ -277,4 +277,45 @@ class StreamingSpec extends SparkSpec {
       .select($"window.start", $"event_type", $"n", $"ws").collect().toSet
     assert(got === exp)
   }
+
+  test("windowed top-k: streamed windowed counts rank like the batch face") {
+    // q_stream_topk's streaming lifecycle: the watermarked windowed agg
+    // runs in the stream; the per-window top-3 ranks each micro-batch's
+    // complete-mode state. Parity = ranking the streamed agg equals
+    // ranking the batch agg on the same rows.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = Seq(
+      (1L, ts(0), "view"), (2L, ts(1), "view"), (3L, ts(2), "click"),
+      (4L, ts(3), "click"), (5L, ts(4), "click"), (6L, ts(5), "purchase"),
+      (7L, ts(6), "error"), (8L, ts(61), "view"), (9L, ts(62), "signup"))
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    mem.addData(rows: _*)
+    val q = mem.toDF.toDF("event_id", "ts", "event_type")
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("topk_in")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    q.stop()
+
+    def top3(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"ws").orderBy($"n".desc, $"event_type".asc)
+      df.select($"window.start".as("ws"), $"event_type", $"n")
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"ws", $"event_type", $"n", $"rnk")
+    }
+    val got = top3(s.table("topk_in")).collect().toSet
+    val exp = top3(rows.toDF("event_id", "ts", "event_type")
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))).collect().toSet
+    assert(got === exp)
+    // the hour with 4 types must keep only 3, best-first
+    val firstWin = got.toSeq.map(t => t.getAs[Int]("rnk")).count(_ <= 3)
+    assert(firstWin === got.size && got.nonEmpty)
+  }
 }
