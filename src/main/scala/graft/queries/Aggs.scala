@@ -225,7 +225,40 @@ object Aggs {
       .orderBy("l_returnflag")
   }
 
+  /** Exact WEIGHTED median per group: smallest l_quantity whose
+    * cumulative weight (extendedprice in exact cents) reaches half the
+    * group total. The groups are FEW and HUGE (3 return flags x 20k
+    * rows), so no raw-row window: the domain-bounded (flag, quantity)
+    * HISTOGRAM (<= 150 rows) carries the weights, and the half-point
+    * scan is a tiny triangular join on that histogram — the same
+    * few-huge-groups discipline as q_outlier_mad. All arithmetic is
+    * integer (cents; 2*cum >= total avoids any division). */
+  def qAggWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+      // per-row explicit ROUND before the bigint cast, mirrored in the
+      // oracle — agreement must not depend on prices staying at 2 dp
+      .agg(sum(round(dec(col("l_extendedprice")) * 100, 0).cast("long"))
+        .as("w"))
+    val tot = hist.groupBy(col("l_returnflag").as("tf"))
+      .agg(sum(col("w")).as("totw"))
+    val cum = hist.as("a")
+      .join(hist.as("b"),
+            col("a.l_returnflag") === col("b.l_returnflag") &&
+              col("b.qty") <= col("a.qty"))
+      .groupBy(col("a.l_returnflag").as("l_returnflag"),
+               col("a.qty").as("qty"))
+      .agg(sum(col("b.w")).as("cumw"))
+    cum.join(tot, col("l_returnflag") === col("tf"))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("qty")).as("wmedian_qty"),
+           first(col("totw")).as("total_w_cents"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_weighted_median" -> (qAggWeightedMedian _),
     "q_agg_skew_salted" -> (qAggSkewSalted _),
     "q_agg_bitwise" -> (qAggBitwise _),
     "q_agg_histogram" -> (qAggHistogram _),
@@ -248,6 +281,26 @@ object Aggs {
     s"CAST($discPriceSql * (CAST(1 AS DECIMAL(18,6)) + ${D.dec("l_tax")}) AS DECIMAL(18,6))"
 
   val oracle: Map[String, String] = Map(
+    "q_agg_weighted_median" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |    SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6)) * 100, 0)
+        |      AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT l_returnflag AS tf, CAST(SUM(w) AS BIGINT) AS totw
+        |  FROM hist GROUP BY 1),
+        |cum AS (
+        |  SELECT a.l_returnflag, a.qty, CAST(SUM(b.w) AS BIGINT) AS cumw
+        |  FROM hist a JOIN hist b
+        |    ON a.l_returnflag = b.l_returnflag AND b.qty <= a.qty
+        |  GROUP BY 1, 2)
+        |SELECT c.l_returnflag, MIN(c.qty) AS wmedian_qty,
+        |  MIN(t.totw) AS total_w_cents
+        |FROM cum c JOIN tot t ON c.l_returnflag = t.tf
+        |WHERE c.cumw * 2 >= t.totw
+        |GROUP BY c.l_returnflag
+        |ORDER BY c.l_returnflag""".stripMargin,
     "q_agg_skew_salted" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,
          |  ${D.dsum("l_quantity")} AS sum_qty

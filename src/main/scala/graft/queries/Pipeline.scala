@@ -129,6 +129,34 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Bigram language-model table — the classic corpus-statistics
+    * operator behind perplexity filters and naive generation: for the
+    * 100 most frequent bigrams, the conditional probability
+    * P(w2 | w1) in integer ppm (count(w1,w2) * 1e6 div
+    * bigram-start-count(w1) — integer rational like q_text_tfidf's
+    * idf, never a float division that could flip a last-ulp hash).
+    * One explode over token pairs + two hash aggs + a broadcast-sized
+    * unigram join; at 100 TB the pair stream is (word, word) tuples,
+    * never documents. */
+  def qTextNgramLm(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1)," +
+          " i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"))
+        .as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val uni = pairs.groupBy(col("w1").as("u1"))
+      .agg(count(lit(1)).as("n_w1"))
+    big.join(broadcast(uni), col("w1") === col("u1"))
+      .select(col("w1"), col("w2"), col("n"), col("n_w1"),
+              expr("n * 1000000L div n_w1").as("p_ppm"))
+      .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
+      .limit(100)
+  }
+
   /** Token-budget sequence packing: assign documents (in doc_id order)
     * to contiguous ~2048-token training sequences. The global running
     * token count comes from [[Prefix.withPrefix]] — bucketed prefix
@@ -272,6 +300,7 @@ object Pipeline {
     "q_text_repetition_fast" -> (qTextRepetitionFast _),
     "q_dedup_ngram_spans" -> (qDedupNgramSpans _),
     "q_dedup_span_mask" -> (qDedupSpanMask _),
+    "q_text_ngram_lm" -> (qTextNgramLm _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_text_blocklist" -> (qTextBlocklist _),
     "q_text_tfidf" -> (qTextTfidf _),
@@ -372,6 +401,21 @@ object Pipeline {
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM sp GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
         |ORDER BY h""".stripMargin,
+    "q_text_ngram_lm" ->
+      """WITH tkl AS (SELECT STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |pr AS (
+        |  SELECT tk[i] AS w1, tk[i + 1] AS w2
+        |  FROM tkl, GENERATE_SERIES(1, 512) AS g(i)
+        |  WHERE i <= LEN(tk) - 1),
+        |big AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pr GROUP BY 1, 2),
+        |uni AS (
+        |  SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_w1
+        |  FROM pr GROUP BY 1)
+        |SELECT b.w1, b.w2, b.n, u.n_w1, b.n * 1000000 // u.n_w1 AS p_ppm
+        |FROM big b JOIN uni u ON b.w1 = u.w1
+        |ORDER BY b.n DESC, b.w1 ASC, b.w2 ASC LIMIT 100""".stripMargin,
     "q_dedup_span_mask" ->
       """WITH tkl AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
         |sp AS (

@@ -182,7 +182,30 @@ object Windows {
       .orderBy("c_custkey")
   }
 
+  /** Running DISTINCT count — "how many different event types has this
+    * user produced so far": a windowed distinct that engines have no
+    * native frame for, composed from two plain windows — a
+    * first-occurrence flag (row_number over (user, type) == 1) and its
+    * running sum over the user's timeline. Both windows are
+    * user-partitioned (fully parallel), and the trick generalizes to
+    * any windowed count-distinct at any scale. */
+  def qWinCumulativeDistinct(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsu"),
+      col("event_type"))
+    val wFirst = Window.partitionBy("user_id", "event_type")
+      .orderBy("tsu", "event_id")
+    val wRun = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("is_first",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .select(col("event_id"), col("user_id"), col("tsu"),
+              sum(col("is_first")).over(wRun).as("n_distinct_types"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_cumulative_distinct" -> (qWinCumulativeDistinct _),
     "q_win_distribution" -> (qWinDistribution _),
     "q_win_topk_key" -> (qWinTopkKey _),
     "q_win_median_grouped" -> (qWinMedianGrouped _),
@@ -195,6 +218,20 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_cumulative_distinct" ->
+      """WITH f AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tsu,
+        |    CASE WHEN ROW_NUMBER() OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts), event_id) = 1
+        |    THEN 1 ELSE 0 END AS is_first
+        |  FROM events)
+        |SELECT event_id, user_id, tsu,
+        |  CAST(SUM(is_first) OVER (PARTITION BY user_id
+        |    ORDER BY tsu, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_distinct_types
+        |FROM f ORDER BY event_id""".stripMargin,
     "q_win_distribution" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |  PERCENT_RANK() OVER w AS pr,
