@@ -235,9 +235,12 @@ object Aggs {
     * integer (cents; 2*cum >= total avoids any division). */
   def qAggWeightedMedian(s: SparkSession, dir: String): DataFrame = {
     val hist = Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
-      // per-row explicit ROUND before the bigint cast, mirrored in the
-      // oracle — agreement must not depend on prices staying at 2 dp
+      // per-row explicit ROUND before every bigint cast, mirrored in
+      // the oracle — Spark's cast truncates toward zero while DuckDB's
+      // rounds, so agreement must not depend on quantities staying
+      // integral or prices staying at 2 dp
+      .groupBy(col("l_returnflag"),
+               round(col("l_quantity"), 0).cast("long").as("qty"))
       .agg(sum(round(dec(col("l_extendedprice")) * 100, 0).cast("long"))
         .as("w"))
     val tot = hist.groupBy(col("l_returnflag").as("tf"))
@@ -283,7 +286,7 @@ object Aggs {
   val oracle: Map[String, String] = Map(
     "q_agg_weighted_median" ->
       """WITH hist AS (
-        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |  SELECT l_returnflag, CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,
         |    SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,6)) * 100, 0)
         |      AS BIGINT)) AS w
         |  FROM lineitem GROUP BY 1, 2),

@@ -41,8 +41,10 @@ object Bpe {
       .groupBy("token")
       .agg(count(lit(1)).cast("long").as("freq"))
 
-  /** "abc" -> "|a||b||c|". */
-  private def wrapped(c: org.apache.spark.sql.Column) =
+  /** token -> "|a||b||c|" (operates on the `token` column of the
+    * histogram — not parameterized, so no caller can silently wrap a
+    * different column than the expr references). */
+  private def wrappedToken =
     concat(lit("|"), expr(
       "substring(regexp_replace(token, '(.)', '$1||'), 1, " +
         "length(token) * 3 - 1)"))
@@ -69,7 +71,7 @@ object Bpe {
     // collapse it to one partition so each of the k rounds runs
     // single-task jobs instead of shuffle-partition-many empty tasks
     var w = wordHist(s, dir)
-      .select(col("token"), col("freq"), wrapped(col("token")).as("syms"))
+      .select(col("token"), col("freq"), wrappedToken.as("syms"))
       .repartition(1)
       .localCheckpoint()
     val merges = (1 to k).map { rank =>
@@ -77,10 +79,17 @@ object Bpe {
         .orderBy(col("pf").desc, col("lhs").asc, col("rhs").asc)
         .limit(1)
         .localCheckpoint() // 1 row; reused by the merge AND the output
-      w = w.crossJoin(broadcast(best))
+      // LEFT join on true, not crossJoin: if the corpus dries out
+      // before round k (no adjacent pairs anywhere), `best` is EMPTY
+      // and a cross join would wipe the whole vocab — the left join
+      // keeps every word with its current syms instead (the oracle's
+      // LEFT JOIN ON TRUE degrades identically)
+      w = w.join(broadcast(best), lit(true), "left")
         .select(col("token"), col("freq"),
-          expr("replace(syms, '|' || lhs || '||' || rhs || '|', " +
-            "'|' || lhs || rhs || '|')").as("syms"))
+          coalesce(
+            expr("replace(syms, '|' || lhs || '||' || rhs || '|', " +
+              "'|' || lhs || rhs || '|')"),
+            col("syms")).as("syms"))
         .localCheckpoint()
       best.select(lit(rank).as("mrank"), col("lhs"), col("rhs"),
         concat(col("lhs"), col("rhs")).as("merged"), col("pf"))
@@ -124,6 +133,10 @@ object Bpe {
   private def roundCte(k: Int): String = {
     val prev = s"w${k - 1}"
     s"""p$k AS (
+       |  -- series bound 16 symbols/word vs the corpus's measured max
+       |  -- word length 8 (2x headroom; a word past 17 chars would
+       |  -- silently drop pairs here where Spark's size-driven
+       |  -- transform does not — widen alongside the generator)
        |  SELECT t.lst[i] AS lhs, t.lst[i + 1] AS rhs,
        |    CAST(SUM(t.freq) AS BIGINT) AS pf
        |  FROM (SELECT freq,
@@ -135,9 +148,10 @@ object Bpe {
        |        ORDER BY pf DESC, lhs ASC, rhs ASC LIMIT 1),
        |w$k AS (
        |  SELECT w.token, w.freq,
-       |    REPLACE(w.syms, '|' || b.lhs || '||' || b.rhs || '|',
-       |            '|' || b.lhs || b.rhs || '|') AS syms
-       |  FROM $prev w, b$k b)""".stripMargin
+       |    COALESCE(REPLACE(w.syms, '|' || b.lhs || '||' || b.rhs || '|',
+       |                     '|' || b.lhs || b.rhs || '|'),
+       |             w.syms) AS syms
+       |  FROM $prev w LEFT JOIN b$k b ON TRUE)""".stripMargin
   }
 
   /** Shared CTE prefix: histogram + w0 + the k unrolled rounds. */

@@ -52,10 +52,12 @@ object Graph {
         .join(deg, "src")
         .select(col("dst"), expr("rank_ppm div deg").as("c"))
         // accumulate in DECIMAL(38,0), matching the oracle's HUGEINT:
-        // a BIGINT sum would WRAP silently (ANSI off) once
-        // 850000 * inc passes 2^63 (~10^13 contribution scale); the
-        // decimal path stays exact to 38 digits and errors loudly
-        // beyond, so overflow can never diverge quietly
+        // a BIGINT sum would WRAP to an arbitrary wrong value (ANSI
+        // off) once 850000 * inc passes 2^63 (~10^13 contribution
+        // scale); the decimal path stays exact to 38 digits — and at
+        // the (practically unreachable) 38-digit limit a non-ANSI
+        // overflow yields NULL rank_ppm rows, which diverge VISIBLY
+        // from the oracle instead of wrapping to plausible garbage
         .groupBy("dst")
         .agg(sum(col("c").cast("decimal(38,0)")).as("inc"))
       rank = nodes.join(contrib, col("node") === col("dst"), "left")

@@ -38,10 +38,17 @@ object Ivf {
   def load(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
+  /** Trainer fingerprint folded into the cache key: bump whenever the
+    * training algorithm or its parameters change (Lloyd iters, seed
+    * rule, kernel scale), or a persisted index would silently serve
+    * STALE centroids against a freshly-updated oracle. */
+  private val trainerVersion = "lloyd3-seed8-sqdistq6-v1"
+
   /** Deterministic per-corpus index location under java.io.tmpdir,
     * keyed by the embeddings table's file identity (canonical path +
-    * total length + latest mtime) — regenerating the corpus changes
-    * the key, so a stale index can never serve a new corpus. */
+    * total length + latest mtime) AND the trainer fingerprint —
+    * regenerating the corpus or changing the trainer changes the key,
+    * so a stale index can never serve a new corpus or new code. */
   private[queries] def indexPath(dir: String): String = {
     val f = new java.io.File(s"$dir/embeddings.parquet")
     def walk(x: java.io.File): (Long, Long) =
@@ -52,7 +59,7 @@ object Ivf {
       else (x.length(), x.lastModified())
     val (sz, mt) = walk(f)
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${f.getCanonicalPath}:$sz:$mt".getBytes("UTF-8"))
+      .digest(s"${f.getCanonicalPath}:$sz:$mt:$trainerVersion".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     s"${sys.props("java.io.tmpdir")}/graft_ivf_index/$key"
   }

@@ -403,6 +403,10 @@ object Pipeline {
         |ORDER BY h""".stripMargin,
     "q_text_ngram_lm" ->
       """WITH tkl AS (SELECT STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |-- series bound 512 tokens/doc vs the corpus's measured max
+        |-- ~100 (5x headroom; a longer doc would silently drop its
+        |-- tail pairs here where Spark's size-driven transform does
+        |-- not — widen alongside the generator)
         |pr AS (
         |  SELECT tk[i] AS w1, tk[i + 1] AS w2
         |  FROM tkl, GENERATE_SERIES(1, 512) AS g(i)
@@ -418,6 +422,8 @@ object Pipeline {
         |ORDER BY b.n DESC, b.w1 ASC, b.w2 ASC LIMIT 100""".stripMargin,
     "q_dedup_span_mask" ->
       """WITH tkl AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |-- series bound 512 tokens/doc, same headroom note as
+        |-- q_text_ngram_lm (and the original q_dedup_ngram_spans)
         |sp AS (
         |  SELECT doc_id, LEN(tk) AS n_tok, i AS pos,
         |    SUBSTRING(MD5(CONCAT_WS(' ',

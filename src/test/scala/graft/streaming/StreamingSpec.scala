@@ -314,8 +314,14 @@ class StreamingSpec extends SparkSpec {
       .groupBy(window($"ts", "10 minutes"), $"event_type")
       .agg(count(lit(1)).as("n"))).collect().toSet
     assert(got === exp)
-    // the hour with 4 types must keep only 3, best-first
-    val firstWin = got.toSeq.map(t => t.getAs[Int]("rnk")).count(_ <= 3)
-    assert(firstWin === got.size && got.nonEmpty)
+    // the first 10-min window holds 4 distinct types (view, click,
+    // purchase, error) — the cut must keep exactly 3 of them
+    val firstWinRows = got.toSeq
+      .filter(_.getAs[java.sql.Timestamp]("ws") === ts(0))
+    assert(firstWinRows.size === 3,
+      s"first window kept ${firstWinRows.size} of 4 types, expected 3")
+    // and best-first: click (n=3) must rank 1
+    val r1 = firstWinRows.find(_.getAs[Int]("rnk") == 1).get
+    assert(r1.getAs[String]("event_type") === "click")
   }
 }
