@@ -62,15 +62,20 @@ class IvfSpec extends SparkSpec {
     val e = graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
 
-    // centroid table survives the parquet hop bit-for-bit
+    // centroids AND inverted lists survive the parquet hop bit-for-bit
     val trained = Ivf.train(e)
     val tmp = java.nio.file.Files
       .createTempDirectory("ivf_rt").toString + "/idx"
-    Ivf.save(trained, tmp)
-    val loaded = Ivf.load(spark, tmp)
+    Ivf.save(e, trained, tmp)
+    val loaded = Ivf.loadCentroids(spark, tmp)
     val asMap = (df: org.apache.spark.sql.DataFrame) =>
       df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
     assert(asMap(loaded) === asMap(trained), "centroids changed across save/load")
+    val listAssign = Ivf.loadLists(spark, tmp).select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.get(1).toString.toLong).toMap
+    val liveAssign = Llm.ivfAssign(e, trained).select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.get(1).toString.toLong).toMap
+    assert(listAssign === liveAssign, "inverted lists diverged from live assignment")
 
     // the contract query (saved index, trained on first touch) is
     // value-identical to the in-query learned face
@@ -87,6 +92,52 @@ class IvfSpec extends SparkSpec {
     val again = Ivf.qSimAnnIvfIndexed(spark, dir).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(again === viaIndex)
+  }
+
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allNodes(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      allNodes(s.plan)
+    case other => other +: other.children.flatMap(allNodes)
+  }
+
+  test("saved-index probes prune to the probed cells: the kernel never sees the corpus") {
+    graft.expressions.VectorOps.register(spark)
+    graft.expressions.VecSum6.register(spark)
+    val dir = sf("sf0.01")
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.count()
+    val cellSizes = Llm.ivfAssign(e, Ivf.train(e))
+      .groupBy("cid").count().collect()
+      .map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+
+    for ((df, nprobe) <- Seq(Ivf.qSimAnnIvfIndexed(spark, dir) -> 1,
+                             Ivf.qSimAnnIvfProbe2(spark, dir) -> 2)) {
+      df.collect()
+      val scans = allNodes(df.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("lists")) => f
+      }
+      assert(scans.nonEmpty, s"nprobe=$nprobe: no lists scan in the plan")
+      scans.foreach { f =>
+        // the cid predicate must reach the PARTITION level (file skip),
+        // not a post-scan filter
+        assert(f.partitionFilters.nonEmpty,
+          s"nprobe=$nprobe: lists scan has no partition filter - " +
+            "the probe reads every cell")
+        // rows entering the kernel = the probed cells' members, < corpus
+        val rows = f.metrics("numOutputRows").value
+        info(s"nprobe=$nprobe lists scan rows: $rows of $corpus")
+        assert(rows < corpus,
+          s"nprobe=$nprobe: scan emitted the whole corpus ($rows rows)")
+        assert(rows <= cellSizes.values.toSeq.sorted.takeRight(nprobe).sum,
+          s"nprobe=$nprobe: scan emitted $rows rows, more than the " +
+            s"largest $nprobe cells can hold")
+      }
+    }
   }
 
   test("nprobe=2 recall@10 >= nprobe=1 against the exact top-10") {

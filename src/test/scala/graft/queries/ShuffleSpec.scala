@@ -90,6 +90,19 @@ class ShuffleSpec extends SparkSpec {
     assert(b < 200 * 1000, s"key-only claim violated: $b bytes")
   }
 
+  test("IVF assignment never shuffles embeddings: per-row argmin vs broadcast centroids") {
+    graft.expressions.VectorOps.register(spark)
+    val e = graft.Tables.embeddings(spark, sf("sf0.01"))
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+              org.apache.spark.sql.functions.col("embedding"))
+    val b = shuffleBytes(Llm.ivfAssign(e, Llm.ivfSeedCentroids(e)))
+    info(s"ivfAssign shuffle bytes at sf0.01: $b")
+    // the round-7 window formulation shipped every embedding k=8 times
+    // through a row_number exchange (~2+ MB at sf0.01); the per-row
+    // argmin ships only the k-row centroid array's partial-agg buffers
+    assert(b < 100 * 1000, s"assignment shuffled the corpus: $b bytes")
+  }
+
   test("pack_sequences shuffles bucket metadata, not the corpus tokens") {
     val b = shuffleBytes(Pipeline.qPackSequences(spark, sf("sf0.01")))
     info(s"q_pack_sequences shuffle bytes at sf0.01: $b")
