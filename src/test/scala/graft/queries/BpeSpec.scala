@@ -62,6 +62,34 @@ class BpeSpec extends SparkSpec {
     assert(got === refMerges)
   }
 
+  test("saved-vocab apply is value-identical to in-query training") {
+    val dir = sf("sf0.01")
+    // the contract query serves from the persisted artifact
+    val viaSaved = Bpe.qBpeTokenize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(new java.io.File(Bpe.vocabPath(dir), "_SUCCESS").exists(),
+      "vocabulary not persisted on first touch")
+    // in-query twin: retrain and apply without touching the artifact
+    val (_, finalW) = Bpe.trainFull(spark, dir)
+    val vocab = finalW.select(col("token"),
+      size(split(expr("substring(syms, 2, length(syms) - 2)"), "\\|\\|"))
+        .cast("long").as("nsym"))
+    val inQuery = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(vocab), "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("nsym")).as("n_bpe"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSaved === inQuery,
+      "persisted-vocabulary apply diverged from in-query training")
+    // second invocation serves the same artifact (stability)
+    val again = Bpe.qBpeTokenize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again === viaSaved)
+  }
+
   test("re-applying the merge list reproduces engine tokenization") {
     val dir = sf("sf0.01")
     val (merges, finalW) = Bpe.trainFull(spark, dir)
