@@ -107,7 +107,16 @@ object Gibbs {
       /** Test RMSE of each individual posterior SAMPLE (not the running
         * mean `rmseHistory` tracks) — the stationary trace
         * Diagnostics.rHat needs for multi-chain convergence checks. */
-      sampleRmseHistory: Seq[Double] = Nil)
+      sampleRmseHistory: Seq[Double] = Nil,
+      /** Running per-test-cell posterior SUFFICIENT STATISTICS over the
+        * kept samples: (row_id, ids, v, n_samples, pred_sum,
+        * pred_sq_sum) — exactly the state `predictions`' (pred,
+        * pred_std) derive from. Macau.saveModel persists this table so
+        * a LOADED model answers uncertainty (posterior-std /
+        * credible-shaped) queries, not just point predictions, and two
+        * saved runs can be MERGED by adding moments (mean+M2 style
+        * combine) — see Macau.predictionsFromMoments. */
+      predMoments: Option[DataFrame] = None)
 
   /** Driver-resident doubles the broadcast mode would allocate: the
     * N x K factor matrix per entity plus the densified N x F side
@@ -410,6 +419,7 @@ object Gibbs {
     Result(preds, rmseHist.toSeq, rmseHist.last, factorDfs, mode = "broadcast",
       links = betas.map { case (e, b) => e -> toArrays(b) }.toMap,
       priorMu = lastHyper.map { case (e, nw) => e -> nw.mu.toArray },
+      predMoments = Some(momentsTable(testCoo, predSum.get, nSamples)),
       linkPrecisions = betas.keys.map(e =>
         e -> lambdaBetas.getOrElse(e, opts.lambdaBeta)).toMap,
       sampleRmseHistory = sampleRmseHist.toSeq)
@@ -666,6 +676,18 @@ object Gibbs {
         (rowId, dot)
       }.toDF("row_id", "pred")
   }
+
+  /** The persistable uncertainty state: test cells joined to their
+    * running prediction moments, with the sample count made a column
+    * so the table is self-contained across a save/load hop. Shared by
+    * the broadcast and distributed paths. */
+  private[bdf] def momentsTable(testCoo: DataFrame, predSum: DataFrame,
+                                nSamples: Int): DataFrame =
+    testCoo.select(col("row_id"), col("ids"), col("v"))
+      .join(predSum, "row_id")
+      .select(col("row_id"), col("ids"), col("v"),
+              lit(nSamples).as("n_samples"),
+              col("pred_sum"), col("pred_sq_sum"))
 
   private def currentPrediction(spark: SparkSession, testCoo: DataFrame, rel: Relation,
                                 predSum: DataFrame, nSamples: Int,

@@ -383,6 +383,7 @@ object GibbsDistributed {
     val preds = currentPrediction(testCoo, predSum.get, nSamples, opts)
     Result(preds, rmseHist.toSeq, rmseHist.last, factors.toMap,
       mode = "distributed",
+      predMoments = Some(Gibbs.momentsTable(testCoo, predSum.get, nSamples)),
       links = betas.map { case (e, b) =>
         e -> Array.tabulate(b.rows)(i => Array.tabulate(b.cols)(j => b(i, j)))
       }.toMap,

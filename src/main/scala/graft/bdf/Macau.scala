@@ -87,17 +87,51 @@ object Macau {
 
   // ---------- model persistence (train -> save -> load -> predict) ----------
 
-  /** Persist the trained factor tables, one parquet dir per entity
-    * (distributed write — factors never pass through the driver). */
-  def saveModel(path: String, res: Gibbs.Result): Unit =
+  /** Persist the trained model: the factor tables (one parquet dir per
+    * entity) PLUS the per-test-cell posterior moments
+    * (`__moments/`: row_id, ids, v, n_samples, pred_sum, pred_sq_sum)
+    * — so a loaded model answers uncertainty queries (posterior std,
+    * credible-shaped) and not just point predictions. Distributed
+    * writes — nothing passes through the driver. */
+  def saveModel(path: String, res: Gibbs.Result): Unit = {
     res.factors.foreach { case (e, df) =>
       df.write.mode("overwrite").parquet(s"$path/$e")
     }
+    res.predMoments.foreach(
+      _.write.mode("overwrite").parquet(s"$path/__moments"))
+  }
 
   /** Load factor tables written by [[saveModel]]. */
   def loadModel(spark: SparkSession, path: String,
                 entities: Seq[String]): Map[String, DataFrame] =
     entities.map(e => e -> spark.read.parquet(s"$path/$e")).toMap
+
+  /** Load the posterior moments table written by [[saveModel]]. */
+  def loadMoments(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/__moments")
+
+  /** Derive (pred, pred_std) from a moments table — the SAME
+    * arithmetic the in-run `Result.predictions` uses (divide by the
+    * kept-sample count, population variance of the sample trace,
+    * clamp on the mean only), so saved-model uncertainty is
+    * bit-identical to the in-run values. Works on [[loadMoments]]
+    * output or directly on `Result.predMoments`; moments from two
+    * saved chains can be combined first by summing (n_samples,
+    * pred_sum, pred_sq_sum) per row_id. */
+  def predictionsFromMoments(moments: DataFrame,
+                             clamp: Option[(Double, Double)] = None): DataFrame = {
+    val p = moments
+      .withColumn("pred", col("pred_sum") / col("n_samples"))
+      .withColumn("pred_std", sqrt(greatest(lit(0.0),
+        col("pred_sq_sum") / col("n_samples")
+          - pow(col("pred_sum") / col("n_samples"), 2))))
+    clamp match {
+      case Some((lo, hi)) =>
+        p.withColumn("pred", least(greatest(col("pred"), lit(lo)), lit(hi)))
+          .select("row_id", "ids", "v", "pred", "pred_std")
+      case None => p.select("row_id", "ids", "v", "pred", "pred_std")
+    }
+  }
 
   /** COLD START (Macau §3.2's main payoff): factor rows for entities
     * NEVER observed in training, from side features alone — the prior

@@ -358,6 +358,37 @@ class GibbsSpec extends SparkSpec {
     assert(fromMem.size === 20 && fromMem.values.forall(v => !v.isNaN))
   }
 
+  test("saved-model uncertainty equals in-run posterior std (moments round-trip)") {
+    val s = spark
+    import s.implicits._
+    val df = rank2Matrix(25, 20, seed = 9L).toDF("row", "col", "v")
+    val clamp = Some((-3.0, 3.0))
+    val res = Macau.fit(spark, df, Seq("row", "col"), "v",
+      Gibbs.Options(numLatent = 4, burnin = 2, samples = 3, alpha = 20.0,
+        seed = 17L, clamp = clamp))
+    assert(res.predMoments.nonEmpty, "train did not surface the moments table")
+
+    val dir = java.nio.file.Files.createTempDirectory("macau-unc").toString
+    Macau.saveModel(dir, res)
+
+    def asMap(p: org.apache.spark.sql.DataFrame) =
+      p.select("row_id", "v", "pred", "pred_std").collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+    val inRun = asMap(res.predictions)
+    // the LOADED moments answer the same uncertainty queries, bitwise
+    val fromDisk = asMap(
+      Macau.predictionsFromMoments(Macau.loadMoments(spark, dir), clamp))
+    assert(fromDisk === inRun,
+      "saved-model (pred, pred_std) diverged from the in-run values")
+    assert(inRun.nonEmpty &&
+      inRun.values.exists { case (_, _, sd) => sd > 0.0 })
+    // the moments carry the kept-sample count (merge-ready state)
+    val n = Macau.loadMoments(spark, dir).select("n_samples")
+      .distinct().collect().map(_.getInt(0)).toSeq
+    assert(n === Seq(3), s"expected n_samples = 3, got $n")
+  }
+
   test("distributed CG side solver matches the driver Cholesky path's quality") {
     val s = spark
     import s.implicits._
