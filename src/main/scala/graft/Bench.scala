@@ -1,6 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1/5/15-minute system load from /proc/loadavg — emitted at both
+    * ends of the run so a bench delta is attributable to host load
+    * IN-ARTIFACT (the round-6 -> 7 "regression" hunt burned a round
+    * proving unchanged code got slower under a loaded host). */
+  private def loadavg(): Seq[Double] =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .trim.split(" ").take(3).toSeq.map(_.toDouble)
+    catch { case _: Throwable => Nil }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,6 +25,7 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadavg()
     // warm the JVM / codegen / parquet reader on EVERY table so the
     // first timed query touching each file isn't charged the one-time
     // footer-read/codegen startup cost
@@ -28,34 +38,48 @@ object Bench {
     // signal instead of noise
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // a crashing query must NOT bench as "fast and green": record the
-    // failure per query in an `errors` field (empty object on a clean
-    // run) instead of swallowing the throwable (round-6 judge item)
+    // failure per query in an `errors` field, and keep failed reps'
+    // fast-fail wall times OUT of the median and the headline total
+    // (a crash could otherwise make the bench look faster)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            errors(name) = s"${e.getClass.getSimpleName}: " +
-              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200)
+    val repTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.flatMap {
+      case (name, fn) =>
+        val timed = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true } catch {
+              case e: Throwable =>
+                errors(name) = s"${e.getClass.getSimpleName}: " +
+                  Option(e.getMessage).getOrElse("")
+                    .takeWhile(_ != '\n').take(200)
+                false
+            }
+          ((System.nanoTime() - t0) / 1e9, ok)
         }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.size / 2)
+        repTimes(name) = timed.map(_._1)
+        val clean = timed.filter(_._2).map(_._1).sorted
+        // all reps failed -> no timing at all: the query appears ONLY
+        // in `errors`, and contributes nothing to the total
+        if (clean.isEmpty) None else Some(name -> clean(clean.size / 2))
     }
+    val loadEnd = loadavg()
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
+    def jarr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val rs = repTimes.map { case (k, v) => s"${jstr(k)}:${jarr(v)}" }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"reps":$rs,"loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"sf":"$sfDir"}"""
     println(line)
     // the driver captures only a stdout tail (BENCH_r03.json lost 32 of
     // 95 per-query medians to truncation) — persist the full line too
