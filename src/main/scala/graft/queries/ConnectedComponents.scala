@@ -31,8 +31,15 @@ object ConnectedComponents {
     * one row per distinct node. `maxRounds` is a runaway backstop far
     * above any real need — with pointer jumping a diameter-2^50 chain
     * would be required to hit it. */
+  /** Per-invocation counter folded into Observation names: the metrics
+    * listener matches observations by NAME session-wide, so two
+    * concurrent labels() runs with bare `cc_round_N` names could
+    * cross-match each other's rounds (round-7 advice item). */
+  private val invocations = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def labels(edges0: DataFrame, xCol: String, yCol: String,
              maxRounds: Int = 50): DataFrame = {
+    val inv = invocations.incrementAndGet()
     val edges = edges0.select(col(xCol).as("x"), col(yCol).as("y"))
       .unionByName(edges0.select(col(yCol).as("x"), col(xCol).as("y")))
     var lab = edges.select(col("x").as("id")).distinct()
@@ -56,7 +63,7 @@ object ConnectedComponents {
       // the (eager) localCheckpoint materializes — its accumulator is
       // settled by the time localCheckpoint returns, so obs.get below
       // never blocks on a second job
-      val obs = Observation(s"cc_round_$round")
+      val obs = Observation(s"cc_${inv}_round_$round")
       val next = stepped.join(hop, col("lab1") === col("hid"), "left")
         .select(col("id"), col("lab0"),
                 least(col("lab1"), coalesce(col("hlab"), col("lab1"))).as("lab"))
