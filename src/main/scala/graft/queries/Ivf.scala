@@ -119,14 +119,54 @@ object Ivf {
   def qSimAnnIvfProbe2(s: SparkSession, dir: String): DataFrame =
     probeSaved(s, dir, nprobe = 2)
 
+  /** BATCH serving over the saved index — the all-day shape of a
+    * deployed retrieval system: N query vectors probe their cells in
+    * ONE plan. Each query is assigned to its cell by the zero-shuffle
+    * argmin against the broadcast centroid table (identical rule to
+    * the stored lists, so a query that is IN the index probes its own
+    * cell); the union of probed cells is a static partition prune on
+    * the lists; the kernel runs per (query, cell-member) pair only;
+    * per-query top-3 goes through the row_number<=k window that the
+    * TopKPerKey rule rewrites into bounded per-query heaps. At 100 TB:
+    * batch size q, probe I/O ~ q/k of the corpus, heap state 3q rows —
+    * nothing corpus-sized on the wire. */
+  def qSimAnnIvfBatch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    graft.expressions.VectorOps.register(s)
+    graft.expressions.VecSum6.register(s)
+    graft.plans.TopKPerKey.register(s)
+    val p = ensureIndex(s, dir)
+    val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val qassign = Llm.ivfAssign(
+        qs.select(col("qid").as("vec_id"), col("qemb").as("embedding")),
+        loadCentroids(s, p))
+      .select(col("vec_id").as("qid2"), col("cid").as("qcid"))
+    val qcids = qassign.select("qcid").distinct().collect().map(_.getLong(0))
+    val qmeta = qassign.join(qs, col("qid2") === col("qid"))
+      .select(col("qid"), col("qcid"), col("qemb"))
+    val scored = loadLists(s, p).filter(col("cid").isin(qcids: _*))
+      .join(broadcast(qmeta), col("cid") === col("qcid"))
+      .select(col("qid"), col("vec_id"),
+              expr("graft_sqdist12(embedding, qemb)").as("dist2"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("dist2").asc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"), col("dist2"))
+      .orderBy(col("qid"), col("dist2"), col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_ann_ivf_indexed" -> (qSimAnnIvfIndexed _),
     "q_sim_ann_ivf_probe2" -> (qSimAnnIvfProbe2 _),
+    "q_sim_ann_ivf_batch" -> (qSimAnnIvfBatch _),
   )
 
   /** Indexed face bit-identical to the learned face by construction. */
   val oracle: Map[String, String] = Map(
     "q_sim_ann_ivf_indexed" -> Llm.ivfLearnedSql,
     "q_sim_ann_ivf_probe2" -> Llm.ivfProbe2Sql,
+    "q_sim_ann_ivf_batch" -> Llm.ivfBatchSql,
   )
 }

@@ -1243,6 +1243,27 @@ object Llm {
        |FROM a4 a JOIN qc2 ON a.cid = qc2.qcid JOIN dq d ON d.vec_id = a.vec_id
        |ORDER BY d.dist2 ASC, a.vec_id ASC LIMIT 10""".stripMargin
 
+  /** BATCH serving: query vectors 0..3 each probe their own cell
+    * (their a4 assignment), per-query top-3 members by true distance —
+    * distances computed only on (query, cell-member) pairs. */
+  private[queries] lazy val ivfBatchSql: String =
+    s"""$ivfLloydCtes,
+       |qa AS (SELECT vec_id AS qid, cid AS qcid FROM a4 WHERE vec_id < 4),
+       |candb AS (
+       |  SELECT qa.qid, m.vec_id FROM qa JOIN a4 m ON m.cid = qa.qcid),
+       |bd AS (
+       |  SELECT c.qid, c.vec_id,
+       |    CAST(SUM(CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+       |      * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS dist2
+       |  FROM candb c, embeddings e, embeddings q, GENERATE_SERIES(1, 64) AS gb(i)
+       |  WHERE e.vec_id = c.vec_id AND q.vec_id = c.qid
+       |  GROUP BY c.qid, c.vec_id)
+       |SELECT qid, vec_id, dist2 FROM (
+       |  SELECT qid, vec_id, dist2,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2 ASC, vec_id ASC) AS rn
+       |  FROM bd) WHERE rn <= 3
+       |ORDER BY qid, dist2, vec_id""".stripMargin
+
   private lazy val cosineSql: String =
     s"""WITH per AS (
        |  SELECT e.vec_id,
