@@ -157,10 +157,40 @@ object Ivf {
       .orderBy(col("qid"), col("dist2"), col("vec_id"))
   }
 
+  /** Fingerprint for the STANDING-corpus quantizer behind the append
+    * face (distinct artifact from the full-corpus index). */
+  private val standingVersion = "lloyd3-seed8-sqdistq6-standing-mod10-v1"
+
+  /** INDEX APPEND — IVF maintenance without retraining: the quantizer
+    * is trained on the STANDING corpus only (vec_id % 10 <> 9; the
+    * seed vectors 0..7 are all standing), persisted once, and the NEW
+    * batch (every 10th vector) is assigned against the FROZEN
+    * centroids — each new vector's cell plus its distance to that
+    * cell's centroid, i.e. exactly the rows a real append writes into
+    * the inverted lists. At 100 TB this is the daily-ingest shape:
+    * k kernel evals per new vector, zero shuffle (per-row argmin),
+    * centroids untouched — retraining the coarse quantizer is the
+    * expensive rare event, appending is cheap and constant. */
+  def qSimAnnIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.VectorOps.register(s)
+    graft.expressions.VecSum6.register(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val p = ArtifactStore.ensure(ArtifactStore.cachePath("ivf_standing",
+      ArtifactStore.contentKey(s"$dir/embeddings.parquet", standingVersion))) {
+      tmp =>
+        train(e.filter(col("vec_id") % 10 =!= 9))
+          .write.mode("overwrite").parquet(s"$tmp/centroids")
+    }
+    Llm.ivfAssignDist(e.filter(col("vec_id") % 10 === 9),
+        s.read.parquet(s"$p/centroids"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_ann_ivf_indexed" -> (qSimAnnIvfIndexed _),
     "q_sim_ann_ivf_probe2" -> (qSimAnnIvfProbe2 _),
     "q_sim_ann_ivf_batch" -> (qSimAnnIvfBatch _),
+    "q_sim_ann_ivf_append" -> (qSimAnnIvfAppend _),
   )
 
   /** Indexed face bit-identical to the learned face by construction. */
@@ -168,5 +198,6 @@ object Ivf {
     "q_sim_ann_ivf_indexed" -> Llm.ivfLearnedSql,
     "q_sim_ann_ivf_probe2" -> Llm.ivfProbe2Sql,
     "q_sim_ann_ivf_batch" -> Llm.ivfBatchSql,
+    "q_sim_ann_ivf_append" -> Llm.ivfAppendSql,
   )
 }

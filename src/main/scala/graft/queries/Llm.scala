@@ -544,6 +544,19 @@ object Llm {
         col("embedding"))
   }
 
+  /** Same zero-shuffle per-row argmin, but keeping the winning
+    * distance alongside the cell — the index-APPEND face reports how
+    * far each new vector sits from its cell's centroid. */
+  private[queries] def ivfAssignDist(e: DataFrame, cent: DataFrame): DataFrame = {
+    val carr = cent
+      .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("carr"))
+    e.crossJoin(broadcast(carr))
+      .select(col("vec_id"),
+        expr("array_min(transform(carr, c -> named_struct(" +
+          "'d', graft_sqdist12(embedding, c.cvec), 'cid', c.cid)))").as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d").as("dist2"))
+  }
+
   /** `iters` Lloyd steps from the seeds; empty clusters keep their
     * previous centroid. */
   private[queries] def ivfLearnedCentroids(e: DataFrame,
@@ -1190,12 +1203,14 @@ object Llm {
     * oracles: c0 = seed centroids, (assign, mean) x3, final assignment
     * a4 + per-vector query distances dq. Same decimal quantization
     * points as the Spark plan so doubles match bit-for-bit. */
-  private def ivfAssignCte(k: Int, prevCent: String): String =
+  private def ivfAssignCte(k: Int, prevCent: String,
+                           pop: String = ""): String =
     s"""d$k AS (
        |  SELECT e.vec_id, c.cid,
        |    CAST(SUM(CAST((CAST(e.embedding[c.pos] AS DOUBLE) - c.c)
        |      * (CAST(e.embedding[c.pos] AS DOUBLE) - c.c) AS DECIMAL(18,6))) AS DOUBLE) AS dist2
        |  FROM embeddings e, $prevCent c
+       |  ${if (pop.isEmpty) "" else s"WHERE $pop"}
        |  GROUP BY e.vec_id, c.cid),
        |a$k AS (
        |  SELECT vec_id, cid FROM (
@@ -1242,6 +1257,28 @@ object Llm {
        |SELECT a.vec_id, d.dist2
        |FROM a4 a JOIN qc2 ON a.cid = qc2.qcid JOIN dq d ON d.vec_id = a.vec_id
        |ORDER BY d.dist2 ASC, a.vec_id ASC LIMIT 10""".stripMargin
+
+  /** INDEX APPEND: the quantizer is trained on the STANDING corpus
+    * only (vec_id % 10 <> 9 — the seeds 0..7 are all standing), then
+    * the NEW batch (vec_id % 10 = 9) is assigned against the FROZEN
+    * centroids — IVF index maintenance without retraining. Output:
+    * each new vector's cell and its distance to that cell's
+    * centroid. */
+  private[queries] lazy val ivfAppendSql: String = {
+    val standing = "e.vec_id % 10 <> 9"
+    val iters = (1 to 3).map(k =>
+      ivfAssignCte(k, s"c${k - 1}", standing) + ",\n" +
+        ivfCentCte(k, s"c${k - 1}"))
+      .mkString(",\n")
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS cid, i AS pos, CAST(embedding[i] AS DOUBLE) AS c
+       |  FROM embeddings, GENERATE_SERIES(1, 64) AS g0(i) WHERE vec_id < 8),
+       |$iters,
+       |${ivfAssignCte(4, "c3", "e.vec_id % 10 = 9")}
+       |SELECT a.vec_id, a.cid, d.dist2
+       |FROM a4 a JOIN d4 d ON d.vec_id = a.vec_id AND d.cid = a.cid
+       |ORDER BY a.vec_id""".stripMargin
+  }
 
   /** BATCH serving: query vectors 0..3 each probe their own cell
     * (their a4 assignment), per-query top-3 members by true distance —

@@ -16,14 +16,24 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-# per-table entity-id columns to shift by copy * (max+1)
+# per-table entity-id columns to shift by copy * (max+1).
+# event_id is shifted too: the generator guarantees it globally unique
+# (q_stream_dedup's oracle counts the raw table BECAUSE dedup-by-id of
+# unique ids is the identity) - a clone that repeats event_ids tests a
+# data contract the engine is entitled to assume, not the engine.
 SHIFT = {
     'documents': ['doc_id'],
     'embeddings': ['vec_id'],
-    'events': ['user_id'],
+    'events': ['user_id', 'event_id'],
     'lineitem': ['l_orderkey'],
     'orders': ['o_orderkey'],
 }
+# events.ts is globally unique in the generated corpus; the final
+# ORDER BY of several window queries is only total under that
+# invariant. Perturb each copy by +copy microseconds (exact in both
+# engines' timestamp models; hour/minute bucketing unmoved away from
+# boundaries) to keep global ordering total.
+TS_PERTURB = {'events': 'ts'}
 # tables copied through unchanged (small dims shared by every copy)
 PASSTHROUGH = ['region', 'nation', 'customer', 'supplier', 'part']
 
@@ -55,6 +65,15 @@ def main():
                 idx = part.schema.get_field_index(c)
                 shifted = pc.add(part[c], k * offs[c]).cast(part.schema[idx].type)
                 part = part.set_column(idx, part.schema[idx], shifted)
+            tc = TS_PERTURB.get(t)
+            if tc is not None and k > 0:
+                idx = part.schema.get_field_index(tc)
+                unit = part.schema[idx].type.unit
+                dur = pa.scalar(k * {'ns': 1000, 'us': 1}[unit],
+                                type=pa.duration(unit))
+                part = part.set_column(
+                    idx, part.schema[idx],
+                    pc.add(part[tc], dur).cast(part.schema[idx].type))
             parts.append(part)
         out = pa.concat_tables(parts)
         pq.write_table(out, f'{dst}/{t}.parquet')
