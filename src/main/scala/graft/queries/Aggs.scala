@@ -19,9 +19,12 @@ object Aggs {
     val l = Tables.lineitem(s, dir)
     val discPrice = (dec(col("l_extendedprice")) *
       (dec(lit(1)) - dec(col("l_discount")))).cast(DecT)
-    // Exactly 6 actual decimal digits (4dp disc-price x 2dp tax), so the
-    // scale-6 cast is lossless and the summed unscaled value stays below
-    // 2^53 — both engines then do a single correct decimal->double rounding.
+    // Exactly 6 actual decimal digits (4dp disc-price x 2dp tax); the
+    // scale-6 cast is lossless. The SUMS export cents (ROUND(.., 2)
+    // before the double cast): past |sum|*1e6 ~ 2^53 the two engines'
+    // decimal->double conversion paths round differently in the last
+    // ulp (caught by the round-8 10x sweep at sum_charge ~ 2.8e10) —
+    // the cents window is exact to ~9e13. Same rule as Det.dsum.
     val charge = (discPrice * (dec(lit(1)) + dec(col("l_tax"))))
       .cast(DecT)
     l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -29,8 +32,8 @@ object Aggs {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(discPrice).cast("double").as("sum_disc_price"),
-        sum(charge).cast("double").as("sum_charge"),
+        round(sum(discPrice), 2).cast("double").as("sum_disc_price"),
+        round(sum(charge), 2).cast("double").as("sum_charge"),
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_extendedprice")).as("avg_price"),
         davg(col("l_discount")).as("avg_disc"),
@@ -337,8 +340,8 @@ object Aggs {
       s"""SELECT l_returnflag, l_linestatus,
          |  ${D.dsum("l_quantity")} AS sum_qty,
          |  ${D.dsum("l_extendedprice")} AS sum_base_price,
-         |  CAST(SUM($discPriceSql) AS DOUBLE) AS sum_disc_price,
-         |  CAST(SUM($chargeSql) AS DOUBLE) AS sum_charge,
+         |  CAST(ROUND(SUM($discPriceSql), 2) AS DOUBLE) AS sum_disc_price,
+         |  CAST(ROUND(SUM($chargeSql), 2) AS DOUBLE) AS sum_charge,
          |  ${D.davg("l_quantity")} AS avg_qty,
          |  ${D.davg("l_extendedprice")} AS avg_price,
          |  ${D.davg("l_discount")} AS avg_disc,

@@ -31,7 +31,10 @@ object Filters {
       (dec(col("l_extendedprice")) * (dec(lit(1)) - dec(col("l_discount"))))
         .cast("double").as("disc_price"),
       when(col("l_quantity") >= 30, "bulk").otherwise("small").as("qty_class"),
-    ).orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is non-unique in the generated
+      // lineitem: the sort covers every output column so ties are
+      // full-row duplicates (round-8 10x sweep fix, see Scans)
+    ).orderBy("l_orderkey", "l_linenumber", "disc_price", "qty_class")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -52,6 +55,6 @@ object Filters {
          |  CAST(${D.dec("l_extendedprice")} * (CAST(1 AS DECIMAL(18,6)) - ${D.dec("l_discount")}) AS DOUBLE) AS disc_price,
          |  CASE WHEN l_quantity >= 30 THEN 'bulk' ELSE 'small' END AS qty_class
          |FROM lineitem
-         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+         |ORDER BY l_orderkey, l_linenumber, disc_price, qty_class""".stripMargin,
   )
 }

@@ -48,7 +48,13 @@ object Scalars {
       (col("l_orderkey") % 7).as("mod_ok"),
       pow(col("l_linenumber"), 2).as("pow_ln"),
       round(dec(col("l_extendedprice")), 0).cast("long").as("round_p"),
-    ).orderBy("l_orderkey", "l_linenumber")
+      // sort covers the independent output columns: (l_orderkey,
+      // l_linenumber) is non-unique in the generated lineitem
+      // (round-8 10x sweep fix, see Scans); mod_ok/pow_ln are
+      // functions of the key columns, ceil/round follow from the
+      // price as floor does except at exact boundaries — include them
+    ).orderBy("l_orderkey", "l_linenumber", "abs_q", "floor_p",
+              "ceil_p", "round_p")
 
   /** ArrayType + Generator (posexplode): per-dimension stats over the
     * first 8 embedding dims. */
@@ -156,7 +162,9 @@ object Scalars {
          |  l_orderkey % 7 AS mod_ok,
          |  POW(l_linenumber, 2) AS pow_ln,
          |  CAST(ROUND(${D.dec("l_extendedprice")}, 0) AS BIGINT) AS round_p
-         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+         |FROM lineitem
+         |ORDER BY l_orderkey, l_linenumber, abs_q, floor_p, ceil_p,
+         |  round_p""".stripMargin,
     "q_fn_array" ->
       s"""SELECT i AS dim, COUNT(*) AS n,
          |  CAST(SUM(${D.decf("embedding[i]")}) AS DOUBLE) AS sum_x,

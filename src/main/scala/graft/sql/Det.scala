@@ -38,14 +38,25 @@ object Det {
     * cannot equal m/(2*10^6)). */
   def decf(c: Column): Column = c.cast("double").cast(DecT)
 
-  /** Order-independent exact sum, exported as double. */
-  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  /** Order-independent exact sum, exported as double — with the exact
+    * decimal ROUNDED TO CENTS first. A scale-6 sum's double conversion
+    * is exact in both engines only while |sum|*1e6 < 2^53 (|sum| <
+    * ~9e9): past that, Spark's single-rounding BigDecimal conversion
+    * and DuckDB's int128->double-then-divide double-rounding can
+    * differ in the last ulp (observed in the round-8 10x sweep: a
+    * 2.79e10 sum_charge). ROUND(dec, 2) is LOSSLESS for every <=2dp
+    * source measure (the testdata rule above), is an exact decimal op
+    * with identical tie rules (HALF_UP == away-from-zero) in both
+    * engines, and widens the exact-conversion window to |sum| < ~9e13
+    * — three orders beyond the 10x-sf0.1 corpus sums. */
+  def dsum(c: Column): Column = round(sum(dec(c)), 2).cast("double")
 
   /** Exact decimal sum kept as decimal for further exact arithmetic. */
   def dsumDec(c: Column): Column = sum(dec(c))
 
-  /** Deterministic average: exact decimal sum -> double, / count. */
-  def davg(c: Column): Column = sum(dec(c)).cast("double") / count(c)
+  /** Deterministic average: exact decimal sum (cents-rounded — see
+    * [[dsum]]) -> double, / count. */
+  def davg(c: Column): Column = round(sum(dec(c)), 2).cast("double") / count(c)
 
   /** Epoch seconds as BIGINT — sidesteps the parquet timestamp[ns]
     * (DuckDB) vs timestamp[us] (Spark) precision trap for outputs. */
@@ -64,9 +75,10 @@ object Det {
 object DetSql {
   def dec(c: String): String = s"CAST($c AS DECIMAL(18,6))"
   def decf(c: String): String = s"CAST(CAST($c AS DOUBLE) AS DECIMAL(18,6))"
-  def dsum(c: String): String = s"CAST(SUM(${dec(c)}) AS DOUBLE)"
+  def dsum(c: String): String = s"CAST(ROUND(SUM(${dec(c)}), 2) AS DOUBLE)"
   def dsumDec(c: String): String = s"SUM(${dec(c)})"
-  def davg(c: String): String = s"CAST(SUM(${dec(c)}) AS DOUBLE) / COUNT($c)"
+  def davg(c: String): String =
+    s"CAST(ROUND(SUM(${dec(c)}), 2) AS DOUBLE) / COUNT($c)"
   def epochS(c: String): String = s"CAST(FLOOR(EPOCH($c)) AS BIGINT)"
   def lcgBucket(key: String, mod: Int): String =
     s"((($key) * 2654435761) % 4294967296) % $mod"
