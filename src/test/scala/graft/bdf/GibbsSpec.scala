@@ -102,6 +102,18 @@ class GibbsSpec extends SparkSpec {
     val baseline = df.select(stddev_pop($"v")).head().getDouble(0)
     assert(res.finalRmse < 0.5 * baseline,
       s"distributed rmse ${res.finalRmse} not < 0.5 * baseline $baseline")
+    // the distributed path surfaces the same persistable uncertainty
+    // state as the broadcast path, and it derives the SAME predictions
+    assert(res.mode === "distributed")
+    assert(res.predMoments.nonEmpty,
+      "distributed train did not surface the moments table")
+    val fromMoments = Macau.predictionsFromMoments(res.predMoments.get)
+      .select("row_id", "pred", "pred_std").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val inRun = res.predictions.select("row_id", "pred", "pred_std").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(fromMoments === inRun,
+      "distributed moments diverged from in-run predictions")
   }
 
   test("auto mode switch routes by the broadcast driver footprint") {
