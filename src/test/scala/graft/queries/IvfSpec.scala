@@ -114,8 +114,10 @@ class IvfSpec extends SparkSpec {
       .groupBy("cid").count().collect()
       .map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
 
+    // batch probes up to 4 distinct cells (one per query vector)
     for ((df, nprobe) <- Seq(Ivf.qSimAnnIvfIndexed(spark, dir) -> 1,
-                             Ivf.qSimAnnIvfProbe2(spark, dir) -> 2)) {
+                             Ivf.qSimAnnIvfProbe2(spark, dir) -> 2,
+                             Ivf.qSimAnnIvfBatch(spark, dir) -> 4)) {
       df.collect()
       val scans = allNodes(df.queryExecution.executedPlan).collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec
