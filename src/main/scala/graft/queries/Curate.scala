@@ -265,6 +265,108 @@ object Curate {
       .orderBy("user_id", "hr")
   }
 
+  /** Weighted (probability-proportional-to-size) sample — sequential
+    * Poisson sampling (Ohlsson 1998): priority = u / w with u the
+    * Knuth-LCG hash of doc_id (uniform on [0, 2^32), never engine
+    * rand()) and w = n_chars, keep the bottom-k priorities. Heavier
+    * docs draw smaller priorities, so inclusion probability is
+    * ~proportional to length — the token-weighted sample an LLM data
+    * ablation wants. Priorities are exact integers (hash * 1e6 div w;
+    * hash < 2^32 so the product stays < 2^52, exact in both engines'
+    * BIGINTs; n_chars >= 1 by generator construction). The plan is a
+    * narrow scan + TakeOrderedAndProject (per-partition bounded
+    * top-k, merged at the driver): only k survivors ever leave a
+    * partition, so the sample costs one scan at any corpus size. The
+    * final row_number window runs over the ALREADY-LIMITED k rows —
+    * bounded by k, not the corpus. */
+  def qSampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").as("w"),
+        expr("pmod(doc_id * 2654435761, 4294967296) * 1000000 div n_chars")
+          .as("prio"))
+      .orderBy(col("prio"), col("doc_id"))
+      .limit(100)
+    base
+      .withColumn("pos",
+        row_number().over(Window.orderBy("prio", "doc_id")).cast("long"))
+      .select(col("pos"), col("doc_id"), col("w"), col("prio"))
+      .orderBy("pos")
+  }
+
+  /** Mixture budget solver — given target source weights and the
+    * tokens actually available per source, the max corpus size B
+    * (in weight-exact proportions, no source repeated/epoch'd) is
+    * B = min_s(avail_s * Wtot div w_s), with per-source allocation
+    * floor(B * w_s / Wtot). The planning query every mixture design
+    * runs BEFORE q_mix_sources executes the blend: it names the
+    * binding source (util_ppm = 1e6) and how much of every other
+    * source goes unused. One partial-agg corpus pass -> a |sources|-row
+    * table; the min/total fold is a broadcast of single-row
+    * aggregates — no full-data shuffle at any scale. Integer-exact
+    * while avail_s < 2^63/1e6 (~9.2e12 chars/source); beyond that the
+    * ppm step moves to DECIMAL(38,0) like the pagerank accumulator. */
+  def qMixBudget(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(sum(col("n_chars")).as("avail"))
+      .withColumn("w",
+        (expr("CAST(substring(source, 4) AS INT)") % 4 + 1).cast("long"))
+    val tot = per.agg(sum(col("w")).as("wtot"))
+    val budget = per.crossJoin(broadcast(tot))
+      .agg(min(expr("avail * wtot div w")).as("budget"),
+           max(col("wtot")).as("wtot"))
+    per.crossJoin(broadcast(budget))
+      .select(col("source"), col("w"), col("avail"),
+              expr("budget * w div wtot").as("alloc"),
+              expr("(budget * w div wtot) * 1000000 div avail").as("util_ppm"),
+              col("budget"))
+      .orderBy("source")
+  }
+
+  /** Water-filling mixture solver — the epoch-capped companion to
+    * [[qMixBudget]]: when the requested budget B (here 80% of the
+    * corpus, integer `total*4 div 5`) EXCEEDS the exact-proportion
+    * maximum, small sources run dry (alloc = avail, capped) and their
+    * shortfall redistributes across the uncapped sources in weight
+    * proportion — the allocation that solves
+    * max Σ alloc s.t. alloc_s ≤ avail_s, alloc_s ∝ w_s among uncapped.
+    * Exact integer algorithm: sort sources by the avail/w ratio via
+    * the EXACT key avail·(12 div w) (w ∈ 1..4 all divide 12 — no
+    * float ratio, no tie ambiguity), then a source is capped iff
+    * avail·(Wtot−PW) < (B−PA)·w over the exclusive prefix sums PA/PW
+    * (cross-multiplied — never a division), and every uncapped source
+    * gets floor((B−ΣcappedAvail)·w / (Wtot−ΣcappedW)). CurateSpec
+    * verifies the capped set against a brute-force water-level search.
+    * The ordered window runs over the POST-AGGREGATION |sources|-row
+    * table (tiny at any corpus scale); the corpus itself contributes
+    * one partial-agg scan. */
+  def qMixWaterfill(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(sum(col("n_chars")).as("avail"))
+      .withColumn("w",
+        (expr("CAST(substring(source, 4) AS INT)") % 4 + 1).cast("long"))
+    val tot = per.agg(sum(col("w")).as("wtot"),
+                      expr("sum(avail) * 4 div 5").as("b"))
+    val wOrd = Window.orderBy(expr("avail * (12 div w)"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cap = per.crossJoin(broadcast(tot))
+      .withColumn("pa", coalesce(sum(col("avail")).over(wOrd), lit(0L)))
+      .withColumn("pw", coalesce(sum(col("w")).over(wOrd), lit(0L)))
+      .withColumn("capped",
+        when(col("avail") * (col("wtot") - col("pw"))
+          < (col("b") - col("pa")) * col("w"), lit(1)).otherwise(lit(0)))
+    val k = cap.agg(
+      coalesce(sum(col("avail") * col("capped")), lit(0L)).as("ca"),
+      coalesce(sum(col("w") * col("capped")), lit(0L)).as("cw"))
+    cap.crossJoin(broadcast(k))
+      .select(col("source"), col("w"), col("avail"),
+              when(col("capped") === 1, col("avail"))
+                .otherwise(expr("(b - ca) * w div (wtot - cw)")).as("alloc"),
+              col("capped"), col("b").as("budget"))
+      .orderBy("source")
+  }
+
   /** Deterministic training-order shuffle — the LAST step of the
     * curation pipeline (dedup → gate → mix → pack → SHUFFLE): a global
     * permutation of the corpus by LCG key, computed WITHOUT a global
@@ -293,6 +395,9 @@ object Curate {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_shuffle" -> (qCorpusShuffle _),
+    "q_sample_weighted" -> (qSampleWeighted _),
+    "q_mix_budget" -> (qMixBudget _),
+    "q_mix_waterfill" -> (qMixWaterfill _),
     "q_dedup_url_canonical" -> (qDedupUrlCanonical _),
     "q_resample_hourly" -> (qResampleHourly _),
     "q_text_chunk" -> (qTextChunk _),
@@ -306,6 +411,63 @@ object Curate {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sample_weighted" ->
+      """SELECT pos, doc_id, w, prio FROM (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY prio, doc_id) AS BIGINT)
+        |      AS pos,
+        |    doc_id, w, prio
+        |  FROM (SELECT doc_id, n_chars AS w,
+        |          ((doc_id * 2654435761) % 4294967296) * 1000000 // n_chars
+        |            AS prio
+        |        FROM documents))
+        |WHERE pos <= 100 ORDER BY pos""".stripMargin,
+    "q_mix_waterfill" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(CAST(SUBSTRING(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w,
+        |    CAST(SUM(n_chars) AS BIGINT) AS avail
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot,
+        |               CAST(CAST(SUM(avail) AS BIGINT) * 4 // 5 AS BIGINT)
+        |                 AS b
+        |        FROM per),
+        |ord AS (
+        |  SELECT source, w, avail,
+        |    CAST(COALESCE(SUM(avail) OVER (ORDER BY avail * (12 // w), source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pa,
+        |    CAST(COALESCE(SUM(w) OVER (ORDER BY avail * (12 // w), source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS pw
+        |  FROM per),
+        |cap AS (
+        |  SELECT o.source, o.w, o.avail,
+        |    CASE WHEN o.avail * (t.wtot - o.pw) < (t.b - o.pa) * o.w
+        |      THEN 1 ELSE 0 END AS capped
+        |  FROM ord o, tot t),
+        |k AS (SELECT CAST(COALESCE(SUM(avail * capped), 0) AS BIGINT) AS ca,
+        |             CAST(COALESCE(SUM(w * capped), 0) AS BIGINT) AS cw
+        |      FROM cap)
+        |SELECT c.source, c.w, c.avail,
+        |  CAST(CASE WHEN c.capped = 1 THEN c.avail
+        |    ELSE (t.b - k.ca) * c.w // (t.wtot - k.cw) END AS BIGINT) AS alloc,
+        |  c.capped, t.b AS budget
+        |FROM cap c, k, tot t ORDER BY c.source""".stripMargin,
+    "q_mix_budget" ->
+      """WITH per AS (
+        |  SELECT source,
+        |    CAST(CAST(SUBSTRING(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w,
+        |    CAST(SUM(n_chars) AS BIGINT) AS avail
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wtot FROM per),
+        |b AS (SELECT CAST(MIN(avail * wtot // w) AS BIGINT) AS budget,
+        |             CAST(MAX(wtot) AS BIGINT) AS wtot
+        |      FROM per, tot)
+        |SELECT source, w, avail,
+        |  CAST(budget * w // wtot AS BIGINT) AS alloc,
+        |  CAST((budget * w // wtot) * 1000000 // avail AS BIGINT) AS util_ppm,
+        |  budget
+        |FROM per, b ORDER BY source""".stripMargin,
     "q_dedup_url_canonical" ->
       """WITH canon AS (
         |  SELECT doc_id,

@@ -44,6 +44,25 @@ object Llm {
       .filter(col("n") > 1)
       .orderBy("h")
 
+  /** Soft dedup (the SlimPajama/DataComp alternative to dropping):
+    * every duplicate group member is KEPT but downweighted to
+    * w_ppm = 1e6 div n_copies, so a group's total training influence
+    * is one document's worth. The per-doc verdict face of
+    * [[qDedupExact]]: one hash agg over 16-char content hashes + one
+    * equi-join of (doc_id, hash) against the group counts — the wire
+    * carries ~24 B/doc, never text, at any corpus size. Integer ppm
+    * (floor) keeps both engines bit-identical. */
+  def qDedupSoftWeight(s: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.documents(s, dir)
+      .select(col("doc_id"),
+              substring(md5(col("text").cast("binary")), 1, 16).as("h"))
+    val groups = hashed.groupBy("h").agg(count(lit(1)).as("n_copies"))
+    hashed.join(groups, "h")
+      .select(col("doc_id"), col("n_copies"),
+              expr("1000000L div n_copies").as("w_ppm"))
+      .orderBy("doc_id")
+  }
+
   // Word 3-gram shingles are the right MinHash input: unigram token
   // sets over this corpus's ~40-word vocabulary have baseline Jaccard
   // ~0.5 between RANDOM docs (2.1M of 12.5M sf0.1 pairs collide on
@@ -762,6 +781,7 @@ object Llm {
     "q_text_tokenize" -> (qTextTokenize _),
     "q_text_stats" -> (qTextStats _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_soft_weight" -> (qDedupSoftWeight _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_minhash_banded" -> (qDedupMinhashBanded _),
     "q_dedup_jaccard_ngram" -> (qDedupJaccardNgram _),
@@ -869,6 +889,12 @@ object Llm {
         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
         |FROM documents GROUP BY MD5(text) HAVING COUNT(*) > 1
         |ORDER BY h""".stripMargin,
+    "q_dedup_soft_weight" ->
+      """WITH h AS (
+        |  SELECT doc_id, SUBSTRING(MD5(text), 1, 16) AS h FROM documents),
+        |g AS (SELECT h, COUNT(*) AS n_copies FROM h GROUP BY h)
+        |SELECT doc_id, n_copies, 1000000 // n_copies AS w_ppm
+        |FROM h JOIN g USING (h) ORDER BY doc_id""".stripMargin,
     "q_dedup_incremental" ->
       """WITH sh AS (
         |  SELECT doc_id,

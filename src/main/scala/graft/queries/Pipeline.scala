@@ -157,6 +157,40 @@ object Pipeline {
       .limit(100)
   }
 
+  /** Perplexity-style quality gate — the APPLY face of the bigram LM
+    * (the CCNet recipe: score every document against a corpus language
+    * model, keep the predictable half). Kept integer-exact cross-engine
+    * by gating on the MEAN BIGRAM PROBABILITY in ppm (sum p_ppm div
+    * n_bigrams) rather than float log-perplexity: same ranking
+    * direction for a fixed-length regime, and every value is an
+    * integer rational both engines compute identically. Threshold
+    * 34500 ppm ~ the corpus median, so the gate genuinely splits.
+    * Three passes over the (word, word) pair stream (bigram counts,
+    * start counts, scoring join) — the wire carries word pairs and
+    * (doc_id, p_ppm) rows, never document text; the unigram side is
+    * vocab-bounded (broadcast), the scoring join keys on the bigram. */
+  def qTextPerplexityGate(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1)," +
+          " i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"))
+        .as("pr"))
+      .select(col("doc_id"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val uni = pairs.groupBy(col("w1").as("u1")).agg(count(lit(1)).as("n_w1"))
+    val lm = big.join(broadcast(uni), col("w1") === col("u1"))
+      .select(col("w1"), col("w2"), expr("n * 1000000L div n_w1").as("p_ppm"))
+    pairs.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sp"))
+      .select(col("doc_id"), col("n_bigrams"),
+              expr("sp div n_bigrams").as("avg_p_ppm"),
+              expr("CAST(sp div n_bigrams >= 34500 AS INT)").as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Token-budget sequence packing: assign documents (in doc_id order)
     * to contiguous ~2048-token training sequences. The global running
     * token count comes from [[Prefix.withPrefix]] — bucketed prefix
@@ -301,6 +335,7 @@ object Pipeline {
     "q_dedup_ngram_spans" -> (qDedupNgramSpans _),
     "q_dedup_span_mask" -> (qDedupSpanMask _),
     "q_text_ngram_lm" -> (qTextNgramLm _),
+    "q_text_perplexity_gate" -> (qTextPerplexityGate _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_text_blocklist" -> (qTextBlocklist _),
     "q_text_tfidf" -> (qTextTfidf _),
@@ -420,6 +455,29 @@ object Pipeline {
         |SELECT b.w1, b.w2, b.n, u.n_w1, b.n * 1000000 // u.n_w1 AS p_ppm
         |FROM big b JOIN uni u ON b.w1 = u.w1
         |ORDER BY b.n DESC, b.w1 ASC, b.w2 ASC LIMIT 100""".stripMargin,
+    "q_text_perplexity_gate" ->
+      """WITH tkl AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk
+        |  FROM documents),
+        |-- series bound 512 tokens/doc, same headroom note as
+        |-- q_text_ngram_lm (OracleBoundsSpec pins the corpus max)
+        |pr AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        |  FROM tkl, GENERATE_SERIES(1, 512) AS g(i)
+        |  WHERE i <= LEN(tk) - 1),
+        |lm AS (
+        |  SELECT w1, w2,
+        |    CAST(COUNT(*) * 1000000
+        |      // CAST(SUM(COUNT(*)) OVER (PARTITION BY w1) AS BIGINT)
+        |      AS BIGINT) AS p_ppm
+        |  FROM pr GROUP BY w1, w2),
+        |score AS (
+        |  SELECT p.doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(lm.p_ppm) AS BIGINT) AS sp
+        |  FROM pr p JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
+        |  GROUP BY 1)
+        |SELECT doc_id, n_bigrams, sp // n_bigrams AS avg_p_ppm,
+        |  CAST(sp // n_bigrams >= 34500 AS INT) AS keep
+        |FROM score ORDER BY doc_id""".stripMargin,
     "q_dedup_span_mask" ->
       """WITH tkl AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
         |-- series bound 512 tokens/doc, same headroom note as

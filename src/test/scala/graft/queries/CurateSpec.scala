@@ -92,6 +92,95 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("q_sample_weighted: bounded top-k plan, deterministic, PPS bias") {
+    val df = Curate.qSampleWeighted(spark, sf("sf0.001"))
+    val rows = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exactly k rows, contiguous positions, priority-sorted
+    assert(rows.length == 100)
+    assert(rows.map(_._1).toSeq == (1L to 100L))
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sorted.toSeq)
+    // reproducible
+    val again = Curate.qSampleWeighted(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == again.toSeq, "weighted sample not reproducible")
+    // PPS: the length-weighted sample must skew heavier than the corpus
+    val corpusMeanW = graft.Tables.documents(spark, sf("sf0.001"))
+      .agg(avg(col("n_chars"))).collect()(0).getDouble(0)
+    val sampleMeanW = rows.map(_._3).sum.toDouble / rows.length
+    assert(sampleMeanW > corpusMeanW,
+      s"PPS sample mean w $sampleMeanW not above corpus mean $corpusMeanW")
+    // scale shape: per-partition bounded top-k, not a global sort
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample must plan as bounded top-k:\n$p")
+  }
+
+  test("q_mix_budget: allocations feasible, proportional, one binding source") {
+    val rows = Curate.qMixBudget(spark, sf("sf0.001")).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+       r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val wtot = rows.map(_._2).sum
+    val budget = rows.head._6
+    rows.foreach { case (src, w, avail, alloc, utilPpm, b) =>
+      assert(b == budget, s"$src: budget differs across rows")
+      assert(alloc <= avail, s"$src: alloc $alloc exceeds avail $avail")
+      assert(alloc == budget * w / wtot, s"$src: alloc not proportional")
+      assert(utilPpm == alloc * 1000000L / avail, s"$src: util_ppm wrong")
+    }
+    // the binding source is fully consumed; nothing exceeds full use
+    assert(rows.map(_._5).max == 1000000L,
+      "no source is fully utilized - budget is not maximal")
+    // budget is maximal: adding one more wtot-quantum would overdraw
+    // the binding source
+    val binding = rows.filter(_._5 == 1000000L).head
+    assert((budget + wtot) * binding._2 / wtot > binding._3,
+      "budget could be raised without overdrawing the binding source")
+  }
+
+  test("q_mix_waterfill: matches a brute-force water-level search") {
+    val rows = Curate.qMixWaterfill(spark, sf("sf0.001")).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+       r.getInt(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val budget = rows.head._6
+    // feasibility: alloc <= avail, capped iff fully consumed
+    rows.foreach { case (src, _, avail, alloc, capped, _) =>
+      assert(alloc <= avail, s"$src overdrawn")
+      assert((capped == 1) == (alloc == avail) || capped == 0,
+        s"$src capped flag inconsistent")
+    }
+    // total within floor slack of the budget (one unit per uncapped src)
+    val slack = budget - rows.map(_._4).sum
+    assert(slack >= 0 && slack <= rows.count(_._5 == 0),
+      s"allocation total off budget by $slack")
+    // capped set equals the brute-force continuous water level's
+    val w = rows.map(_._2.toDouble)
+    val avail = rows.map(_._3.toDouble)
+    var (lo, hi) = (0.0, 1e12)
+    (1 to 200).foreach { _ =>
+      val lam = (lo + hi) / 2
+      val tot = avail.zip(w).map { case (a, wi) => math.min(a, lam * wi) }.sum
+      if (tot < budget) lo = lam else hi = lam
+    }
+    rows.zipWithIndex.foreach { case ((src, _, _, _, capped, _), i) =>
+      val bfCapped = avail(i) <= lo * w(i) + 1e-6
+      assert((capped == 1) == bfCapped,
+        s"$src: capped=$capped but water-level says $bfCapped")
+    }
+    // uncapped allocations are weight-proportional (exact floor rule)
+    val un = rows.filter(_._5 == 0)
+    if (un.nonEmpty) {
+      val ca = rows.filter(_._5 == 1).map(_._3).sum
+      val cw = rows.filter(_._5 == 1).map(_._2).sum
+      val wtot = rows.map(_._2).sum
+      un.foreach { case (src, wi, _, alloc, _, _) =>
+        assert(alloc == (budget - ca) * wi / (wtot - cw), s"$src floor rule")
+      }
+    }
+  }
+
   test("q_corpus_shuffle is an exact permutation in LCG-key order") {
     val rows = Curate.qCorpusShuffle(spark, sf("sf0.001")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -137,6 +137,40 @@ class PipelineSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"salted join went cartesian:\n$p")
   }
 
+  test("q_text_perplexity_gate: LM is a sub-distribution, gate splits corpus") {
+    val dir = sf("sf0.001")
+    val rows = Pipeline.qTextPerplexityGate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // every >=2-token doc gets a verdict
+    val nDocs = graft.Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length === nDocs)
+    rows.foreach { case (d, nb, avg, keep) =>
+      assert(nb >= 1, s"doc $d: no bigrams")
+      assert(avg >= 0 && avg <= 1000000, s"doc $d: avg_p_ppm $avg out of range")
+      assert(keep == (if (avg >= 34500) 1 else 0), s"doc $d: keep flag wrong")
+    }
+    // the threshold sits at the corpus median: both sides populated
+    assert(rows.exists(_._4 == 1) && rows.exists(_._4 == 0),
+      "gate did not split the corpus")
+    // floor-division probabilities per w1 sum to at most 1e6 ppm
+    val pairs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1)," +
+          " i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"))
+        .as("pr"))
+      .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    val overs = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .join(pairs.groupBy(col("w1").as("u1")).agg(count(lit(1)).as("n_w1")),
+        col("w1") === col("u1"))
+      .select(col("w1"), expr("n * 1000000L div n_w1").as("p_ppm"))
+      .groupBy("w1").agg(sum(col("p_ppm")).as("tot"))
+      .filter(col("tot") > 1000000L).count()
+    assert(overs == 0, "some w1's conditional probabilities exceed 1e6 ppm")
+  }
+
   test("q_dedup_span_mask: coverage bounded, consistent with span discovery") {
     val dir = sf("sf0.001")
     val rows = Pipeline.qDedupSpanMask(spark, dir).collect()
