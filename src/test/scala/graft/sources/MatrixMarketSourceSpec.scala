@@ -1,0 +1,82 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DataSource V2 face of the MatrixMarket reader: format registration,
+  * byte-range split correctness (records crossing split boundaries,
+  * header owned by the byte-0 split), and column pruning pushdown. */
+class MatrixMarketSourceSpec extends SparkSpec {
+
+  private def writeMtx(nnz: Int): String = {
+    val p = Files.createTempDirectory("mtxv2").resolve("m.mtx")
+    val body = (1 to nnz).map { i =>
+      s"${i % 97 + 1} ${i % 53 + 1} ${i * 0.5}"
+    }.mkString("\n")
+    Files.writeString(p,
+      s"%%MatrixMarket matrix coordinate real general\n% generated\n97 53 $nnz\n$body\n")
+    p.toString
+  }
+
+  test("format(\"matrixmarket\") reads the same rows as MatrixMarket.read") {
+    val path = writeMtx(500)
+    val v2 = spark.read.format("matrixmarket").load(path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val v1 = MatrixMarket.read(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(v2 === v1)
+    assert(v2.size === 500)
+  }
+
+  test("tiny maxSplitBytes forces many splits; boundary records survive") {
+    val path = writeMtx(2000)
+    val len = new java.io.File(path).length()
+    // ~64-byte splits -> hundreds of partitions, most boundaries
+    // mid-record; every record must appear exactly once
+    val df = spark.read.format("matrixmarket")
+      .option("maxSplitBytes", "64").load(path)
+    assert(df.rdd.getNumPartitions > 10,
+      s"$len-byte file at 64-byte splits should plan many partitions")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === 2000, "records lost or duplicated at split boundaries")
+    assert(got.toSet === MatrixMarket.read(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+  }
+
+  test("column pruning reaches the scan (readSchema shrinks)") {
+    val path = writeMtx(100)
+    val df = spark.read.format("matrixmarket").load(path).select("v")
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.nonEmpty, "no BatchScanExec in the plan")
+    assert(scans.head.scan.readSchema().fieldNames.toSeq === Seq("v"),
+      s"pruning did not reach the scan: ${scans.head.scan.readSchema()}")
+    // pruned read still returns correct values
+    assert(df.agg(sum("v")).collect()(0).getDouble(0) ===
+      (1 to 100).map(_ * 0.5).sum)
+  }
+
+  test("pattern files (no value column) read as 1.0 through the connector") {
+    val p = Files.createTempDirectory("mtxpat").resolve("p.mtx")
+    Files.writeString(p,
+      "%%MatrixMarket matrix coordinate pattern general\n3 3 2\n1 2\n3 1\n")
+    val got = spark.read.format("matrixmarket").load(p.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((0L, 1L, 1.0), (2L, 0L, 1.0)))
+  }
+
+  test("directory input reads every part file, skipping _ and . files") {
+    val dir = Files.createTempDirectory("mtxdir")
+    Files.writeString(dir.resolve("a.mtx"),
+      "%%MatrixMarket matrix coordinate real general\n5 5 2\n1 1 1.0\n2 2 2.0\n")
+    Files.writeString(dir.resolve("b.mtx"),
+      "%%MatrixMarket matrix coordinate real general\n5 5 1\n3 3 3.0\n")
+    Files.writeString(dir.resolve("_SUCCESS"), "")
+    val got = spark.read.format("matrixmarket").load(dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((0L, 0L, 1.0), (1L, 1L, 2.0), (2L, 2L, 3.0)))
+  }
+}
