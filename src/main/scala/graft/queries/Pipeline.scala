@@ -166,9 +166,13 @@ object Pipeline {
     * integer rational both engines compute identically. Threshold
     * 34500 ppm ~ the corpus median, so the gate genuinely splits.
     * Three passes over the (word, word) pair stream (bigram counts,
-    * start counts, scoring join) — the wire carries word pairs and
-    * (doc_id, p_ppm) rows, never document text; the unigram side is
-    * vocab-bounded (broadcast), the scoring join keys on the bigram. */
+    * start counts, scoring join); the trained LM is BROADCAST — it is
+    * vocab²-bounded (a pruned production LM à la CCNet fits executor
+    * memory; an unpruned web-scale LM would fall back to a
+    * bigram-keyed shuffle join), so the scoring join is map-side and
+    * the corpus-sized bigram stream NEVER shuffles: the only wire
+    * traffic is LM/unigram count partials and per-doc (count, sum)
+    * partials (ShuffleSpec pins the volume). */
   def qTextPerplexityGate(s: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
@@ -182,7 +186,7 @@ object Pipeline {
     val uni = pairs.groupBy(col("w1").as("u1")).agg(count(lit(1)).as("n_w1"))
     val lm = big.join(broadcast(uni), col("w1") === col("u1"))
       .select(col("w1"), col("w2"), expr("n * 1000000L div n_w1").as("p_ppm"))
-    pairs.join(lm, Seq("w1", "w2"))
+    pairs.join(broadcast(lm), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("sp"))
       .select(col("doc_id"), col("n_bigrams"),

@@ -108,4 +108,27 @@ class ShuffleSpec extends SparkSpec {
     info(s"q_pack_sequences shuffle bytes at sf0.01: $b")
     assert(b < 1000 * 1000, s"prefix-engine claim violated: $b bytes")
   }
+
+  test("perplexity gate broadcasts the LM; the bigram stream never shuffles") {
+    val b = shuffleBytes(Pipeline.qTextPerplexityGate(spark, sf("sf0.01")))
+    info(s"q_text_perplexity_gate shuffle bytes at sf0.01: $b")
+    // 500 docs x ~99 bigrams x ~30 B ≈ 1.5 MB if the scoring join ever
+    // shuffles the pair stream; LM/unigram/per-doc partials stay tiny
+    assert(b < 300 * 1000, s"broadcast-LM claim violated: $b bytes")
+  }
+
+  test("soft-weight dedup shuffles 16-char hashes, never text") {
+    val b = shuffleBytes(Llm.qDedupSoftWeight(spark, sf("sf0.01")))
+    info(s"q_dedup_soft_weight shuffle bytes at sf0.01: $b")
+    // (doc_id, hash) pairs twice (group agg + verdict join) ≈ 50 B/doc;
+    // corpus text would be ~500 B/doc
+    assert(b < 200 * 1000, s"hash-only claim violated: $b bytes")
+  }
+
+  test("weighted sample ships per-partition top-k only") {
+    val b = shuffleBytes(Curate.qSampleWeighted(spark, sf("sf0.01")))
+    info(s"q_sample_weighted shuffle bytes at sf0.01: $b")
+    // TakeOrderedAndProject: <=100 rows per map task cross the wire
+    assert(b < 50 * 1000, s"bounded top-k claim violated: $b bytes")
+  }
 }
