@@ -68,6 +68,46 @@ class MatrixMarketSourceSpec extends SparkSpec {
     assert(got === Set((0L, 1L, 1.0), (2L, 0L, 1.0)))
   }
 
+  test("DSv2 write round-trips: sharded parts + header from commit messages") {
+    val path = writeMtx(300)
+    val df = spark.read.format("matrixmarket").load(path)
+    val out = Files.createTempDirectory("mtxw").toString
+    df.repartition(4).write.format("matrixmarket").mode("append").save(out)
+    // header carries the true global dims + nnz, computed from the
+    // tasks' commit messages (never a driver data pass)
+    val headerLines = Files.readAllLines(
+      java.nio.file.Paths.get(out, "header.mtx"))
+    assert(headerLines.get(0).startsWith("%%MatrixMarket"))
+    assert(headerLines.get(1) === "97 53 300",
+      s"header dims wrong: ${headerLines.get(1)}")
+    // multiple body shards, each bare COO (banner-gated reader reads
+    // them without losing a first row)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.length === 4, s"expected 4 shards, got ${parts.length}")
+    val back = spark.read.format("matrixmarket").load(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(back.length === 300, "rows lost in write/read round-trip")
+    assert(back.toSet === df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+  }
+
+  test("DSv2 overwrite truncates prior parts; stale shards never resurface") {
+    val out = Files.createTempDirectory("mtxow").toString
+    val mk = (n: Int) => spark.range(n).selectExpr(
+      "id AS row", "id AS col", "CAST(id AS DOUBLE) AS v")
+    mk(50).repartition(8).write.format("matrixmarket")
+      .mode("append").save(out)
+    mk(10).repartition(2).write.format("matrixmarket")
+      .mode("overwrite").save(out)
+    val back = spark.read.format("matrixmarket").load(out).collect()
+    assert(back.length === 10,
+      s"overwrite left stale rows: ${back.length}")
+    val headerLines = Files.readAllLines(
+      java.nio.file.Paths.get(out, "header.mtx"))
+    assert(headerLines.get(1) === "10 10 10")
+  }
+
   test("directory input reads every part file, skipping _ and . files") {
     val dir = Files.createTempDirectory("mtxdir")
     Files.writeString(dir.resolve("a.mtx"),
