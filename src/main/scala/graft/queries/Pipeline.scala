@@ -195,6 +195,50 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** The WHOLE curation pipeline as ONE declarative plan — the
+    * composition face of the gate/dedup/mix/shuffle family: quality
+    * gate (the q_text_filter_gate conditions, restated as integer
+    * cross-multiplications so the per-doc verdict is float-free) →
+    * exact dedup (keep min doc_id per 16-char content hash) →
+    * deterministic source mixing (the q_mix_sources LCG rule) →
+    * training-order position (the q_corpus_shuffle bucketed
+    * permutation). Catalyst fuses the gate signals and the content
+    * hash into a single codegen scan pass; every later stage shuffles
+    * ids/hashes only (text is dropped at the first projection). The
+    * output IS a training manifest: (pos, doc_id, source, n_tok). */
+  def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import graft.sql.Det.lcgBucket
+    val sigs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        substring(md5(col("text").cast("binary")), 1, 16).as("h"),
+        length(col("text")).as("len"),
+        split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("source"), col("h"),
+        size(col("tk")).as("n_tok"),
+        (col("len") - size(col("tk")) + 1).as("char_sum"),
+        expr("size(filter(tk, t -> t IN ('the', 'a', 'data')))").as("n_stop"))
+    // avg_len in [4, 4.75] and stop_ratio <= 0.12, cross-multiplied
+    val gated = sigs.filter(
+      col("n_tok") >= 20 && col("n_tok") <= 80 &&
+      col("char_sum") >= col("n_tok") * 4 &&
+      col("char_sum") * 4 <= col("n_tok") * 19 &&
+      col("n_stop") * 25 <= col("n_tok") * 3)
+    val canon = gated.groupBy("h").agg(min(col("doc_id")).as("keep_doc"))
+    val deduped = gated.join(canon, "h")
+      .filter(col("doc_id") === col("keep_doc"))
+    val w4 = expr("CAST(substring(source, 4) AS INT)") % 4 + 1
+    val mixed = deduped.filter(lcgBucket(col("doc_id"), 4) < w4)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("k"))
+    val (bucketed, pref) = Prefix.bucketCountsWithPrefix(mixed, col("k"), 256)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pb").orderBy("k")
+    bucketed.join(broadcast(pref), col("_pb") === col("pb"))
+      .select((col("n_before") + row_number().over(w)).as("pos"),
+              col("doc_id"), col("source"), col("n_tok"))
+      .orderBy("pos")
+  }
+
   /** Token-budget sequence packing: assign documents (in doc_id order)
     * to contiguous ~2048-token training sequences. The global running
     * token count comes from [[Prefix.withPrefix]] — bucketed prefix
@@ -340,6 +384,7 @@ object Pipeline {
     "q_dedup_span_mask" -> (qDedupSpanMask _),
     "q_text_ngram_lm" -> (qTextNgramLm _),
     "q_text_perplexity_gate" -> (qTextPerplexityGate _),
+    "q_pipeline_e2e" -> (qPipelineE2e _),
     "q_pack_sequences" -> (qPackSequences _),
     "q_text_blocklist" -> (qTextBlocklist _),
     "q_text_tfidf" -> (qTextTfidf _),
@@ -459,6 +504,34 @@ object Pipeline {
         |SELECT b.w1, b.w2, b.n, u.n_w1, b.n * 1000000 // u.n_w1 AS p_ppm
         |FROM big b JOIN uni u ON b.w1 = u.w1
         |ORDER BY b.n DESC, b.w1 ASC, b.w2 ASC LIMIT 100""".stripMargin,
+    "q_pipeline_e2e" ->
+      """WITH sig AS (
+        |  SELECT doc_id, source,
+        |    SUBSTRING(MD5(text), 1, 16) AS h,
+        |    CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tok,
+        |    CAST(LEN(text) - LEN(STRING_SPLIT(text, ' ')) + 1 AS INT)
+        |      AS char_sum,
+        |    CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+        |      t -> t IN ('the', 'a', 'data'))) AS INT) AS n_stop
+        |  FROM documents),
+        |gated AS (
+        |  SELECT * FROM sig
+        |  WHERE n_tok BETWEEN 20 AND 80
+        |    AND char_sum >= n_tok * 4
+        |    AND char_sum * 4 <= n_tok * 19
+        |    AND n_stop * 25 <= n_tok * 3),
+        |dedup AS (
+        |  SELECT * FROM gated
+        |  QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY h)),
+        |mixed AS (
+        |  SELECT doc_id, source, n_tok,
+        |    (doc_id * 2654435761) % 4294967296 AS k
+        |  FROM dedup
+        |  WHERE ((doc_id * 2654435761) % 4294967296) % 4
+        |    < CAST(SUBSTRING(source, 4) AS INT) % 4 + 1)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY k) AS BIGINT) AS pos,
+        |  doc_id, source, n_tok
+        |FROM mixed ORDER BY pos""".stripMargin,
     "q_text_perplexity_gate" ->
       """WITH tkl AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk
         |  FROM documents),

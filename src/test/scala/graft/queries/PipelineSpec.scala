@@ -137,6 +137,41 @@ class PipelineSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"salted join went cartesian:\n$p")
   }
 
+  test("q_pipeline_e2e: manifest is a gated, deduped, contiguous permutation") {
+    val dir = sf("sf0.001")
+    val rows = Pipeline.qPipelineE2e(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+    assert(rows.nonEmpty, "empty manifest")
+    // positions are exactly 1..N (contiguous permutation, no gaps)
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+    // every surviving doc passes the gate (independent recomputation)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (_, d, _, nTok) =>
+      val text = docs(d)
+      val tk = text.split(" ", -1)
+      assert(tk.length == nTok, s"doc $d n_tok mismatch")
+      val charSum = text.length - tk.length + 1
+      val nStop = tk.count(Set("the", "a", "data"))
+      assert(tk.length >= 20 && tk.length <= 80, s"doc $d fails token gate")
+      assert(charSum >= tk.length * 4 && charSum * 4 <= tk.length * 19,
+        s"doc $d fails length gate")
+      assert(nStop * 25 <= tk.length * 3, s"doc $d fails stopword gate")
+    }
+    // no two survivors share content
+    val texts = rows.map(r => docs(r._2))
+    assert(texts.distinct.length == texts.length,
+      "duplicate content survived the dedup stage")
+    // the mix rule held (LCG membership)
+    rows.foreach { case (_, d, src, _) =>
+      val w4 = src.drop(3).toInt % 4 + 1
+      val bucket = java.lang.Long.remainderUnsigned(d * 2654435761L,
+        4294967296L) % 4
+      assert(bucket < w4, s"doc $d from $src fails the mix rule")
+    }
+  }
+
   test("q_text_perplexity_gate: LM is a sub-distribution, gate splits corpus") {
     val dir = sf("sf0.001")
     val rows = Pipeline.qTextPerplexityGate(spark, dir).collect()

@@ -125,6 +125,15 @@ class ShuffleSpec extends SparkSpec {
     assert(b < 200 * 1000, s"hash-only claim violated: $b bytes")
   }
 
+  test("e2e pipeline shuffles ids and hashes; text dropped at the scan") {
+    val b = shuffleBytes(Pipeline.qPipelineE2e(spark, sf("sf0.01")))
+    info(s"q_pipeline_e2e shuffle bytes at sf0.01: $b")
+    // gate+hash fuse into the scan; dedup/mix/permute move ~40 B/doc
+    // (hash agg + canon join + bucket counts); the ~500 B/doc corpus
+    // text never crosses the wire
+    assert(b < 300 * 1000, s"id/hash-only claim violated: $b bytes")
+  }
+
   test("weighted sample ships per-partition top-k only") {
     val b = shuffleBytes(Curate.qSampleWeighted(spark, sf("sf0.01")))
     info(s"q_sample_weighted shuffle bytes at sf0.01: $b")
