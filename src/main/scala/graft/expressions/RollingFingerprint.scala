@@ -55,13 +55,15 @@ object RollingFingerprint {
     acc
   }
 
+  val registrations: Seq[Kernels.Registration] = Seq(
+    (FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fingerprint"),
+      (children: Seq[Expression]) =>
+        RollingFingerprint(Cast(children.head, StringType))))
+
   /** Register `graft_fingerprint(str)` in the session's function
     * registry (idempotent) so it is usable from expr()/SQL — the same
     * mechanism SparkSessionExtensions.injectFunction uses. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_fingerprint"),
-      new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fingerprint"),
-      (children: Seq[Expression]) =>
-        RollingFingerprint(Cast(children.head, StringType)))
+    Kernels.registerAll(spark, registrations)
 }

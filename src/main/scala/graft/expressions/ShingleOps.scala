@@ -165,28 +165,26 @@ object ShingleOps {
     c
   }
 
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_minhash_sig"),
+  val registrations: Seq[Kernels.Registration] = Seq(
+    (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
-      (children: Seq[Expression]) => MinHashSig(Cast(children.head, StringType)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_shingle_common"),
+      (children: Seq[Expression]) => MinHashSig(Cast(children.head, StringType))),
+    (FunctionIdentifier("graft_shingle_common"),
       new ExpressionInfo(classOf[ShingleCommon].getName, "graft_shingle_common"),
       (children: Seq[Expression]) => ShingleCommon(
-        Cast(children(0), StringType), Cast(children(1), StringType)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_cgram_count"),
+        Cast(children(0), StringType), Cast(children(1), StringType))),
+    (FunctionIdentifier("graft_cgram_count"),
       new ExpressionInfo(classOf[CGramCount].getName, "graft_cgram_count"),
       (children: Seq[Expression]) => CGramCount(
-        Cast(children(0), StringType), Cast(children(1), IntegerType)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_cgram_common"),
+        Cast(children(0), StringType), Cast(children(1), IntegerType))),
+    (FunctionIdentifier("graft_cgram_common"),
       new ExpressionInfo(classOf[CGramCommon].getName, "graft_cgram_common"),
       (children: Seq[Expression]) => CGramCommon(
         Cast(children(0), StringType), Cast(children(1), StringType),
-        Cast(children(2), IntegerType)))
-  }
+        Cast(children(2), IntegerType))))
+
+  def register(spark: SparkSession): Unit =
+    Kernels.registerAll(spark, registrations)
 }
 
 /** expr("graft_minhash_sig(text)") -> struct(mh0..mh3, sz). */

@@ -51,11 +51,13 @@ object TextRep {
       nTok, distinct.size.toLong, top, math.max(tk.length - 1, 0).toLong))
   }
 
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_text_rep"),
+  val registrations: Seq[Kernels.Registration] = Seq(
+    (FunctionIdentifier("graft_text_rep"),
       new ExpressionInfo(classOf[TextRepSig].getName, "graft_text_rep"),
-      (children: Seq[Expression]) => TextRepSig(Cast(children.head, StringType)))
+      (children: Seq[Expression]) => TextRepSig(Cast(children.head, StringType))))
+
+  def register(spark: SparkSession): Unit =
+    Kernels.registerAll(spark, registrations)
 }
 
 /** expr("graft_text_rep(text)") -> struct(n_tokens, n_distinct,

@@ -91,10 +91,12 @@ case class VecSum6(child: Expression,
 }
 
 object VecSum6 {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_vecsum6"),
+  val registrations: Seq[Kernels.Registration] = Seq(
+    (FunctionIdentifier("graft_vecsum6"),
       new ExpressionInfo(classOf[VecSum6].getName, "graft_vecsum6"),
       (children: Seq[Expression]) =>
-        VecSum6(Cast(children.head, ArrayType(DoubleType))))
+        VecSum6(Cast(children.head, ArrayType(DoubleType)))))
+
+  def register(spark: SparkSession): Unit =
+    Kernels.registerAll(spark, registrations)
 }

@@ -162,28 +162,31 @@ object VectorOps {
     acc.doubleValue()
   }
 
-  /** Register graft_dot6 / graft_sqdist12 / graft_quant6 /
-    * graft_dotq12 in the session function registry (idempotent).
+  /** graft_dot6 / graft_sqdist12 / graft_quant6 / graft_dotq12
+    * registration triples (see [[Kernels]] for the aggregate surface).
     * Double-array children are cast to array<double> so float
     * embeddings widen exactly first (Det.decf discipline). */
-  def register(spark: SparkSession): Unit = {
+  val registrations: Seq[Kernels.Registration] = {
     def reg2(name: String, elem: DataType,
-             make: (Expression, Expression) => Expression): Unit =
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier(name),
+             make: (Expression, Expression) => Expression): Kernels.Registration =
+      (FunctionIdentifier(name),
         new ExpressionInfo(classOf[DecimalDot].getName, name),
         (children: Seq[Expression]) => make(
           Cast(children(0), ArrayType(elem)),
           Cast(children(1), ArrayType(elem))))
-    reg2("graft_dot6", DoubleType, DecimalDot(_, _))
-    reg2("graft_sqdist12", DoubleType, DecimalSqDist(_, _))
-    reg2("graft_dotq12", LongType, QuantDot(_, _))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_quant6"),
-      new ExpressionInfo(classOf[QuantVector].getName, "graft_quant6"),
-      (children: Seq[Expression]) =>
-        QuantVector(Cast(children.head, ArrayType(DoubleType))))
+    Seq(
+      reg2("graft_dot6", DoubleType, DecimalDot(_, _)),
+      reg2("graft_sqdist12", DoubleType, DecimalSqDist(_, _)),
+      reg2("graft_dotq12", LongType, QuantDot(_, _)),
+      (FunctionIdentifier("graft_quant6"),
+        new ExpressionInfo(classOf[QuantVector].getName, "graft_quant6"),
+        (children: Seq[Expression]) =>
+          QuantVector(Cast(children.head, ArrayType(DoubleType)))))
   }
+
+  /** Register the vector kernels in the session registry (idempotent). */
+  def register(spark: SparkSession): Unit =
+    Kernels.registerAll(spark, registrations)
 }
 
 /** expr("graft_dot6(a, b)") — see [[VectorOps.dot6]]. */

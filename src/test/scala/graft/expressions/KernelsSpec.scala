@@ -1,0 +1,55 @@
+package graft.expressions
+
+import graft.SparkSpec
+
+/** The aggregate kernel surface: every declared registration is
+  * SQL-callable after one Kernels.register call, and each kernel
+  * returns a sane value through the pure-SQL path (the per-kernel
+  * numeric contracts live in their own specs — this pins the
+  * registry plumbing both injection paths share). */
+class KernelsSpec extends SparkSpec {
+
+  test("Kernels.register makes every kernel resolvable and callable from SQL") {
+    Kernels.register(spark)
+    val reg = spark.sessionState.functionRegistry
+    Kernels.all.foreach { case (id, _, _) =>
+      assert(reg.functionExists(id), s"${id.funcName} not registered")
+    }
+    // one smoke call per kernel, through the SQL parser
+    val calls = Map(
+      "graft_dot6" -> "SELECT graft_dot6(array(1.0D, 2.0D), array(3.0D, 4.0D))",
+      "graft_sqdist12" ->
+        "SELECT graft_sqdist12(array(1.0D, 0.0D), array(0.0D, 1.0D))",
+      "graft_quant6" -> "SELECT graft_quant6(array(0.5D, -0.25D))",
+      "graft_dotq12" -> "SELECT graft_dotq12(array(2L, 3L), array(5L, 7L))",
+      "graft_minhash_sig" -> "SELECT graft_minhash_sig('a b c d e')",
+      "graft_shingle_common" ->
+        "SELECT graft_shingle_common('a b c d', 'a b c d')",
+      "graft_cgram_count" -> "SELECT graft_cgram_count('abcdef', 3)",
+      "graft_cgram_common" -> "SELECT graft_cgram_common('abcd', 'abcd', 3)",
+      "graft_text_rep" -> "SELECT graft_text_rep('a b a b c').n_tokens",
+      "graft_fingerprint" -> "SELECT graft_fingerprint('hello world')",
+      "graft_vecsum6" ->
+        "SELECT graft_vecsum6(e) FROM (SELECT array(1.0D, 2.0D) AS e)")
+    val missing = Kernels.all.map(_._1.funcName).toSet -- calls.keySet
+    assert(missing.isEmpty, s"no smoke call for: $missing")
+    calls.foreach { case (name, sql) =>
+      val rows = spark.sql(sql).collect()
+      assert(rows.length == 1, s"$name: no result")
+      assert(rows(0).get(0) != null, s"$name: null result")
+    }
+  }
+
+  test("known values flow through the SQL faces") {
+    Kernels.register(spark)
+    assert(spark.sql("SELECT graft_dot6(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .collect()(0).getDouble(0) === 11.0)
+    assert(spark.sql("SELECT graft_sqdist12(array(1.0D, 0.0D), array(0.0D, 1.0D))")
+      .collect()(0).getDouble(0) === 2.0)
+    // quantized dot: inputs are scale-6 fixed-point, result descaled by 1e-12
+    assert(spark.sql("SELECT graft_dotq12(array(2L, 3L), array(5L, 7L))")
+      .collect()(0).getDouble(0) === 31e-12)
+    assert(spark.sql("SELECT graft_cgram_common('abcd', 'abcd', 3)")
+      .collect()(0).getLong(0) === 2L)
+  }
+}

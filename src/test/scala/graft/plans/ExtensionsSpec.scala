@@ -16,4 +16,12 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rule, "optimizer rule not injected")
     assert(strategy, "planner strategy not injected")
   }
+
+  test("GraftExtensions injects every graft kernel as a SQL function") {
+    val names = GraftExtensionsProbe.injectedFunctionNames(new GraftExtensions)
+    val want = graft.expressions.Kernels.all.map(_._1.funcName).toSet
+    assert(want.nonEmpty && want.forall(_.startsWith("graft_")))
+    assert(names == want,
+      s"injected $names, kernel registry declares $want")
+  }
 }

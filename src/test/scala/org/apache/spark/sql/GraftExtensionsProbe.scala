@@ -13,4 +13,15 @@ object GraftExtensionsProbe {
     (e.buildOptimizerRules(null).contains(graft.plans.TopKRewrite),
      e.buildPlannerStrategies(null).contains(graft.plans.TopKStrategy))
   }
+
+  /** Names the injector would register into a session's function
+    * registry (via the same registerFunctions call the session builder
+    * makes at instantiation). */
+  def injectedFunctionNames(f: SparkSessionExtensions => Unit): Set[String] = {
+    val e = new SparkSessionExtensions
+    f(e)
+    val reg = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    e.registerFunctions(reg)
+    reg.listFunction().map(_.funcName).toSet
+  }
 }
