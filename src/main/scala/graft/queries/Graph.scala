@@ -69,8 +69,63 @@ object Graph {
     rank.orderBy("node")
   }
 
+  /** Triangle counting — the canonical whole-graph join benchmark —
+    * with the DEGREE-ORIENTED (node-iterator++) plan that survives
+    * skewed graphs: every undirected edge is oriented from its lower
+    * (degree, id) endpoint to the higher, so each node's out-degree is
+    * O(sqrt(m)) on ANY graph (a star's hub has out-degree 0) and the
+    * wedge self-join is bounded by Σ out-deg² = O(m^1.5) instead of a
+    * hub's quadratic blow-up; every triangle has exactly one node with
+    * both out-edges, so each is counted once. The graph is the
+    * deterministic delta graph on doc_ids (i → i+d, d ∈ {1,2,3,5,8},
+    * membership-joined so it holds under any id domain), which closes
+    * seven (d1, d2) triangle shapes; output = count per shape. All
+    * joins key on node ids — id pairs on the wire, never payloads.
+    * The ORACLE counts the same triangles id-oriented (a<b<c) —
+    * orientation changes the join sizes, never the count, which is
+    * exactly the property the cross-engine hash check proves. */
+  def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
+      .localCheckpoint(true)
+    val cand = ids.select(col("id").as("a"),
+      explode(array(Seq(1, 2, 3, 5, 8).map(d => col("id") + d): _*)).as("b"))
+    // a < b by construction; keep only edges whose far end exists
+    val edges = cand.join(ids.select(col("id").as("b")), Seq("b"))
+      .select(col("a"), col("b")).localCheckpoint(true)
+    val deg = edges.select(col("a").as("n"))
+      .unionByName(edges.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // oriented edge + the dst endpoint's (deg, id) for wedge ordering
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddst"))
+      .localCheckpoint(true)
+    val e1 = oriented.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"), col("ddst").as("dw"))
+    val wedges = e1.join(e2, Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val closed = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    closed
+      .select(least(col("src"), col("v"), col("w")).as("lo"),
+              greatest(col("src"), col("v"), col("w")).as("hi"),
+              (col("src") + col("v") + col("w")).as("sm"))
+      .select((col("sm") - col("lo") - col("hi") - col("lo")).as("d1"),
+              (col("hi") - (col("sm") - col("lo") - col("hi"))).as("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n"))
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> (qGraphPagerank _),
+    "q_graph_triangles" -> (qGraphTriangles _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -102,5 +157,22 @@ object Graph {
          |SELECT node, CAST(rank_ppm AS BIGINT) AS rank_ppm
          |FROM r3 ORDER BY node""".stripMargin
     },
+    "q_graph_triangles" ->
+      """WITH ids AS (SELECT doc_id AS id FROM documents),
+        |e AS (
+        |  SELECT a.id AS a, a.id + dd.d AS b
+        |  FROM ids a JOIN (VALUES (1), (2), (3), (5), (8)) AS dd(d) ON TRUE
+        |  JOIN ids x ON x.id = a.id + dd.d),
+        |-- id-oriented triple join (a<b<c): same count as the engine's
+        |-- degree-oriented plan - orientation changes join sizes, not
+        |-- the triangles
+        |t AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT CAST(y - x AS BIGINT) AS d1, CAST(z - y AS BIGINT) AS d2,
+        |  COUNT(*) AS n
+        |FROM t GROUP BY 1, 2 ORDER BY d1, d2""".stripMargin,
   )
 }

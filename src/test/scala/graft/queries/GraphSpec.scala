@@ -7,6 +7,29 @@ import graft.SparkSpec
   * determinism. */
 class GraphSpec extends SparkSpec {
 
+  test("triangles: degree-oriented count equals brute force, each once") {
+    val got = Graph.qGraphTriangles(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force on the driver over the same delta graph
+    val ids = graft.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val deltas = Seq(1, 2, 3, 5, 8)
+    val edges = for {
+      a <- ids.toSeq; d <- deltas if ids(a + d)
+    } yield (a, a + d)
+    val eset = edges.toSet
+    val want = (for {
+      (a, b) <- edges; d2 <- deltas
+      if ids(b + d2) && eset((b, b + d2)) && eset((a, b + d2))
+    } yield (b - a, d2.toLong))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want,
+      s"triangle shape counts differ:\n got $got\nwant $want")
+    // sanity: the seven closing shapes of D={1,2,3,5,8} and nothing else
+    assert(got.keySet == Set((1L, 1L), (1L, 2L), (2L, 1L), (2L, 3L),
+      (3L, 2L), (3L, 5L), (5L, 3L)))
+  }
+
   test("pagerank: damping floor, bounded mass loss, deterministic") {
     val rows = Graph.qGraphPagerank(spark, sf("sf0.001")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
