@@ -427,6 +427,38 @@ object Llm {
     * bit-identical to the explode+groupBy formulation, so it shares
     * the same oracle. This is the 100 TB-shaped plan: a narrow map
     * over the scan. */
+  /** ColBERT-style MaxSim late interaction — the multi-vector
+    * retrieval scorer: vectors group into 4-token "passages"
+    * (passage = vec_id div 4; the query is passage 0), and
+    * score(d) = Σ_{q ∈ query} max_{v ∈ d} ⟨q, v⟩ — per query token,
+    * the best-matching passage token. Exactness: graft_dot6 dots are
+    * exact scale-12 decimals cast to double (small enough that each
+    * double identifies its decimal uniquely); MAX picks one (monotone,
+    * no arithmetic); the final SUM casts each max back to
+    * DECIMAL(18,12) — an exact round-trip — so the fold is an exact
+    * decimal sum with ONE double rounding at export. (A raw double
+    * sum diverged in the last ulp: 1e-12 has no binary representation,
+    * so addition order matters.) Plan: broadcast the 4-row query
+    * passage, one fused
+    * kernel eval per (corpus vector, query token) — a |q|× scan, no
+    * pair blow-up — then two hash aggs over (passage, qid, max) and
+    * (passage, sum): id-sized shuffles only. Composes with the IVF
+    * index (probe → candidate passages → MaxSim re-rank) the way a
+    * deployed late-interaction system runs. */
+  def qSimMaxsim(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.VectorOps.register(s)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    e.crossJoin(broadcast(q))
+      .select(expr("vec_id div 4").as("passage"), col("qid"),
+              expr("graft_dot6(embedding, qv)").as("dot"))
+      .groupBy("passage", "qid").agg(max(col("dot")).as("m"))
+      .groupBy("passage")
+      .agg(sum(col("m").cast("decimal(18,12)")).cast("double").as("maxsim"))
+      .orderBy("passage")
+  }
+
   def qSimCosineFused(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.VectorOps.register(s)
     val e = Tables.embeddings(s, dir)
@@ -797,6 +829,7 @@ object Llm {
     "q_text_tokens_bpe" -> (qTextTokensBpe _),
     "q_sim_cosine_topk" -> (qSimCosineTopk _),
     "q_sim_cosine_fused" -> (qSimCosineFused _),
+    "q_sim_maxsim" -> (qSimMaxsim _),
     "q_dedup_embed_cosine" -> (qDedupEmbedCosine _),
     "q_sim_knn_centroid" -> (qSimKnnCentroid _),
     "q_sim_ann_ivf" -> (qSimAnnIvf _),
@@ -1144,6 +1177,21 @@ object Llm {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // fused HOF variant computes bit-identical quantized cosine -> same oracle
     "q_sim_cosine_fused" -> cosineSql,
+    "q_sim_maxsim" ->
+      s"""WITH dots AS (
+         |  SELECT e.vec_id AS vid, q.vec_id AS qid,
+         |    CAST(SUM(${D.decf("e.embedding[i]")} * ${D.decf("q.embedding[i]")})
+         |      AS DOUBLE) AS dot
+         |  FROM embeddings e
+         |  JOIN embeddings q ON q.vec_id < 4,
+         |       GENERATE_SERIES(1, 64) AS g(i)
+         |  GROUP BY e.vec_id, q.vec_id),
+         |mx AS (
+         |  SELECT vid // 4 AS passage, qid, MAX(dot) AS m
+         |  FROM dots GROUP BY 1, 2)
+         |SELECT passage,
+         |  CAST(SUM(CAST(m AS DECIMAL(18,12))) AS DOUBLE) AS maxsim
+         |FROM mx GROUP BY passage ORDER BY passage""".stripMargin,
     "q_sim_cosine_topk" -> cosineSql,
     "q_dedup_embed_cosine" -> {
       // multi-probe: same label AND sign blocks at Hamming distance <= 1

@@ -137,6 +137,32 @@ class PipelineSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"salted join went cartesian:\n$p")
   }
 
+  test("q_sim_maxsim matches an exact-decimal driver brute force") {
+    val dir = sf("sf0.001")
+    val got = Llm.qSimMaxsim(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vecs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def q6(x: Float): BigDecimal =
+      BigDecimal(x.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def dot(a: Array[Float], b: Array[Float]): BigDecimal =
+      a.zip(b).map { case (x, y) => q6(x) * q6(y) }.sum
+    val query = (0L to 3L).map(vecs)
+    val passages = vecs.keys.groupBy(_ / 4)
+    assert(got.size == passages.size, "one score per passage")
+    passages.foreach { case (p, members) =>
+      val want = query.map { qt =>
+        members.map(v => dot(qt, vecs(v))).max
+      }.sum.toDouble
+      assert(got(p) == want, s"passage $p: got ${got(p)} want $want")
+    }
+    // the query passage contains its own tokens, so its score is at
+    // least its self-similarity
+    val self = query.map(qt => dot(qt, qt)).sum.toDouble
+    assert(got(0L) >= self, "query passage under-scores itself")
+  }
+
   test("q_pipeline_e2e: manifest is a gated, deduped, contiguous permutation") {
     val dir = sf("sf0.001")
     val rows = Pipeline.qPipelineE2e(spark, dir).collect()
