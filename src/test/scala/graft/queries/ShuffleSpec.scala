@@ -134,6 +134,22 @@ class ShuffleSpec extends SparkSpec {
     assert(b < 300 * 1000, s"id/hash-only claim violated: $b bytes")
   }
 
+  test("triangle counting shuffles id pairs, bounded wedges") {
+    val b = shuffleBytes(Graph.qGraphTriangles(spark, sf("sf0.01")))
+    info(s"q_graph_triangles shuffle bytes at sf0.01: $b")
+    // ~2.5k edges and ~7k wedges of 3 longs each at sf0.01; payloads
+    // (text/embeddings) would be orders of magnitude above this
+    assert(b < 1000 * 1000, s"id-pair claim violated: $b bytes")
+  }
+
+  test("maxsim ships (passage, qid, max) aggregates only") {
+    val b = shuffleBytes(Llm.qSimMaxsim(spark, sf("sf0.01")))
+    info(s"q_sim_maxsim shuffle bytes at sf0.01: $b")
+    // the 4-row query broadcasts; corpus vectors (64 doubles) never
+    // shuffle - only two hash-agg passes of ~24 B rows
+    assert(b < 100 * 1000, s"broadcast-query claim violated: $b bytes")
+  }
+
   test("weighted sample ships per-partition top-k only") {
     val b = shuffleBytes(Curate.qSampleWeighted(spark, sf("sf0.01")))
     info(s"q_sample_weighted shuffle bytes at sf0.01: $b")
