@@ -5,7 +5,8 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.io.compress.{CompressionCodecFactory, SplittableCompressionCodec}
 import org.apache.hadoop.mapreduce.lib.input.FileSplit
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.hadoop.mapreduce.TaskAttemptID
@@ -17,6 +18,34 @@ import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.SparkSession
+
+/** Hadoop Configuration is not Serializable; this is the standard
+  * write/readFields envelope so executor-side readers and writers see
+  * the SESSION'S Hadoop conf (spark.hadoop.* keys — S3A credentials,
+  * defaultFS, codecs) instead of a bare `new Configuration()` that
+  * only knows static defaults. */
+private final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+private object MmConf {
+  /** Driver-side: the active session's Hadoop conf (falls back to
+    * defaults outside a session, e.g. in narrow unit tests). */
+  def driver(): Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+}
 
 /** DataSource V2 connector for MatrixMarket coordinate files:
   * `spark.read.format("matrixmarket").load(path)` — the first-class
@@ -24,19 +53,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * semantics; SURVEY.md §2.A A2).
   *
   * Scale design: files are split by BYTE RANGE (default 32 MB,
-  * `maxSplitBytes` option) and each split parses its own lines with
-  * Hadoop's LineRecordReader — the standard "start after the first
-  * newline at-or-past `start`, read through the record that crosses
-  * `end`" contract, so a 100 TB .mtx parallelizes like any text scan
-  * and NOTHING is ever read on the driver (the per-file header line
-  * is consumed by the split that owns byte 0 of that file, where
-  * LineRecordReader places it by construction — comments and the dims
-  * line live at the top of a conforming file). Column pruning is
-  * pushed into the reader ([[SupportsPushDownRequiredColumns]]): a
-  * `select(count-ish)` plan parses only the surviving columns.
+  * `maxSplitBytes` option) with the per-file header (comment block +
+  * dims line) resolved at PLANNING time: the driver reads just the
+  * header bytes of each file (bounded, 1 MB cap) and plans splits
+  * starting AFTER it, so no reader ever sees banner/dims and a header
+  * longer than one split cannot leak the dims line into a later split
+  * as a bogus data row. Bare COO shards (no `%` first byte) plan from
+  * byte 0 unchanged. Compressed files (no splittable codec) get ONE
+  * split and skip their header reader-side — seeking a gzip stream is
+  * impossible, so the planner never tries. Line-boundary semantics are
+  * Hadoop's LineRecordReader contract. Column pruning is pushed into
+  * the reader ([[SupportsPushDownRequiredColumns]]). A missing or
+  * empty glob is an error, matching the built-in file sources — never
+  * a silent empty scan.
   *
-  * Write path stays [[MatrixMarket.write]] (header part + body parts).
-  */
+  * Write path: see [[MmBatchWrite]] (sharded COO + header folded from
+  * task commit messages, temp-file + rename-on-commit protocol). */
 class MatrixMarketSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "matrixmarket"
 
@@ -82,50 +114,96 @@ private final class MmScan(opts: Map[String, String], required: StructType)
   override def description(): String =
     s"MatrixMarket ${opts.getOrElse("path", "?")} cols=${required.fieldNames.mkString(",")}"
 
+  /** Byte offset of the first data line: 0 for bare COO files; for
+    * headered files (first byte `%`), the offset just past the dims
+    * line. Scans at most `cap` bytes — a conforming header is tiny. */
+  private def dataStart(fs: org.apache.hadoop.fs.FileSystem, f: FileStatus,
+      cap: Long = 1L << 20): Long = {
+    val in = new java.io.BufferedInputStream(fs.open(f.getPath), 64 * 1024)
+    try {
+      var pos = 0L
+      var lineStart = true
+      var commentLine = false // is the CURRENT line a comment/blank?
+      var b = in.read()
+      if (b != '%') return 0L // bare COO shard: no header at all
+      while (b != -1 && pos < cap) {
+        if (lineStart) {
+          commentLine = b == '%' || b == '\n'
+          lineStart = false
+        }
+        pos += 1
+        if (b == '\n') {
+          if (!commentLine) return pos // the dims line just ended
+          lineStart = true
+        }
+        b = in.read()
+      }
+      pos // header-only file (or unreasonably long header): no data bytes
+    } finally in.close()
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val path = opts.getOrElse("path",
       throw new IllegalArgumentException("matrixmarket: path required"))
     val maxSplit = opts.getOrElse("maxSplitBytes", (32L << 20).toString).toLong
     require(maxSplit > 0, "maxSplitBytes must be positive")
-    val conf = new Configuration()
+    val conf = MmConf.driver()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val files = fs.globStatus(p) match {
-      case null => Array.empty[org.apache.hadoop.fs.FileStatus]
-      case sts => sts.flatMap { st =>
-        if (st.isDirectory)
-          fs.listStatus(st.getPath).filter(f => f.isFile &&
-            !f.getPath.getName.startsWith("_") &&
-            !f.getPath.getName.startsWith("."))
-        else Array(st)
-      }
+    val globbed = fs.globStatus(p)
+    if (globbed == null || globbed.isEmpty)
+      throw new IllegalArgumentException(s"matrixmarket: path not found: $path")
+    val files = globbed.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).filter(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+      else Array(st)
     }
+    val codecs = new CompressionCodecFactory(conf)
     files.flatMap { f =>
       val len = f.getLen
+      val codec = codecs.getCodec(f.getPath)
       if (len == 0) Nil
-      else (0L until len by maxSplit).map { start =>
-        MmInputPartition(f.getPath.toString, start,
-          math.min(maxSplit, len - start)): InputPartition
+      else if (codec != null && !codec.isInstanceOf[SplittableCompressionCodec]) {
+        // non-splittable stream: ONE split, header handled reader-side
+        Seq(MmInputPartition(f.getPath.toString, 0L, len,
+          skipHeaderInReader = true): InputPartition)
+      } else {
+        // header resolved here; splits never contain banner or dims.
+        // A first split starting at ds-1 (the header's trailing \n)
+        // rides LineRecordReader's "discard up to the first newline
+        // when start != 0" rule to land exactly on the first data byte.
+        val ds = dataStart(fs, f)
+        val s0 = if (ds == 0) 0L else ds - 1
+        (s0 until len by maxSplit).map { start =>
+          MmInputPartition(f.getPath.toString, start,
+            math.min(maxSplit, len - start),
+            skipHeaderInReader = false): InputPartition
+        }
       }
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MmReaderFactory(required)
+    new MmReaderFactory(required, new SerializableHadoopConf(MmConf.driver()))
 }
 
-private final case class MmInputPartition(path: String, start: Long, length: Long)
-    extends InputPartition
+private final case class MmInputPartition(path: String, start: Long,
+    length: Long, skipHeaderInReader: Boolean) extends InputPartition
 
-/** Distributed write: each task streams its partition to
-  * `path/part-<pid>-<tid>.mtx` (bare 1-based COO lines, no header) and
-  * commits (maxRow, maxCol, count); the job commit folds the messages
-  * into the global dims and writes `path/header.mtx` (banner + dims
-  * line). No data pass ever runs on the driver — the dims come from
-  * the tasks' running maxima, and `cat header.mtx part-*.mtx` (or the
-  * banner-gated reader on the directory) reassembles a conforming
-  * file. Truncate (SaveMode.Overwrite) clears prior part/header files
-  * before the new ones land. */
+/** Distributed write: each task streams its partition to a HIDDEN
+  * temp file (`.part-<pid>-<tid>.mtx.tmp` — invisible to the reader's
+  * directory listing) and RENAMES it to `part-<pid>-<tid>.mtx` only
+  * at task commit, so an executor lost mid-write can never leave a
+  * visible orphan shard next to its retry's output. Task commit
+  * returns (maxRow, maxCol, count); the job commit folds the messages
+  * into the global dims, writes `path/header.mtx` (banner + dims
+  * line), and sweeps any leftover temp files. No data pass ever runs
+  * on the driver — the dims come from the tasks' running maxima, and
+  * `cat header.mtx part-*.mtx` (or the reader on the directory)
+  * reassembles a conforming file. Truncate (SaveMode.Overwrite)
+  * clears prior part/header/temp files before the new ones land. */
 private final class MmWriteBuilder(opts: Map[String, String], schema: StructType)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
@@ -147,18 +225,19 @@ private final case class MmCommit(maxRow: Long, maxCol: Long, count: Long,
 private final class MmBatchWrite(path: String, truncate: Boolean)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    val conf = new Configuration()
+    val conf = MmConf.driver()
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
     if (truncate) {
       Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith("part-") || n == "header.mtx")
+        if (n.startsWith("part-") || n == "header.mtx" ||
+            (n.startsWith(".part-") && n.endsWith(".tmp")))
           fs.delete(st.getPath, false)
       }
     }
-    new MmWriterFactory(path)
+    new MmWriterFactory(path, new SerializableHadoopConf(conf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -168,18 +247,25 @@ private final class MmBatchWrite(path: String, truncate: Boolean)
     // MatrixMarket.write; an empty write records a 0x0 matrix
     val rows = if (nnz == 0) 0L else ms.map(_.maxRow).max + 1
     val cols = if (nnz == 0) 0L else ms.map(_.maxCol).max + 1
-    val conf = new Configuration()
-    val hp = new Path(path, "header.mtx")
-    val fs = hp.getFileSystem(conf)
-    val out = fs.create(hp, true)
+    val conf = MmConf.driver()
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val out = fs.create(new Path(dir, "header.mtx"), true)
     out.write(
       s"%%MatrixMarket matrix coordinate real general\n$rows $cols $nnz\n"
         .getBytes("UTF-8"))
     out.close()
+    // sweep temps from dead attempts (hidden, so reads were safe even
+    // before this)
+    Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".part-") && n.endsWith(".tmp"))
+        fs.delete(st.getPath, false)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+    val conf = MmConf.driver()
     messages.collect { case m: MmCommit => m }.foreach { m =>
       val p = new Path(m.file)
       val fs = p.getFileSystem(conf)
@@ -188,18 +274,19 @@ private final class MmBatchWrite(path: String, truncate: Boolean)
   }
 }
 
-private final class MmWriterFactory(path: String) extends DataWriterFactory {
+private final class MmWriterFactory(path: String, conf: SerializableHadoopConf)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new MmDataWriter(path, partitionId, taskId)
+    new MmDataWriter(path, partitionId, taskId, conf)
 }
 
-private final class MmDataWriter(path: String, partitionId: Int, taskId: Long)
-    extends DataWriter[InternalRow] {
-  private val file = new Path(path, f"part-$partitionId%05d-$taskId.mtx")
-  private val out = {
-    val fs = file.getFileSystem(new Configuration())
-    new java.io.BufferedOutputStream(fs.create(file, true), 1 << 16)
-  }
+private final class MmDataWriter(path: String, partitionId: Int, taskId: Long,
+    conf: SerializableHadoopConf) extends DataWriter[InternalRow] {
+  private val tmp = new Path(path, f".part-$partitionId%05d-$taskId.mtx.tmp")
+  private val dst = new Path(path, f"part-$partitionId%05d-$taskId.mtx")
+  private val fs = tmp.getFileSystem(conf.value)
+  private val out =
+    new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
   private var maxRow = -1L
   private var maxCol = -1L
   private var count = 0L
@@ -216,40 +303,41 @@ private final class MmDataWriter(path: String, partitionId: Int, taskId: Long)
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    MmCommit(maxRow, maxCol, count, file.toString)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"matrixmarket: rename $tmp -> $dst failed")
+    MmCommit(maxRow, maxCol, count, dst.toString)
   }
 
   override def abort(): Unit = {
     out.close()
-    val fs = file.getFileSystem(new Configuration())
-    if (fs.exists(file)) fs.delete(file, false)
+    if (fs.exists(tmp)) fs.delete(tmp, false)
   }
 
   override def close(): Unit = ()
 }
 
-private final class MmReaderFactory(required: StructType)
-    extends PartitionReaderFactory {
+private final class MmReaderFactory(required: StructType,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new MmPartitionReader(partition.asInstanceOf[MmInputPartition], required)
+    new MmPartitionReader(partition.asInstanceOf[MmInputPartition], required, conf)
 }
 
 /** Parses one byte-range split. LineRecordReader handles boundary
   * semantics (skip the partial first line unless start == 0; read one
-  * record past `end` if the last line crosses it). Header detection is
-  * BANNER-GATED: a conforming .mtx opens with a `%` banner/comment
-  * block followed by the dims line, so the split that owns byte 0
-  * skips the first non-comment line ONLY if the file's first byte is
-  * `%` — bare COO part files (the write path's body shards) start
-  * straight with data and lose nothing. */
-private final class MmPartitionReader(split: MmInputPartition, required: StructType)
+  * record past `end` if the last line crosses it) and decompression.
+  * Splits of uncompressed files never contain the header — the
+  * planner starts them past it — so the in-reader header skip only
+  * runs for single-split compressed files (`skipHeaderInReader`),
+  * where it is banner-gated: bare COO shards lose nothing. */
+private final class MmPartitionReader(split: MmInputPartition,
+    required: StructType, conf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
   private val reader = {
-    val conf = new Configuration()
     val r = new org.apache.hadoop.mapreduce.lib.input.LineRecordReader()
     val fsplit = new FileSplit(
       new Path(split.path), split.start, split.length, Array.empty[String])
-    r.initialize(fsplit, new TaskAttemptContextImpl(conf, new TaskAttemptID()))
+    r.initialize(fsplit,
+      new TaskAttemptContextImpl(conf.value, new TaskAttemptID()))
     r
   }
   // column projection resolved once per split, not per row
@@ -258,7 +346,7 @@ private final class MmPartitionReader(split: MmInputPartition, required: StructT
     case "col" => 1
     case "v" => 2
   }
-  private var firstLine = split.start == 0L
+  private var firstLine = split.skipHeaderInReader
   private var headerPending = false
   private var current: InternalRow = _
 

@@ -23,14 +23,34 @@ class ShuffleSpec extends SparkSpec {
     case other => other +: other.children.flatMap(allNodes)
   }
 
-  /** Total shuffle bytes written across the executed plan (AQE-aware).
-    * SQL metrics are accumulators merged on task completion, so the
-    * values are settled once collect() returns. */
-  private def shuffleBytes(df: DataFrame): Long = {
-    df.collect()
-    allNodes(df.queryExecution.executedPlan)
-      .flatMap(_.metrics.get("shuffleBytesWritten").map(_.value))
-      .sum
+  /** Total shuffle bytes written across EVERY job the query runs —
+    * including eager localCheckpoint materializations during query
+    * CONSTRUCTION (the executed-plan SQL metrics miss those: a
+    * checkpointed stage runs as its own job, invisible to the final
+    * plan, which would blind the tripwire to exactly the upstream
+    * regressions it exists to catch). The DataFrame is built by-name
+    * INSIDE the listener window; the async listener bus is polled
+    * until the byte count settles. */
+  private def shuffleBytes(mk: => DataFrame): Long = {
+    val total = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) total.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = mk
+      df.collect()
+      var prev = -1L
+      var spins = 0
+      while (total.get() != prev && spins < 50) {
+        prev = total.get(); Thread.sleep(100); spins += 1
+      }
+      total.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("minhash LSH shuffles signatures, never the shingle blow-up") {

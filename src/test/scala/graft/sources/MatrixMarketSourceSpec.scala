@@ -108,6 +108,62 @@ class MatrixMarketSourceSpec extends SparkSpec {
     assert(headerLines.get(1) === "10 10 10")
   }
 
+  test("comment header longer than a split never leaks the dims line") {
+    // 1 KB of comment lines, then dims, then data - at 64-byte splits
+    // the header spans ~16 splits; planning must start all splits past
+    // it or the dims line (97 53 3) would parse as the bogus row
+    // (96, 52, 3.0)
+    val p = Files.createTempDirectory("mtxhdr").resolve("h.mtx")
+    val comments = (1 to 20)
+      .map(i => s"% padding comment line number $i for header length")
+      .mkString("\n")
+    Files.writeString(p,
+      s"%%MatrixMarket matrix coordinate real general\n$comments\n97 53 3\n" +
+        "1 1 1.0\n2 2 2.0\n3 3 3.0\n")
+    val got = spark.read.format("matrixmarket")
+      .option("maxSplitBytes", "64").load(p.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((0L, 0L, 1.0), (1L, 1L, 2.0), (2L, 2L, 3.0)),
+      s"dims line leaked or rows lost: $got")
+  }
+
+  test("missing path errors instead of planning an empty scan") {
+    val e = intercept[Exception] {
+      spark.read.format("matrixmarket").load("/tmp/no/such/file.mtx").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("not found"),
+      s"wrong error: $e")
+  }
+
+  test("gzip input plans one split per file and reads whole") {
+    val dir = Files.createTempDirectory("mtxgz")
+    val p = dir.resolve("m.mtx.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(p))
+    out.write(
+      ("%%MatrixMarket matrix coordinate real general\n5 5 3\n" +
+        "1 1 1.0\n2 2 2.0\n3 3 3.0\n").getBytes("UTF-8"))
+    out.close()
+    val df = spark.read.format("matrixmarket")
+      .option("maxSplitBytes", "8").load(p.toString)
+    assert(df.rdd.getNumPartitions === 1,
+      "non-splittable codec must get exactly one split")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet === Set((0L, 0L, 1.0), (1L, 1L, 2.0), (2L, 2L, 3.0)))
+  }
+
+  test("in-flight temp files are invisible to a concurrent reader") {
+    val out = Files.createTempDirectory("mtxtmp").toString
+    spark.range(5).selectExpr("id AS row", "id AS col",
+      "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).write.format("matrixmarket").mode("append").save(out)
+    // a dead task attempt's leftover temp (never committed)
+    Files.writeString(java.nio.file.Paths.get(out, ".part-00099-7.mtx.tmp"),
+      "9 9 9.0\n")
+    val got = spark.read.format("matrixmarket").load(out).collect()
+    assert(got.length === 5, s"orphan temp leaked into the read: ${got.length}")
+  }
+
   test("directory input reads every part file, skipping _ and . files") {
     val dir = Files.createTempDirectory("mtxdir")
     Files.writeString(dir.resolve("a.mtx"),
