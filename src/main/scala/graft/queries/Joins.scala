@@ -141,6 +141,38 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** As-of join, direction = NEAREST (the pandas merge_asof
+    * 'nearest' face; [[qJoinAsof]] is direction='backward'): each
+    * purchase matches the closest view of the same user in EITHER
+    * time direction — min |Δt|, ties to the earlier side. One
+    * partitioned pass with two range-frame windows (strictly-prior
+    * max + strictly-next min of view timestamps), then pure integer
+    * comparison — no self-join, no explode; per-user partitions scale
+    * like every window in the suite. Same-microsecond views are
+    * excluded on both sides (frames end at ±1), identically in the
+    * oracle. */
+  def qJoinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tsu"))
+    val wp = Window.partitionBy("user_id").orderBy("tsu")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wn = Window.partitionBy("user_id").orderBy("tsu")
+      .rangeBetween(1, Window.unboundedFollowing)
+    val viewTs = when(col("event_type") === "view", col("tsu"))
+    e.withColumn("prior_v", max(viewTs).over(wp))
+      .withColumn("next_v", min(viewTs).over(wn))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tsu"),
+        when(col("prior_v").isNull, col("next_v"))
+          .when(col("next_v").isNull, col("prior_v"))
+          .when(col("tsu") - col("prior_v") <= col("next_v") - col("tsu"),
+            col("prior_v"))
+          .otherwise(col("next_v")).as("near_view_tsu"))
+      .withColumn("d_abs", abs(col("tsu") - col("near_view_tsu")))
+      .orderBy("event_id")
+  }
+
   /** Interval/range join: follower events within 5 minutes, same user. */
   def qJoinInterval(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select(
@@ -211,6 +243,7 @@ object Joins {
     "q_join_cross" -> (qJoinCross _),
     "q_join_theta_range" -> (qJoinThetaRange _),
     "q_join_asof" -> (qJoinAsof _),
+    "q_join_asof_nearest" -> (qJoinAsofNearest _),
     "q_join_interval" -> (qJoinInterval _),
   )
 
@@ -282,6 +315,29 @@ object Joins {
         |     AND epoch_us(v.ts) < epoch_us(p.ts)) AS prior_view_tsu
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+    "q_join_asof_nearest" ->
+      """WITH pv AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu,
+        |    MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |            RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prior_v,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |            RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS next_v
+        |  FROM events)
+        |SELECT event_id, user_id, tsu,
+        |  CASE WHEN prior_v IS NULL THEN next_v
+        |       WHEN next_v IS NULL THEN prior_v
+        |       WHEN tsu - prior_v <= next_v - tsu THEN prior_v
+        |       ELSE next_v END AS near_view_tsu,
+        |  ABS(tsu - CASE WHEN prior_v IS NULL THEN next_v
+        |       WHEN next_v IS NULL THEN prior_v
+        |       WHEN tsu - prior_v <= next_v - tsu THEN prior_v
+        |       ELSE next_v END) AS d_abs
+        |FROM pv WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
     "q_join_interval" ->
       """SELECT a.event_id AS aid, COUNT(*) AS n_follow,
         |  MIN(b.event_id) AS first_follow_id
