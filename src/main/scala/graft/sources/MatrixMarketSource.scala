@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.hadoop.io.compress.{CompressionCodecFactory, SplittableCompressionCodec}
+import org.apache.hadoop.io.compress.CompressionCodecFactory
 import org.apache.hadoop.mapreduce.lib.input.FileSplit
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.hadoop.mapreduce.TaskAttemptID
@@ -58,14 +58,17 @@ private object MmConf {
   * header bytes of each file (bounded, 1 MB cap) and plans splits
   * starting AFTER it, so no reader ever sees banner/dims and a header
   * longer than one split cannot leak the dims line into a later split
-  * as a bogus data row. Bare COO shards (no `%` first byte) plan from
-  * byte 0 unchanged. Compressed files (no splittable codec) get ONE
-  * split and skip their header reader-side — seeking a gzip stream is
-  * impossible, so the planner never tries. Line-boundary semantics are
-  * Hadoop's LineRecordReader contract. Column pruning is pushed into
-  * the reader ([[SupportsPushDownRequiredColumns]]). A missing or
-  * empty glob is an error, matching the built-in file sources — never
-  * a silent empty scan.
+  * as a bogus data row; a header past the 1 MB scan cap falls back to
+  * one reader-side-skip split rather than corrupting. Bare COO shards
+  * (no `%` first byte) plan from byte 0 unchanged. COMPRESSED files
+  * (any codec — byte offsets aren't line offsets under compression)
+  * get ONE split and skip their header reader-side. The only
+  * driver-side I/O is the bounded per-file header scan at planning
+  * time. Line-boundary semantics are Hadoop's LineRecordReader
+  * contract. Column pruning is pushed into the reader
+  * ([[SupportsPushDownRequiredColumns]]). A missing or empty glob is
+  * an error, matching the built-in file sources — never a silent
+  * empty scan.
   *
   * Write path: see [[MmBatchWrite]] (sharded COO + header folded from
   * task commit messages, temp-file + rename-on-commit protocol). */
@@ -116,7 +119,10 @@ private final class MmScan(opts: Map[String, String], required: StructType)
 
   /** Byte offset of the first data line: 0 for bare COO files; for
     * headered files (first byte `%`), the offset just past the dims
-    * line. Scans at most `cap` bytes — a conforming header is tiny. */
+    * line. Returns -1 if the header is still open after `cap` bytes —
+    * the caller then falls back to a single reader-side-skip split
+    * rather than planning from a mid-header offset (which would emit
+    * the dims line as a bogus data row). */
   private def dataStart(fs: org.apache.hadoop.fs.FileSystem, f: FileStatus,
       cap: Long = 1L << 20): Long = {
     val in = new java.io.BufferedInputStream(fs.open(f.getPath), 64 * 1024)
@@ -138,7 +144,8 @@ private final class MmScan(opts: Map[String, String], required: StructType)
         }
         b = in.read()
       }
-      pos // header-only file (or unreasonably long header): no data bytes
+      if (b == -1) pos // header-only file: no data bytes follow
+      else -1L // header longer than the cap: let the reader handle it
     } finally in.close()
   }
 
@@ -165,8 +172,12 @@ private final class MmScan(opts: Map[String, String], required: StructType)
       val len = f.getLen
       val codec = codecs.getCodec(f.getPath)
       if (len == 0) Nil
-      else if (codec != null && !codec.isInstanceOf[SplittableCompressionCodec]) {
-        // non-splittable stream: ONE split, header handled reader-side
+      else if (codec != null) {
+        // ANY compressed file reads as ONE split with the header
+        // handled reader-side: byte offsets aren't line offsets under
+        // compression, so the planner-side header scan cannot apply
+        // (a splittable codec like bz2 would ALSO need codec-aligned
+        // split boundaries — future work; one split is always correct)
         Seq(MmInputPartition(f.getPath.toString, 0L, len,
           skipHeaderInReader = true): InputPartition)
       } else {
@@ -175,11 +186,18 @@ private final class MmScan(opts: Map[String, String], required: StructType)
         // rides LineRecordReader's "discard up to the first newline
         // when start != 0" rule to land exactly on the first data byte.
         val ds = dataStart(fs, f)
-        val s0 = if (ds == 0) 0L else ds - 1
-        (s0 until len by maxSplit).map { start =>
-          MmInputPartition(f.getPath.toString, start,
-            math.min(maxSplit, len - start),
-            skipHeaderInReader = false): InputPartition
+        if (ds < 0) {
+          // header longer than the scan cap: one split, reader-side
+          // skip (correct for arbitrarily long headers, not parallel)
+          Seq(MmInputPartition(f.getPath.toString, 0L, len,
+            skipHeaderInReader = true): InputPartition)
+        } else {
+          val s0 = if (ds == 0) 0L else ds - 1
+          (s0 until len by maxSplit).map { start =>
+            MmInputPartition(f.getPath.toString, start,
+              math.min(maxSplit, len - start),
+              skipHeaderInReader = false): InputPartition
+          }
         }
       }
     }.toArray
@@ -242,15 +260,36 @@ private final class MmBatchWrite(path: String, truncate: Boolean)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val ms = messages.collect { case m: MmCommit => m }
-    val nnz = ms.map(_.count).sum
+    var nnz = ms.map(_.count).sum
     // dims from the data's maxima (0-based ids -> +1), like
     // MatrixMarket.write; an empty write records a 0x0 matrix
-    val rows = if (nnz == 0) 0L else ms.map(_.maxRow).max + 1
-    val cols = if (nnz == 0) 0L else ms.map(_.maxCol).max + 1
+    var rows = if (nnz == 0) 0L else ms.map(_.maxRow).max + 1
+    var cols = if (nnz == 0) 0L else ms.map(_.maxCol).max + 1
     val conf = MmConf.driver()
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    val out = fs.create(new Path(dir, "header.mtx"), true)
+    val hp = new Path(dir, "header.mtx")
+    // append into a directory this connector already wrote: fold the
+    // standing header so dims/nnz keep describing ALL part files, not
+    // just this job's (truncate deletes the header first, so overwrite
+    // starts clean)
+    if (fs.exists(hp)) {
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(hp), "UTF-8"))
+      try {
+        var line = in.readLine()
+        while (line != null && line.startsWith("%")) line = in.readLine()
+        if (line != null) {
+          val d = line.trim.split("\\s+")
+          if (d.length == 3) {
+            rows = math.max(rows, d(0).toLong)
+            cols = math.max(cols, d(1).toLong)
+            nnz += d(2).toLong
+          }
+        }
+      } finally in.close()
+    }
+    val out = fs.create(hp, true)
     out.write(
       s"%%MatrixMarket matrix coordinate real general\n$rows $cols $nnz\n"
         .getBytes("UTF-8"))
@@ -309,8 +348,12 @@ private final class MmDataWriter(path: String, partitionId: Int, taskId: Long,
   }
 
   override def abort(): Unit = {
-    out.close()
-    if (fs.exists(tmp)) fs.delete(tmp, false)
+    // close() flushes buffered bytes and can throw on the very failure
+    // (disk full, dead filesystem) that triggered the abort — the
+    // temp delete must run regardless
+    try out.close()
+    catch { case _: java.io.IOException => }
+    finally if (fs.exists(tmp)) fs.delete(tmp, false)
   }
 
   override def close(): Unit = ()

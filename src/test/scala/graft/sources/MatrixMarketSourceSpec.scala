@@ -164,6 +164,57 @@ class MatrixMarketSourceSpec extends SparkSpec {
     assert(got.length === 5, s"orphan temp leaked into the read: ${got.length}")
   }
 
+  test("headered bz2 (splittable codec) reads whole, no dims-line leak") {
+    val dir = Files.createTempDirectory("mtxbz2")
+    val p = dir.resolve("m.mtx.bz2")
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(new org.apache.hadoop.conf.Configuration())
+    val out = codec.createOutputStream(
+      java.nio.file.Files.newOutputStream(p))
+    out.write(
+      ("%%MatrixMarket matrix coordinate real general\n5 5 3\n" +
+        "1 1 1.0\n2 2 2.0\n3 3 3.0\n").getBytes("UTF-8"))
+    out.close()
+    val df = spark.read.format("matrixmarket")
+      .option("maxSplitBytes", "8").load(p.toString)
+    assert(df.rdd.getNumPartitions === 1,
+      "compressed input must plan one split regardless of codec splittability")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet === Set((0L, 0L, 1.0), (1L, 1L, 2.0), (2L, 2L, 3.0)),
+      "dims line leaked or rows lost through the bz2 path")
+  }
+
+  test("header past the planning scan cap falls back to a correct read") {
+    // >1 MB of comments: dataStart gives up; the file must read as one
+    // reader-side-skip split, never from a mid-header offset
+    val p = Files.createTempDirectory("mtxbig").resolve("big.mtx")
+    val pad = "% " + "x" * 120
+    val sb = new StringBuilder("%%MatrixMarket matrix coordinate real general\n")
+    (1 to 10000).foreach(_ => sb.append(pad).append('\n'))
+    sb.append("7 7 2\n1 1 1.0\n2 2 2.0\n")
+    Files.writeString(p, sb.toString)
+    assert(new java.io.File(p.toString).length() > (1L << 20))
+    val df = spark.read.format("matrixmarket")
+      .option("maxSplitBytes", "4096").load(p.toString)
+    assert(df.rdd.getNumPartitions === 1,
+      "capped header must fall back to a single split")
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet === Set((0L, 0L, 1.0), (1L, 1L, 2.0)))
+  }
+
+  test("append folds the standing header: dims/nnz describe ALL parts") {
+    val out = Files.createTempDirectory("mtxapp").toString
+    val mk = (n: Int) => spark.range(n).selectExpr(
+      "id AS row", "id AS col", "CAST(id AS DOUBLE) AS v")
+    mk(50).coalesce(1).write.format("matrixmarket").mode("append").save(out)
+    mk(10).coalesce(1).write.format("matrixmarket").mode("append").save(out)
+    val headerLines = Files.readAllLines(
+      java.nio.file.Paths.get(out, "header.mtx"))
+    assert(headerLines.get(1) === "50 50 60",
+      s"append header must describe all 60 rows: ${headerLines.get(1)}")
+    assert(spark.read.format("matrixmarket").load(out).count() === 60)
+  }
+
   test("directory input reads every part file, skipping _ and . files") {
     val dir = Files.createTempDirectory("mtxdir")
     Files.writeString(dir.resolve("a.mtx"),
