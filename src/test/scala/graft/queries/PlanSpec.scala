@@ -141,4 +141,29 @@ class PlanSpec extends SparkSpec {
         s"$name still has a single-partition global window:\n${globals.mkString("\n")}")
     }
   }
+
+  test("round-8 operators prune the documents scan to the columns they use") {
+    // weighted sample: (doc_id, n_chars) of 5 columns - text never read
+    val pw = finalPlan(Curate.qSampleWeighted(spark, sf("sf0.001")))
+    assert(pw.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      s"weighted sample reads more than (doc_id, n_chars):\n$pw")
+    // mixture solvers: (source, n_chars) only
+    for ((name, q) <- Seq("q_mix_budget" -> Curate.qMixBudget _,
+                          "q_mix_waterfill" -> Curate.qMixWaterfill _)) {
+      val p = finalPlan(q(spark, sf("sf0.001")))
+      assert(p.contains("ReadSchema: struct<source:string,n_chars:bigint>"),
+        s"$name reads more than (source, n_chars):\n$p")
+    }
+    // triangles: doc_id alone (the corpus scan runs inside the eager
+    // localCheckpoint, so pin the pruning on the source projection the
+    // query starts from rather than the checkpoint-fed final plan)
+    val pt = finalPlan(graft.Tables.documents(spark, sf("sf0.001"))
+      .select(org.apache.spark.sql.functions.col("doc_id").as("id")))
+    assert(pt.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"triangles' id projection reads more than doc_id:\n$pt")
+    // e2e manifest: (doc_id, text, source) - lang and n_chars pruned
+    val pe = finalPlan(Pipeline.qPipelineE2e(spark, sf("sf0.001")))
+    assert(pe.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      s"e2e pipeline reads pruned-out columns:\n$pe")
+  }
 }
