@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, expr}
+import org.apache.spark.sql.functions.{broadcast, col, expr, max, sum}
 import graft.{ArtifactStore, Tables}
 
 /** IVF index PERSISTENCE — the train-once / probe-many lifecycle of a
@@ -157,6 +157,45 @@ object Ivf {
       .orderBy(col("qid"), col("dist2"), col("vec_id"))
   }
 
+  /** TWO-STAGE late-interaction retrieval over the saved index — the
+    * deployed ColBERT shape, turning [[Llm.qSimMaxsim]]'s "composes
+    * with the IVF index" claim into a tested plan: (1) COARSE — each
+    * query-passage token probes its nearest cell (zero-shuffle argmin
+    * vs the broadcast centroids), and the union of probed cells is a
+    * static partition prune on the inverted lists; (2) candidate
+    * passages = passages with ≥1 member vector in a probed cell;
+    * (3) FINE — the exact-decimal MaxSim fold re-ranks ONLY the
+    * candidates (4 kernel evals per candidate vector, never the
+    * corpus), top-5 by score via TakeOrderedAndProject. At 100 TB the
+    * fine stage touches ~nprobe/k of the corpus — the whole point of
+    * indexing a late-interaction scorer. */
+  def qSimMaxsimPruned(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.VectorOps.register(s)
+    graft.expressions.VecSum6.register(s)
+    val p = ensureIndex(s, dir)
+    val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val qcids = Llm.ivfAssign(
+        qs.select(col("qid").as("vec_id"), col("qv").as("embedding")),
+        loadCentroids(s, p))
+      .select("cid").distinct().collect().map(_.getLong(0))
+    // candidate passages from the probed cells only (bounded by the
+    // probe fan-out: safely broadcastable at any corpus size)
+    val cand = loadLists(s, p).filter(col("cid").isin(qcids: _*))
+      .select(expr("vec_id div 4").as("cpass")).distinct()
+    Tables.embeddings(s, dir)
+      .withColumn("passage", expr("vec_id div 4"))
+      .join(broadcast(cand), col("passage") === col("cpass"))
+      .crossJoin(broadcast(qs))
+      .select(col("passage"), col("qid"),
+              expr("graft_dot6(embedding, qv)").as("dot"))
+      .groupBy("passage", "qid").agg(max(col("dot")).as("m"))
+      .groupBy("passage")
+      .agg(sum(col("m").cast("decimal(18,12)")).cast("double").as("maxsim"))
+      .orderBy(col("maxsim").desc, col("passage").asc)
+      .limit(5)
+  }
+
   /** Fingerprint for the STANDING-corpus quantizer behind the append
     * face (distinct artifact from the full-corpus index). */
   private val standingVersion = "lloyd3-seed8-sqdistq6-standing-mod10-v1"
@@ -191,6 +230,7 @@ object Ivf {
     "q_sim_ann_ivf_probe2" -> (qSimAnnIvfProbe2 _),
     "q_sim_ann_ivf_batch" -> (qSimAnnIvfBatch _),
     "q_sim_ann_ivf_append" -> (qSimAnnIvfAppend _),
+    "q_sim_maxsim_pruned" -> (qSimMaxsimPruned _),
   )
 
   /** Indexed face bit-identical to the learned face by construction. */
@@ -199,5 +239,6 @@ object Ivf {
     "q_sim_ann_ivf_probe2" -> Llm.ivfProbe2Sql,
     "q_sim_ann_ivf_batch" -> Llm.ivfBatchSql,
     "q_sim_ann_ivf_append" -> Llm.ivfAppendSql,
+    "q_sim_maxsim_pruned" -> Llm.ivfMaxsimPrunedSql,
   )
 }

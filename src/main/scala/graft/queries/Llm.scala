@@ -1375,6 +1375,33 @@ object Llm {
        |  FROM bd) WHERE rn <= 3
        |ORDER BY qid, dist2, vec_id""".stripMargin
 
+  /** Two-stage MaxSim over the saved index: each query token's a4 cell
+    * is probed; candidate passages (≥1 member in a probed cell) get
+    * the exact-decimal MaxSim fold; top-5 by score. */
+  private[queries] lazy val ivfMaxsimPrunedSql: String =
+    s"""$ivfLloydCtes,
+       |qa AS (SELECT DISTINCT cid AS qcid FROM a4 WHERE vec_id < 4),
+       |cand AS (
+       |  SELECT DISTINCT m.vec_id // 4 AS passage
+       |  FROM a4 m JOIN qa ON m.cid = qa.qcid),
+       |dots AS (
+       |  SELECT e.vec_id // 4 AS passage, e.vec_id AS vid, q.vec_id AS qid,
+       |    CAST(SUM(${D.decf("e.embedding[i]")} * ${D.decf("q.embedding[i]")})
+       |      AS DOUBLE) AS dot
+       |  FROM embeddings e
+       |  JOIN cand ON e.vec_id // 4 = cand.passage
+       |  JOIN embeddings q ON q.vec_id < 4,
+       |       GENERATE_SERIES(1, 64) AS gm(i)
+       |  GROUP BY e.vec_id, q.vec_id),
+       |mxp AS (
+       |  SELECT passage, qid, MAX(dot) AS m FROM dots GROUP BY 1, 2),
+       |scp AS (
+       |  SELECT passage,
+       |    CAST(SUM(CAST(m AS DECIMAL(18,12))) AS DOUBLE) AS maxsim
+       |  FROM mxp GROUP BY passage)
+       |SELECT passage, maxsim FROM scp
+       |ORDER BY maxsim DESC, passage ASC LIMIT 5""".stripMargin
+
   private lazy val cosineSql: String =
     s"""WITH per AS (
        |  SELECT e.vec_id,

@@ -142,6 +142,32 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("pruned MaxSim scores agree with the full scorer; lists stay pruned") {
+    val dir = sf("sf0.01")
+    val full = Llm.qSimMaxsim(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val df = Ivf.qSimMaxsimPruned(spark, dir)
+    val pruned = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(pruned.length == 5)
+    // scores are descending with passage tiebreak
+    assert(pruned.map(_._2).toSeq == pruned.map(_._2).sortBy(-_).toSeq)
+    // subset consistency: every candidate's score equals the full
+    // scorer's for that passage (pruning changes the candidate SET,
+    // never a surviving score)
+    pruned.foreach { case (p, s) =>
+      assert(full(p) == s, s"passage $p: pruned score $s != full ${full(p)}")
+    }
+    // the coarse stage is a partition prune on the lists (never the
+    // corpus through the index side)
+    val scans = allNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("lists")) => f
+    }
+    assert(scans.nonEmpty, "no lists scan in the pruned MaxSim plan")
+    scans.foreach(f => assert(f.partitionFilters.nonEmpty,
+      "pruned MaxSim reads every cell of the lists"))
+  }
+
   test("nprobe=2 recall@10 >= nprobe=1 against the exact top-10") {
     graft.expressions.VectorOps.register(spark)
     graft.expressions.VecSum6.register(spark)
