@@ -84,9 +84,15 @@ object Graph {
     * The ORACLE counts the same triangles id-oriented (a<b<c) —
     * orientation changes the join sizes, never the count, which is
     * exactly the property the cross-engine hash check proves. */
+  /** The triangle graph's node source — the exact projection the
+    * operator scans, exposed so PlanSpec can pin its column pruning
+    * (the scan runs inside the eager checkpoint, invisible to the
+    * final plan). */
+  private[queries] def triangleIds(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id").as("id"))
+
   def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
-      .localCheckpoint(true)
+    val ids = triangleIds(s, dir).localCheckpoint(true)
     val cand = ids.select(col("id").as("a"),
       explode(array(Seq(1, 2, 3, 5, 8).map(d => col("id") + d): _*)).as("b"))
     // a < b by construction; keep only edges whose far end exists

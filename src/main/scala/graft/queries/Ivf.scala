@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, expr, max, sum}
+import org.apache.spark.sql.functions.{broadcast, col, count, expr, lit}
 import graft.{ArtifactStore, Tables}
 
 /** IVF index PERSISTENCE — the train-once / probe-many lifecycle of a
@@ -161,14 +161,19 @@ object Ivf {
     * deployed ColBERT shape, turning [[Llm.qSimMaxsim]]'s "composes
     * with the IVF index" claim into a tested plan: (1) COARSE — each
     * query-passage token probes its nearest cell (zero-shuffle argmin
-    * vs the broadcast centroids), and the union of probed cells is a
-    * static partition prune on the inverted lists; (2) candidate
-    * passages = passages with ≥1 member vector in a probed cell;
-    * (3) FINE — the exact-decimal MaxSim fold re-ranks ONLY the
-    * candidates (4 kernel evals per candidate vector, never the
-    * corpus), top-5 by score via TakeOrderedAndProject. At 100 TB the
-    * fine stage touches ~nprobe/k of the corpus — the whole point of
-    * indexing a late-interaction scorer. */
+    * vs the broadcast centroids); the union of probed cells is a
+    * static partition prune on the inverted lists, and candidate
+    * passages are ranked by probed-member HIT COUNT with the top
+    * C=64 kept (integer score, id tiebreak — deterministic). The
+    * candidate set is therefore BOUNDED BY CONSTRUCTION: the
+    * broadcast carries ≤64 passage ids at any corpus size, the way a
+    * production re-ranker caps its fine-stage fan-in. (2) FINE — the
+    * exact-decimal MaxSim fold re-ranks ONLY the candidates' member
+    * vectors (≤ 64·4 kernel·query-token evals), top-5 by score via
+    * TakeOrderedAndProject. The fine-stage lookup joins the ≤64-id
+    * broadcast against the corpus — a broadcast hash join that scans
+    * but never shuffles the corpus; with a passage-bucketed layout
+    * that scan prunes too. */
   def qSimMaxsimPruned(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.VectorOps.register(s)
     graft.expressions.VecSum6.register(s)
@@ -179,19 +184,18 @@ object Ivf {
         qs.select(col("qid").as("vec_id"), col("qv").as("embedding")),
         loadCentroids(s, p))
       .select("cid").distinct().collect().map(_.getLong(0))
-    // candidate passages from the probed cells only (bounded by the
-    // probe fan-out: safely broadcastable at any corpus size)
+    // coarse candidate ranking: passages by probed-member hit count,
+    // top C=64 — the bounded fine-stage fan-in
     val cand = loadLists(s, p).filter(col("cid").isin(qcids: _*))
-      .select(expr("vec_id div 4").as("cpass")).distinct()
-    Tables.embeddings(s, dir)
-      .withColumn("passage", expr("vec_id div 4"))
-      .join(broadcast(cand), col("passage") === col("cpass"))
-      .crossJoin(broadcast(qs))
-      .select(col("passage"), col("qid"),
-              expr("graft_dot6(embedding, qv)").as("dot"))
-      .groupBy("passage", "qid").agg(max(col("dot")).as("m"))
-      .groupBy("passage")
-      .agg(sum(col("m").cast("decimal(18,12)")).cast("double").as("maxsim"))
+      .groupBy(expr("vec_id div 4").as("cpass"))
+      .agg(count(lit(1)).as("hits"))
+      .orderBy(col("hits").desc, col("cpass").asc)
+      .limit(64)
+      .select(col("cpass"))
+    Llm.maxsimFold(
+      Tables.embeddings(s, dir)
+        .join(broadcast(cand), expr("vec_id div 4") === col("cpass"))
+        .crossJoin(broadcast(qs)))
       .orderBy(col("maxsim").desc, col("passage").asc)
       .limit(5)
   }

@@ -450,14 +450,23 @@ object Llm {
     val e = Tables.embeddings(s, dir)
     val q = e.filter(col("vec_id") < 4)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    e.crossJoin(broadcast(q))
+    maxsimFold(e.crossJoin(broadcast(q)))
+      .orderBy("passage")
+  }
+
+  /** The canonical MaxSim fold shared by [[qSimMaxsim]] and
+    * [[Ivf.qSimMaxsimPruned]]: per (corpus vector, query token) dot
+    * via the fused kernel, max per (passage, qid), then the
+    * DECIMAL(18,12)-round-trip exact sum (see [[qSimMaxsim]]'s
+    * scaladoc for why a raw double sum breaks the oracle hash).
+    * Input: rows with (vec_id, embedding, qid, qv). */
+  private[queries] def maxsimFold(pairs: DataFrame): DataFrame =
+    pairs
       .select(expr("vec_id div 4").as("passage"), col("qid"),
               expr("graft_dot6(embedding, qv)").as("dot"))
       .groupBy("passage", "qid").agg(max(col("dot")).as("m"))
       .groupBy("passage")
       .agg(sum(col("m").cast("decimal(18,12)")).cast("double").as("maxsim"))
-      .orderBy("passage")
-  }
 
   def qSimCosineFused(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.VectorOps.register(s)
@@ -1376,14 +1385,17 @@ object Llm {
        |ORDER BY qid, dist2, vec_id""".stripMargin
 
   /** Two-stage MaxSim over the saved index: each query token's a4 cell
-    * is probed; candidate passages (≥1 member in a probed cell) get
-    * the exact-decimal MaxSim fold; top-5 by score. */
+    * is probed; candidate passages ranked by probed-member hit count
+    * (top C=64, id tiebreak) get the exact-decimal MaxSim fold;
+    * top-5 by score. */
   private[queries] lazy val ivfMaxsimPrunedSql: String =
     s"""$ivfLloydCtes,
        |qa AS (SELECT DISTINCT cid AS qcid FROM a4 WHERE vec_id < 4),
        |cand AS (
-       |  SELECT DISTINCT m.vec_id // 4 AS passage
-       |  FROM a4 m JOIN qa ON m.cid = qa.qcid),
+       |  SELECT m.vec_id // 4 AS passage
+       |  FROM a4 m JOIN qa ON m.cid = qa.qcid
+       |  GROUP BY m.vec_id // 4
+       |  ORDER BY COUNT(*) DESC, passage ASC LIMIT 64),
        |dots AS (
        |  SELECT e.vec_id // 4 AS passage, e.vec_id AS vid, q.vec_id AS qid,
        |    CAST(SUM(${D.decf("e.embedding[i]")} * ${D.decf("q.embedding[i]")})

@@ -96,7 +96,8 @@ private final class MmTable(props: Map[String, String])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MmScanBuilder(options.asScala.toMap ++ props)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new MmWriteBuilder(info.options().asScala.toMap ++ props, info.schema())
+    new MmWriteBuilder(info.options().asScala.toMap ++ props, info.schema(),
+      info.queryId())
 }
 
 private final class MmScanBuilder(opts: Map[String, String])
@@ -222,7 +223,8 @@ private final case class MmInputPartition(path: String, start: Long,
   * `cat header.mtx part-*.mtx` (or the reader on the directory)
   * reassembles a conforming file. Truncate (SaveMode.Overwrite)
   * clears prior part/header/temp files before the new ones land. */
-private final class MmWriteBuilder(opts: Map[String, String], schema: StructType)
+private final class MmWriteBuilder(opts: Map[String, String],
+    schema: StructType, queryId: String)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -232,7 +234,8 @@ private final class MmWriteBuilder(opts: Map[String, String], schema: StructType
     val path = opts.getOrElse("path",
       throw new IllegalArgumentException("matrixmarket: path required"))
     new Write {
-      override def toBatch: BatchWrite = new MmBatchWrite(path, doTruncate)
+      override def toBatch: BatchWrite =
+        new MmBatchWrite(path, doTruncate, queryId)
     }
   }
 }
@@ -240,8 +243,8 @@ private final class MmWriteBuilder(opts: Map[String, String], schema: StructType
 private final case class MmCommit(maxRow: Long, maxCol: Long, count: Long,
     file: String) extends WriterCommitMessage
 
-private final class MmBatchWrite(path: String, truncate: Boolean)
-    extends BatchWrite {
+private final class MmBatchWrite(path: String, truncate: Boolean,
+    queryId: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = MmConf.driver()
     val dir = new Path(path)
@@ -251,11 +254,12 @@ private final class MmBatchWrite(path: String, truncate: Boolean)
       Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
         val n = st.getPath.getName
         if (n.startsWith("part-") || n == "header.mtx" ||
-            (n.startsWith(".part-") && n.endsWith(".tmp")))
+            ((n.startsWith(".part-") || n.startsWith(".header-")) &&
+              n.endsWith(".tmp")))
           fs.delete(st.getPath, false)
       }
     }
-    new MmWriterFactory(path, new SerializableHadoopConf(conf))
+    new MmWriterFactory(path, new SerializableHadoopConf(conf), queryId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -279,26 +283,45 @@ private final class MmBatchWrite(path: String, truncate: Boolean)
       try {
         var line = in.readLine()
         while (line != null && line.startsWith("%")) line = in.readLine()
-        if (line != null) {
-          val d = line.trim.split("\\s+")
-          if (d.length == 3) {
-            rows = math.max(rows, d(0).toLong)
-            cols = math.max(cols, d(1).toLong)
-            nnz += d(2).toLong
-          }
+        // a header that exists but cannot be parsed means the standing
+        // counts are unrecoverable: FAIL the append loudly rather than
+        // silently rewriting a header that undercounts prior parts
+        val d = Option(line).map(_.trim.split("\\s+")).getOrElse(Array.empty)
+        if (d.length != 3)
+          throw new IllegalStateException(
+            s"matrixmarket: corrupt header $hp ('$line') - repair it or " +
+              "write with mode=overwrite")
+        try {
+          rows = math.max(rows, d(0).toLong)
+          cols = math.max(cols, d(1).toLong)
+          nnz += d(2).toLong
+        } catch {
+          case e: NumberFormatException =>
+            throw new IllegalStateException(
+              s"matrixmarket: corrupt header $hp ('$line')", e)
         }
       } finally in.close()
     }
-    val out = fs.create(hp, true)
+    // write-to-temp + swap: a crash mid-rewrite never leaves a
+    // truncated header (the standing one survives until the rename;
+    // the delete+rename pair is the narrowest window the FS API
+    // allows without a coordinator)
+    val htmp = new Path(dir, s".header-$queryId.mtx.tmp")
+    val out = fs.create(htmp, true)
     out.write(
       s"%%MatrixMarket matrix coordinate real general\n$rows $cols $nnz\n"
         .getBytes("UTF-8"))
     out.close()
+    if (fs.exists(hp)) fs.delete(hp, false)
+    if (!fs.rename(htmp, hp))
+      throw new java.io.IOException(
+        s"matrixmarket: rename $htmp -> $hp failed")
     // sweep temps from dead attempts (hidden, so reads were safe even
     // before this)
     Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
       val n = st.getPath.getName
-      if (n.startsWith(".part-") && n.endsWith(".tmp"))
+      if ((n.startsWith(".part-") || n.startsWith(".header-")) &&
+          n.endsWith(".tmp"))
         fs.delete(st.getPath, false)
     }
   }
@@ -313,16 +336,23 @@ private final class MmBatchWrite(path: String, truncate: Boolean)
   }
 }
 
-private final class MmWriterFactory(path: String, conf: SerializableHadoopConf)
-    extends DataWriterFactory {
+private final class MmWriterFactory(path: String,
+    conf: SerializableHadoopConf, queryId: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new MmDataWriter(path, partitionId, taskId, conf)
+    new MmDataWriter(path, partitionId, taskId, conf, queryId)
 }
 
 private final class MmDataWriter(path: String, partitionId: Int, taskId: Long,
-    conf: SerializableHadoopConf) extends DataWriter[InternalRow] {
-  private val tmp = new Path(path, f".part-$partitionId%05d-$taskId.mtx.tmp")
-  private val dst = new Path(path, f"part-$partitionId%05d-$taskId.mtx")
+    conf: SerializableHadoopConf, queryId: String)
+    extends DataWriter[InternalRow] {
+  // queryId (a UUID per write) makes shard names unique ACROSS
+  // applications: a fresh SparkContext restarts taskId at 0, and
+  // without the uid a later app's append would rename over an earlier
+  // app's shard while the header fold still counted its rows
+  private val tmp =
+    new Path(path, f".part-$partitionId%05d-$taskId-$queryId.mtx.tmp")
+  private val dst =
+    new Path(path, f"part-$partitionId%05d-$taskId-$queryId.mtx")
   private val fs = tmp.getFileSystem(conf.value)
   private val out =
     new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)

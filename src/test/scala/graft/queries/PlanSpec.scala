@@ -154,11 +154,10 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("ReadSchema: struct<source:string,n_chars:bigint>"),
         s"$name reads more than (source, n_chars):\n$p")
     }
-    // triangles: doc_id alone (the corpus scan runs inside the eager
-    // localCheckpoint, so pin the pruning on the source projection the
-    // query starts from rather than the checkpoint-fed final plan)
-    val pt = finalPlan(graft.Tables.documents(spark, sf("sf0.001"))
-      .select(org.apache.spark.sql.functions.col("doc_id").as("id")))
+    // triangles: doc_id alone - pinned on the OPERATOR'S OWN source
+    // projection (Graph.triangleIds, the exact code qGraphTriangles
+    // checkpoints; the checkpoint hides the scan from the final plan)
+    val pt = finalPlan(Graph.triangleIds(spark, sf("sf0.001")))
     assert(pt.contains("ReadSchema: struct<doc_id:bigint>"),
       s"triangles' id projection reads more than doc_id:\n$pt")
     // e2e manifest: (doc_id, text, source) - lang and n_chars pruned

@@ -215,6 +215,38 @@ class MatrixMarketSourceSpec extends SparkSpec {
     assert(spark.read.format("matrixmarket").load(out).count() === 60)
   }
 
+  test("shard names embed the write's queryId; corrupt headers fail loudly") {
+    val out = Files.createTempDirectory("mtxuid").toString
+    val mk = (n: Int) => spark.range(n).selectExpr(
+      "id AS row", "id AS col", "CAST(id AS DOUBLE) AS v")
+    mk(3).coalesce(1).write.format("matrixmarket").mode("append").save(out)
+    mk(3).coalesce(1).write.format("matrixmarket").mode("append").save(out)
+    val parts = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName)
+    // two writes, same partition id and (restarting) task ids - the
+    // embedded per-write queryId keeps the names distinct (the
+    // cross-application collision this guards against)
+    assert(parts.length === 2, s"expected 2 shards: ${parts.toSeq}")
+    assert(parts.distinct.length === 2)
+    parts.foreach(n => assert(
+      n.matches("part-\\d{5}-\\d+-[0-9a-f-]{36}\\.mtx"),
+      s"shard name missing the write uid: $n"))
+    // a header that cannot be parsed must fail the append, not
+    // silently undercount the standing parts (drop the local-FS
+    // checksum sidecar so the corruption reaches the parser, not the
+    // CRC check)
+    Files.writeString(java.nio.file.Paths.get(out, "header.mtx"),
+      "%%MatrixMarket matrix coordinate real general\n50 5x\n")
+    Files.deleteIfExists(java.nio.file.Paths.get(out, ".header.mtx.crc"))
+    val e = intercept[Exception] {
+      mk(2).coalesce(1).write.format("matrixmarket").mode("append").save(out)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("corrupt header")),
+      s"append over a corrupt header did not fail loudly: $e")
+  }
+
   test("directory input reads every part file, skipping _ and . files") {
     val dir = Files.createTempDirectory("mtxdir")
     Files.writeString(dir.resolve("a.mtx"),
