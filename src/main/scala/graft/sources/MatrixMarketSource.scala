@@ -52,6 +52,14 @@ private object MmConf {
   * Spark face of [[MatrixMarket.read]] (same schema, same 0-based-id
   * semantics; SURVEY.md §2.A A2).
   *
+  * Banner semantics ([[MatrixMarket.parseBanner]]): `real`/`integer`/
+  * `pattern` fields and `general`/`symmetric` symmetry are supported —
+  * symmetric files mirror every off-diagonal stored entry (the flag
+  * rides on each split, so mirroring is exact across byte-range
+  * boundaries); `complex`/`hermitian`/`skew-symmetric`/dense `array`
+  * reject loudly at PLANNING time (reader-side for single-split
+  * compressed files, where the planner cannot see the banner).
+  *
   * Scale design: files are split by BYTE RANGE (default 32 MB,
   * `maxSplitBytes` option) with the per-file header (comment block +
   * dims line) resolved at PLANNING time: the driver reads just the
@@ -118,35 +126,46 @@ private final class MmScan(opts: Map[String, String], required: StructType)
   override def description(): String =
     s"MatrixMarket ${opts.getOrElse("path", "?")} cols=${required.fieldNames.mkString(",")}"
 
-  /** Byte offset of the first data line: 0 for bare COO files; for
-    * headered files (first byte `%`), the offset just past the dims
-    * line. Returns -1 if the header is still open after `cap` bytes —
-    * the caller then falls back to a single reader-side-skip split
-    * rather than planning from a mid-header offset (which would emit
-    * the dims line as a bogus data row). */
-  private def dataStart(fs: org.apache.hadoop.fs.FileSystem, f: FileStatus,
-      cap: Long = 1L << 20): Long = {
+  /** (data-start offset, banner line). Offset is the byte offset of
+    * the first data line: 0 for bare COO files; for headered files
+    * (first byte `%`), the offset just past the dims line. Offset -1
+    * means the header is still open after `cap` bytes — the caller
+    * then falls back to a single reader-side-skip split rather than
+    * planning from a mid-header offset (which would emit the dims
+    * line as a bogus data row). The banner is the file's literal
+    * first line when it starts with `%` (first 4 KB — banners are one
+    * short line), so the planner can validate field/symmetry and set
+    * the mirror flag BEFORE any split runs. */
+  private def headerScan(fs: org.apache.hadoop.fs.FileSystem, f: FileStatus,
+      cap: Long = 1L << 20): (Long, Option[String]) = {
     val in = new java.io.BufferedInputStream(fs.open(f.getPath), 64 * 1024)
     try {
       var pos = 0L
       var lineStart = true
       var commentLine = false // is the CURRENT line a comment/blank?
+      val first = new java.lang.StringBuilder(96)
+      var inFirst = true
       var b = in.read()
-      if (b != '%') return 0L // bare COO shard: no header at all
+      if (b != '%') return (0L, None) // bare COO shard: no header at all
       while (b != -1 && pos < cap) {
         if (lineStart) {
           commentLine = b == '%' || b == '\n'
           lineStart = false
         }
+        if (inFirst) {
+          if (b == '\n') inFirst = false
+          else if (first.length < 4096) first.append(b.toChar)
+        }
         pos += 1
         if (b == '\n') {
-          if (!commentLine) return pos // the dims line just ended
+          if (!commentLine) return (pos, Some(first.toString)) // dims line ended
           lineStart = true
         }
         b = in.read()
       }
-      if (b == -1) pos // header-only file: no data bytes follow
-      else -1L // header longer than the cap: let the reader handle it
+      val banner = if (first.length > 0) Some(first.toString) else None
+      if (b == -1) (pos, banner) // header-only file: no data bytes follow
+      else (-1L, banner) // header longer than the cap: reader handles it
     } finally in.close()
   }
 
@@ -161,43 +180,57 @@ private final class MmScan(opts: Map[String, String], required: StructType)
     val globbed = fs.globStatus(p)
     if (globbed == null || globbed.isEmpty)
       throw new IllegalArgumentException(s"matrixmarket: path not found: $path")
-    val files = globbed.flatMap { st =>
+    // recursive listing: partitioned layouts nest parts under
+    // subdirectories; dropping them silently would contradict the
+    // "never a silent empty scan" contract. Hidden (_/.)-prefixed
+    // files AND directories are metadata, skipped at every level.
+    def listFiles(st: FileStatus): Array[FileStatus] =
       if (st.isDirectory)
-        fs.listStatus(st.getPath).filter(f => f.isFile &&
-          !f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.startsWith("."))
+        fs.listStatus(st.getPath).filter { c =>
+          val n = c.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }.flatMap(listFiles)
       else Array(st)
-    }
+    val files = globbed.flatMap(listFiles)
     val codecs = new CompressionCodecFactory(conf)
     files.flatMap { f =>
       val len = f.getLen
       val codec = codecs.getCodec(f.getPath)
       if (len == 0) Nil
       else if (codec != null) {
-        // ANY compressed file reads as ONE split with the header
-        // handled reader-side: byte offsets aren't line offsets under
-        // compression, so the planner-side header scan cannot apply
-        // (a splittable codec like bz2 would ALSO need codec-aligned
-        // split boundaries — future work; one split is always correct)
+        // ANY compressed file reads as ONE split with the header AND
+        // banner handled reader-side: byte offsets aren't line offsets
+        // under compression, so the planner-side header scan cannot
+        // apply (a splittable codec like bz2 would ALSO need
+        // codec-aligned split boundaries — future work; one split is
+        // always correct)
         Seq(MmInputPartition(f.getPath.toString, 0L, len,
-          skipHeaderInReader = true): InputPartition)
+          skipHeaderInReader = true, mirror = false,
+          pattern = false): InputPartition)
       } else {
         // header resolved here; splits never contain banner or dims.
         // A first split starting at ds-1 (the header's trailing \n)
         // rides LineRecordReader's "discard up to the first newline
         // when start != 0" rule to land exactly on the first data byte.
-        val ds = dataStart(fs, f)
+        // The banner validates at PLANNING time: a complex/hermitian
+        // file fails the query on the driver before any task runs.
+        val (ds, bannerLine) = headerScan(fs, f)
+        val banner = MatrixMarket.bannerOf(bannerLine)
         if (ds < 0) {
           // header longer than the scan cap: one split, reader-side
-          // skip (correct for arbitrarily long headers, not parallel)
+          // skip (correct for arbitrarily long headers, not parallel);
+          // the reader re-derives mirror/pattern from the banner it
+          // skips, so pass the planner's view for consistency
           Seq(MmInputPartition(f.getPath.toString, 0L, len,
-            skipHeaderInReader = true): InputPartition)
+            skipHeaderInReader = true, mirror = banner.mirror,
+            pattern = banner.pattern): InputPartition)
         } else {
           val s0 = if (ds == 0) 0L else ds - 1
           (s0 until len by maxSplit).map { start =>
             MmInputPartition(f.getPath.toString, start,
               math.min(maxSplit, len - start),
-              skipHeaderInReader = false): InputPartition
+              skipHeaderInReader = false, mirror = banner.mirror,
+              pattern = banner.pattern): InputPartition
           }
         }
       }
@@ -209,7 +242,8 @@ private final class MmScan(opts: Map[String, String], required: StructType)
 }
 
 private final case class MmInputPartition(path: String, start: Long,
-    length: Long, skipHeaderInReader: Boolean) extends InputPartition
+    length: Long, skipHeaderInReader: Boolean, mirror: Boolean,
+    pattern: Boolean) extends InputPartition
 
 /** Distributed write: each task streams its partition to a HIDDEN
   * temp file (`.part-<pid>-<tid>.mtx.tmp` — invisible to the reader's
@@ -316,12 +350,14 @@ private final class MmBatchWrite(path: String, truncate: Boolean,
     if (!fs.rename(htmp, hp))
       throw new java.io.IOException(
         s"matrixmarket: rename $htmp -> $hp failed")
-    // sweep temps from dead attempts (hidden, so reads were safe even
-    // before this)
+    // sweep temps from THIS write's dead attempts only (names embed
+    // the queryId) — a concurrent append's live temps must survive, or
+    // its task commits would fail on the missing rename source. Temps
+    // are hidden, so reads were safe even before this.
     Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
       val n = st.getPath.getName
       if ((n.startsWith(".part-") || n.startsWith(".header-")) &&
-          n.endsWith(".tmp"))
+          n.endsWith(".tmp") && n.contains(queryId))
         fs.delete(st.getPath, false)
     }
   }
@@ -421,15 +457,39 @@ private final class MmPartitionReader(split: MmInputPartition,
   }
   private var firstLine = split.skipHeaderInReader
   private var headerPending = false
+  // mirror/pattern come from the planner's banner scan; single-split
+  // files that skip their header reader-side (compressed, capped) see
+  // the banner themselves and re-derive — parseBanner throws here for
+  // unsupported forms, failing the task loudly, never dropping values
+  private var mirror = split.mirror
+  private var pattern = split.pattern
   private var current: InternalRow = _
+  private var pending: InternalRow = _ // mirrored twin of `current`
+
+  private def toRow(row: Long, col: Long, v: Double): InternalRow =
+    InternalRow.fromSeq(proj.map {
+      case 0 => row: java.lang.Long
+      case 1 => col: java.lang.Long
+      case 2 => v: java.lang.Double
+    }.toIndexedSeq)
 
   override def next(): Boolean = {
+    if (pending != null) { // symmetric: emit the stashed (col, row, v)
+      current = pending
+      pending = null
+      return true
+    }
     while (reader.nextKeyValue()) {
       val line = reader.getCurrentValue.toString
       val t = line.trim
       if (firstLine) {
         firstLine = false
         headerPending = t.startsWith("%")
+        if (t.startsWith("%%MatrixMarket") || t.startsWith("%%matrixmarket")) {
+          val b = MatrixMarket.parseBanner(t)
+          mirror = b.mirror
+          pattern = b.pattern
+        }
       }
       if (t.nonEmpty && !t.startsWith("%")) {
         if (headerPending) {
@@ -438,13 +498,9 @@ private final class MmPartitionReader(split: MmInputPartition,
           val f = t.split("\\s+")
           val row = f(0).toLong - 1
           val col = f(1).toLong - 1
-          val v = if (f.length > 2) f(2).toDouble else 1.0
-          val values = proj.map {
-            case 0 => row: java.lang.Long
-            case 1 => col: java.lang.Long
-            case 2 => v: java.lang.Double
-          }
-          current = InternalRow.fromSeq(values.toIndexedSeq)
+          val v = if (!pattern && f.length > 2) f(2).toDouble else 1.0
+          current = toRow(row, col, v)
+          if (mirror && row != col) pending = toRow(col, row, v)
           return true
         }
       }

@@ -247,6 +247,108 @@ class MatrixMarketSourceSpec extends SparkSpec {
       s"append over a corrupt header did not fail loudly: $e")
   }
 
+  test("symmetric banner mirrors through the DSv2 path, across split boundaries") {
+    // 200 strictly-lower-triangle entries + 5 diagonal; at 64-byte
+    // splits the mirror flag must reach every split, not just the
+    // header-owning one
+    val p = Files.createTempDirectory("mtxsymv2").resolve("s.mtx")
+    val lower = (1 to 200).map { i =>
+      val r = i % 40 + 2; val c = (i * 7) % (r - 1) + 1 // c < r strictly
+      s"$r $c ${i * 0.25}"
+    }
+    val diag = (1 to 5).map(i => s"$i $i ${i * 1.0}")
+    Files.writeString(p,
+      s"%%MatrixMarket matrix coordinate real symmetric\n42 42 205\n" +
+        (lower ++ diag).mkString("\n") + "\n")
+    val df = spark.read.format("matrixmarket")
+      .option("maxSplitBytes", "64").load(p.toString)
+    assert(df.rdd.getNumPartitions > 5, "expected many splits")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val stored = (lower ++ diag).map { l =>
+      val t = l.split(" "); (t(0).toLong - 1, t(1).toLong - 1, t(2).toDouble)
+    }
+    val expected = stored.flatMap { case (r, c, v) =>
+      if (r == c) Seq((r, c, v)) else Seq((r, c, v), (c, r, v))
+    }
+    assert(got.length === expected.length,
+      s"mirror lost/duplicated rows: ${got.length} vs ${expected.length}")
+    assert(got.toSet === expected.toSet)
+    // same answer as the classic reader
+    assert(got.toSet === MatrixMarket.read(spark, p.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+  }
+
+  test("symmetric gzip resolves the banner reader-side and mirrors") {
+    val dir = Files.createTempDirectory("mtxsymgz")
+    val p = dir.resolve("s.mtx.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(p))
+    out.write(
+      ("%%MatrixMarket matrix coordinate real symmetric\n3 3 2\n" +
+        "2 1 5.0\n3 3 4.0\n").getBytes("UTF-8"))
+    out.close()
+    val got = spark.read.format("matrixmarket").load(p.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 0L, 5.0), (0L, 1L, 5.0), (2L, 2L, 4.0)))
+  }
+
+  test("complex banner rejects at planning time, before any task runs") {
+    val p = Files.createTempDirectory("mtxcpx").resolve("c.mtx")
+    Files.writeString(p,
+      "%%MatrixMarket matrix coordinate complex general\n2 2 1\n1 2 1.0 0.0\n")
+    val e = intercept[Exception] {
+      spark.read.format("matrixmarket").load(p.toString).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("unsupported field 'complex'")),
+      s"complex file did not reject loudly: $e")
+  }
+
+  test("symmetric pruned to (v) still mirrors off-diagonal multiplicity") {
+    // pruning away row/col must not break the duplicate-count: sum(v)
+    // counts each off-diagonal value twice
+    val p = Files.createTempDirectory("mtxsymprune").resolve("s.mtx")
+    Files.writeString(p,
+      "%%MatrixMarket matrix coordinate real symmetric\n3 3 2\n2 1 5.0\n3 3 4.0\n")
+    val s = spark.read.format("matrixmarket").load(p.toString)
+      .agg(sum("v")).collect()(0).getDouble(0)
+    assert(s === 14.0, s"pruned symmetric sum wrong: $s") // 5+5+4
+  }
+
+  test("nested subdirectories are read recursively") {
+    val dir = Files.createTempDirectory("mtxnest")
+    Files.createDirectories(dir.resolve("sub/deeper"))
+    Files.writeString(dir.resolve("a.mtx"),
+      "%%MatrixMarket matrix coordinate real general\n5 5 1\n1 1 1.0\n")
+    Files.writeString(dir.resolve("sub").resolve("b.mtx"),
+      "%%MatrixMarket matrix coordinate real general\n5 5 1\n2 2 2.0\n")
+    Files.writeString(dir.resolve("sub/deeper").resolve("c.mtx"),
+      "%%MatrixMarket matrix coordinate real general\n5 5 1\n3 3 3.0\n")
+    Files.createDirectories(dir.resolve("_hidden"))
+    Files.writeString(dir.resolve("_hidden").resolve("d.mtx"),
+      "%%MatrixMarket matrix coordinate real general\n5 5 1\n4 4 4.0\n")
+    val got = spark.read.format("matrixmarket").load(dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((0L, 0L, 1.0), (1L, 1L, 2.0), (2L, 2L, 3.0)),
+      s"nested parts lost or hidden dir leaked: $got")
+  }
+
+  test("commit sweeps only its own queryId temps (concurrent append safety)") {
+    val out = Files.createTempDirectory("mtxqid").toString
+    // a FOREIGN write's in-flight temp (different queryId): a commit
+    // of this write must leave it alone
+    val foreign = java.nio.file.Paths.get(out,
+      ".part-00001-3-00000000-0000-0000-0000-000000000000.mtx.tmp")
+    Files.createDirectories(java.nio.file.Paths.get(out))
+    Files.writeString(foreign, "1 1 1.0\n")
+    spark.range(3).selectExpr("id AS row", "id AS col",
+      "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).write.format("matrixmarket").mode("append").save(out)
+    assert(Files.exists(foreign),
+      "commit swept a concurrent write's live temp file")
+  }
+
   test("directory input reads every part file, skipping _ and . files") {
     val dir = Files.createTempDirectory("mtxdir")
     Files.writeString(dir.resolve("a.mtx"),

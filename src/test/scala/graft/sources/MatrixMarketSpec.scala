@@ -33,6 +33,66 @@ class MatrixMarketSpec extends SparkSpec {
       (2L, 0L, 7.0), (2L, 3L, -0.5)))
   }
 
+  test("symmetric banner mirrors the stored triangle (classic path)") {
+    val p = Files.createTempDirectory("mtxsym").resolve("s.mtx")
+    // lower triangle of a 3x3 symmetric matrix: 2 off-diagonal + 1 diag
+    Files.writeString(p,
+      """%%MatrixMarket matrix coordinate real symmetric
+        |3 3 3
+        |2 1 5.0
+        |3 2 -1.5
+        |2 2 9.0
+        |""".stripMargin)
+    val got = MatrixMarket.read(spark, p.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // nnz doubles minus the diagonal: 3 stored -> 5 logical entries
+    assert(got === Set((1L, 0L, 5.0), (0L, 1L, 5.0),
+      (2L, 1L, -1.5), (1L, 2L, -1.5), (1L, 1L, 9.0)))
+  }
+
+  test("pattern and integer banners read explicitly; value column honored") {
+    val pp = Files.createTempDirectory("mtxpat2").resolve("p.mtx")
+    Files.writeString(pp,
+      "%%MatrixMarket matrix coordinate pattern symmetric\n3 3 2\n2 1\n3 3\n")
+    val pat = MatrixMarket.read(spark, pp.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pat === Set((1L, 0L, 1.0), (0L, 1L, 1.0), (2L, 2L, 1.0)))
+    val ip = Files.createTempDirectory("mtxint").resolve("i.mtx")
+    Files.writeString(ip,
+      "%%MatrixMarket matrix coordinate integer general\n2 2 2\n1 1 7\n2 2 -3\n")
+    val ints = MatrixMarket.read(spark, ip.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ints === Set((0L, 0L, 7.0), (1L, 1L, -3.0)))
+  }
+
+  test("complex/hermitian/skew-symmetric/array banners reject loudly") {
+    def mtx(banner: String): String = {
+      val p = Files.createTempDirectory("mtxrej").resolve("r.mtx")
+      Files.writeString(p, s"$banner\n2 2 1\n1 2 1.0 0.0\n")
+      p.toString
+    }
+    for (banner <- Seq(
+        "%%MatrixMarket matrix coordinate complex general",
+        "%%MatrixMarket matrix coordinate real hermitian",
+        "%%MatrixMarket matrix coordinate real skew-symmetric",
+        "%%MatrixMarket matrix array real general")) {
+      val e = intercept[Exception] {
+        MatrixMarket.read(spark, mtx(banner)).collect()
+      }
+      assert(e.getMessage != null &&
+        (e.getMessage.contains("unsupported") ||
+          e.getMessage.contains("only coordinate")),
+        s"banner '$banner' did not reject loudly: $e")
+      val eh = intercept[Exception] {
+        MatrixMarket.readHeader(spark, mtx(banner))
+      }
+      assert(eh.getMessage != null &&
+        (eh.getMessage.contains("unsupported") ||
+          eh.getMessage.contains("only coordinate")),
+        s"readHeader on '$banner' did not reject loudly: $eh")
+    }
+  }
+
   test("write/read round-trips") {
     val path = writeSample()
     val df = MatrixMarket.read(spark, path)
