@@ -27,10 +27,38 @@ import java.security.MessageDigest
   * finish". */
 object ArtifactStore {
 
+  /** Memo for [[contentKey]]: full-byte hashing is O(corpus) driver
+    * I/O, and the key is asked for on EVERY probe query / bench rep.
+    * The memo key is the table's (path, total length, max mtime)
+    * triple — if any file changes size or mtime the bytes are
+    * re-hashed; a same-size same-mtime rewrite within mtime
+    * granularity still serves correctly because the VALUE is the
+    * byte hash computed at first sight of that (len, mtime) state,
+    * and parquet writers always create fresh files (new mtimes). */
+  private val keyMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long, String), String]()
+
   /** MD5 over (relative path, length, full content) of every file under
-    * `tableDir` in sorted order, plus the trainer `version` tag. */
+    * `tableDir` in sorted order, plus the trainer `version` tag.
+    * Memoized per (canonical path, total length, max mtime, version)
+    * within the JVM so the full-byte pass runs once per actual table
+    * change, not once per query invocation. */
   def contentKey(tableDir: String, version: String): String = {
-    val root = new File(tableDir)
+    val rootF = new File(tableDir)
+    def stat(f: File): (Long, Long) =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[File])
+          .map(stat).foldLeft((0L, 0L)) { case ((l1, m1), (l2, m2)) =>
+            (l1 + l2, math.max(m1, m2))
+          }
+      else (f.length(), f.lastModified())
+    val (len, mtime) = stat(rootF)
+    keyMemo.computeIfAbsent(
+      (rootF.getCanonicalPath, len, mtime, version),
+      _ => hashBytes(rootF, version))
+  }
+
+  private def hashBytes(root: File, version: String): String = {
     val md = MessageDigest.getInstance("MD5")
     md.update(version.getBytes("UTF-8"))
     def files(f: File): Seq[File] =
@@ -64,6 +92,17 @@ object ArtifactStore {
     val root = new File(path)
     if (new File(root, "_SUCCESS").exists()) return path
     root.getParentFile.mkdirs()
+    // GC: a JVM crash between build() and rename leaks its private
+    // temp dir (only the owning process deletes its own temp).
+    // Opportunistically sweep ABANDONED siblings — age gates out any
+    // concurrent in-flight build (an hour dwarfs a local train)
+    val staleMs = 60L * 60 * 1000
+    Option(root.getParentFile.listFiles()).getOrElse(Array.empty[File])
+      .filter { f =>
+        f.getName.startsWith(".") && f.getName.contains(".tmp-") &&
+          System.currentTimeMillis() - f.lastModified() > staleMs
+      }
+      .foreach(deleteRecursively)
     val tmp = new File(root.getParentFile,
       s".${root.getName}.tmp-${java.util.UUID.randomUUID()}")
     try {

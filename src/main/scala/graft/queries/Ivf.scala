@@ -56,9 +56,15 @@ object Ivf {
 
   /** Load the inverted lists of an index written by [[save]] —
     * (vec_id, embedding, cid) with cid as the partition column, so a
-    * `cid` filter prunes to the probed cells' files. */
+    * `cid` filter prunes to the probed cells' files. The explicit cast
+    * pins cid to LongType: partition-column inference reads small
+    * values back as IntegerType (and would silently flip to Long past
+    * Int range), leaving every `cid` comparison to implicit coercion.
+    * Casting a partition column does NOT defeat partition pruning —
+    * the filter still resolves against the directory values. */
   def loadLists(s: SparkSession, path: String): DataFrame =
     s.read.parquet(s"$path/lists")
+      .withColumn("cid", col("cid").cast("long"))
 
   /** Trainer fingerprint folded into the cache key: bump whenever the
     * training algorithm, its parameters (Lloyd iters, seed rule,
