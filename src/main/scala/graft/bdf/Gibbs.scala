@@ -73,6 +73,16 @@ object Gibbs {
         * driver-resident doubles (default 32M ~ 256 MB). */
       autoDistributedDoubles: Long = 32L << 20,
       clamp: Option[(Double, Double)] = None,
+      /** Retain up to this many of the post-burn-in posterior SAMPLE
+        * predictions, evenly thinned over the run, as
+        * [[Result.samplePreds]] (row_id, sample_idx, pred) — so a
+        * SAVED model can answer empirical (order-statistic) credible
+        * intervals like the in-run ones, not just moment-based
+        * normal-approximation bounds. 0 (default) retains nothing;
+        * >= `samples` retains every kept sample. Each retained sample
+        * is one test-set-sized table — thin aggressively at scale
+        * (storage is keepSamples x |test|, never driver-resident). */
+      keepSamples: Int = 0,
       seed: Long = 42L)
 
   /** Per-entity Normal-Wishart hyperparameter state. */
@@ -116,7 +126,21 @@ object Gibbs {
         * credible-shaped) queries, not just point predictions, and two
         * saved runs can be MERGED by adding moments (mean+M2 style
         * combine) — see Macau.predictionsFromMoments. */
-      predMoments: Option[DataFrame] = None)
+      predMoments: Option[DataFrame] = None,
+      /** Thinned posterior sample trace (row_id, sample_idx, pred) —
+        * present iff Options.keepSamples > 0. sample_idx is the
+        * 0-based post-burn-in sweep index, so two chains' retained
+        * samples are distinguishable after a union. Persisted by
+        * Macau.saveModel under `__samples/`; order-stat credible
+        * bounds via Macau.empiricalCredible. */
+      samplePreds: Option[DataFrame] = None)
+
+  /** Evenly-spaced thinning: retain sample `s` (0-based of `total`)
+    * iff the integer selector floor((s+1)*keep/total) advances at s —
+    * exactly `min(keep, total)` samples, evenly spread, no RNG. */
+  private[bdf] def retainSample(s: Int, total: Int, keep: Int): Boolean =
+    keep > 0 &&
+      ((s + 1).toLong * keep) / total > (s.toLong * keep) / total
 
   /** Driver-resident doubles the broadcast mode would allocate: the
     * N x K factor matrix per entity plus the densified N x F side
@@ -213,6 +237,10 @@ object Gibbs {
     // running posterior mean over post-burnin samples, keyed by test row
     var predSum: Option[DataFrame] = None
     var nSamples = 0
+    // thinned per-sample retention (Options.keepSamples): each entry is
+    // its own checkpointed 3-col table, unioned lazily at the end —
+    // O(retained rows) materialized total, never O(n^2) re-unions
+    val keptSamples = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
     val sc = spark.sparkContext
 
@@ -397,6 +425,11 @@ object Gibbs {
             Some(next)
         }
         nSamples += 1
+        val sIdx = iter - opts.burnin
+        if (retainSample(sIdx, opts.samples, opts.keepSamples))
+          keptSamples += p
+            .select(col("row_id"), lit(sIdx).as("sample_idx"), col("pred"))
+            .localCheckpoint(true)
         val cur = currentPrediction(spark, testCoo, rd.relations.head, predSum.get, nSamples, opts)
         val rmse = math.sqrt(cur.select(avg(pow(col("pred") - col("v"), 2))).head().getDouble(0))
         rmseHist += rmse
@@ -422,7 +455,10 @@ object Gibbs {
       predMoments = Some(momentsTable(testCoo, predSum.get, nSamples)),
       linkPrecisions = betas.keys.map(e =>
         e -> lambdaBetas.getOrElse(e, opts.lambdaBeta)).toMap,
-      sampleRmseHistory = sampleRmseHist.toSeq)
+      sampleRmseHistory = sampleRmseHist.toSeq,
+      samplePreds =
+        if (keptSamples.isEmpty) None
+        else Some(keptSamples.reduce(_ unionByName _)))
   }
 
   // ---------- helpers ----------

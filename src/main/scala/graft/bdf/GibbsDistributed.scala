@@ -91,6 +91,10 @@ object GibbsDistributed {
     val sampleRmseHist = scala.collection.mutable.ArrayBuffer[Double]()
     var predSum: Option[DataFrame] = None
     var nSamples = 0
+    // thinned per-sample retention (Options.keepSamples), same
+    // discipline as the broadcast mode: checkpoint each retained
+    // 3-col sample, union lazily at the end
+    val keptSamples = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var alphaCur = opts.alpha
 
     /** z = elementwise product over the given modes' factor rows,
@@ -371,6 +375,11 @@ object GibbsDistributed {
             Some(next)
         }
         nSamples += 1
+        val sIdx = iter - opts.burnin
+        if (Gibbs.retainSample(sIdx, opts.samples, opts.keepSamples))
+          keptSamples += p
+            .select(col("row_id"), lit(sIdx).as("sample_idx"), col("pred"))
+            .localCheckpoint(true)
         val cur = currentPrediction(testCoo, predSum.get, nSamples, opts)
         val rmse = math.sqrt(cur.select(avg(pow(col("pred") - col("v"), 2))).head().getDouble(0))
         rmseHist += rmse
@@ -390,7 +399,10 @@ object GibbsDistributed {
       priorMu = lastHyper.map { case (e, nw) => e -> nw.mu.toArray },
       linkPrecisions = betas.keys.map(e =>
         e -> lambdaBetas.getOrElse(e, opts.lambdaBeta)).toMap,
-      sampleRmseHistory = sampleRmseHist.toSeq)
+      sampleRmseHistory = sampleRmseHist.toSeq,
+      samplePreds =
+        if (keptSamples.isEmpty) None
+        else Some(keptSamples.reduce(_ unionByName _)))
   }
 
   private def currentPrediction(testCoo: DataFrame, predSum: DataFrame,

@@ -99,6 +99,11 @@ object Macau {
     }
     res.predMoments.foreach(
       _.write.mode("overwrite").parquet(s"$path/__moments"))
+    // thinned posterior sample trace (Options.keepSamples > 0): lets
+    // the LOADED model answer empirical order-stat credible bounds,
+    // not just the moments' normal approximation
+    res.samplePreds.foreach(
+      _.write.mode("overwrite").parquet(s"$path/__samples"))
   }
 
   /** Load factor tables written by [[saveModel]]. */
@@ -109,6 +114,36 @@ object Macau {
   /** Load the posterior moments table written by [[saveModel]]. */
   def loadMoments(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/__moments")
+
+  /** Load the thinned posterior sample trace written by [[saveModel]]
+    * (present iff the run used Options.keepSamples > 0). */
+  def loadSamples(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/__samples")
+
+  /** EMPIRICAL credible bounds from a retained sample trace
+    * ([[Gibbs.Result.samplePreds]] or [[loadSamples]]): per test cell,
+    * the value-at-rank order statistics at `lo`/`hi` — rank =
+    * ceil(q * n), 1-based, the same tie-order-independent discipline
+    * as the in-run q_bdf_credible query — so no normality assumption,
+    * unlike [[predictionsFromMoments]]'s mean +/- z * std. Traces from
+    * two saved chains can be unioned first (sample_idx keeps them
+    * distinct). One partitioned window over ~|test| cells — fully
+    * parallel, no global sort. */
+  def empiricalCredible(samples: DataFrame, lo: Double = 0.1,
+                        hi: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lo > 0 && hi <= 1 && lo <= hi, s"bad quantiles ($lo, $hi)")
+    val cell = Window.partitionBy("row_id")
+    samples
+      .withColumn("rn", row_number().over(cell.orderBy("pred")))
+      .withColumn("n", count(lit(1)).over(cell))
+      .groupBy("row_id")
+      .agg(first(col("n")).as("n_samples"),
+           max(when(col("rn") === ceil(lit(lo) * col("n")).cast("int"),
+             col("pred"))).as("lo_pred"),
+           max(when(col("rn") === ceil(lit(hi) * col("n")).cast("int"),
+             col("pred"))).as("hi_pred"))
+  }
 
   /** Derive (pred, pred_std) from a moments table — the SAME
     * arithmetic the in-run `Result.predictions` uses (divide by the

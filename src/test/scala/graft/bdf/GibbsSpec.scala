@@ -401,6 +401,58 @@ class GibbsSpec extends SparkSpec {
     assert(n === Seq(3), s"expected n_samples = 3, got $n")
   }
 
+  test("keepSamples: saved empirical credible bounds equal in-run, both modes") {
+    val s = spark
+    import s.implicits._
+    val df = rank2Matrix(25, 20, seed = 21L).toDF("row", "col", "v")
+    for (distributed <- Seq(false, true)) {
+      val res = Macau.fit(spark, df, Seq("row", "col"), "v",
+        Gibbs.Options(numLatent = 4, burnin = 2, samples = 5, alpha = 20.0,
+          seed = 19L, keepSamples = 5,
+          distributedFactors = Some(distributed)))
+      assert(res.samplePreds.nonEmpty, s"no sample trace (distributed=$distributed)")
+      // keepSamples = samples retains EVERY kept sweep
+      val trace = res.samplePreds.get
+      val idxs = trace.select("sample_idx").distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(idxs === Seq(0, 1, 2, 3, 4),
+        s"retention not exhaustive at keepSamples=samples: $idxs")
+
+      def asMap(p: org.apache.spark.sql.DataFrame) =
+        p.select("row_id", "lo_pred", "hi_pred").collect()
+          .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      val inRun = asMap(Macau.empiricalCredible(trace, 0.2, 0.8))
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"macau-samp-$distributed").toString
+      Macau.saveModel(dir, res)
+      val fromDisk = asMap(
+        Macau.empiricalCredible(Macau.loadSamples(spark, dir), 0.2, 0.8))
+      assert(fromDisk === inRun,
+        s"saved-sample quantiles diverged from in-run (distributed=$distributed)")
+      assert(inRun.nonEmpty && inRun.values.forall { case (lo, hi) => lo <= hi })
+      // order stats ARE order stats: with 5 samples, (0.2, 0.8) are the
+      // 1st and 4th values — strictly inside the (min, max) envelope
+      // whenever the trace varies
+      val envelope = trace.groupBy("row_id")
+        .agg(min("pred").as("mn"), max("pred").as("mx"))
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      assert(inRun.forall { case (id, (lo, hi)) =>
+        lo >= envelope(id)._1 && hi <= envelope(id)._2 })
+    }
+  }
+
+  test("keepSamples thinning: evenly spaced, bounded count") {
+    // pure selector arithmetic (no Spark): 2 of 6 -> indices 2 and 5;
+    // keep >= total -> all; keep = 0 -> none
+    def retained(total: Int, keep: Int): Seq[Int] =
+      (0 until total).filter(Gibbs.retainSample(_, total, keep))
+    assert(retained(6, 2) === Seq(2, 5))
+    assert(retained(5, 5) === Seq(0, 1, 2, 3, 4))
+    assert(retained(3, 7) === Seq(0, 1, 2))
+    assert(retained(4, 0) === Seq())
+    assert(retained(10, 3).size === 3)
+  }
+
   test("distributed CG side solver matches the driver Cholesky path's quality") {
     val s = spark
     import s.implicits._
