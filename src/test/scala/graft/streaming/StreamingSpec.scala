@@ -248,6 +248,60 @@ class StreamingSpec extends SparkSpec {
     assert(rows("2024-01-01 10:10:00.0") === 1L, s"phase-1 state lost: $rows")
   }
 
+  test("file source lifecycle: checkpointed stream resumes mid-input, exactly once") {
+    // the ONE streaming face MemoryStream cannot exercise: a REAL file
+    // source discovering files across a stop/resume — processed-file
+    // tracking and sink offsets both live in the checkpoint, so the
+    // restarted query must neither re-count phase-1 files nor miss the
+    // file that arrived while the query was down
+    val s = spark
+    import s.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("fs_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("fs_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("fs_ckpt").toString
+    def land(rows: (Long, Timestamp, Double)*): Unit =
+      rows.toSeq.toDF("event_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    land((0L, ts(0), 0.0)) // seed file also fixes the schema
+    def start() = s.readStream
+      .schema(s.read.parquet(inDir).schema)
+      .option("maxFilesPerTrigger", "1") // several micro-batches per run
+      .parquet(inDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"n")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+
+    // phase 1: two more files land while the query runs, then the
+    // query dies with all windows still open (watermark low)
+    val q1 = start()
+    land((1L, ts(2), 1.0), (2L, ts(4), 1.0))
+    land((3L, ts(11), 1.0))
+    q1.processAllAvailable()
+    q1.stop()
+    // a file arrives while NO query is running
+    land((4L, ts(25), 1.0))
+    // phase 2: resume from the checkpoint — must pick up the offline
+    // file, close the phase-1 windows with their FULL counts, and not
+    // re-count any phase-1 file
+    val q2 = start()
+    land((5L, ts(120), 1.0)) // pushes the watermark past every window
+    q2.processAllAvailable()
+    q2.stop()
+
+    val rows = s.read.parquet(outDir).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    assert(rows.size === 3, s"expected exactly three closed windows: $rows")
+    assert(rows("2024-01-01 10:00:00.0") === 3L,
+      s"phase-1 state lost or double-counted on resume: $rows")
+    assert(rows("2024-01-01 10:10:00.0") === 1L, s"window 10:10 wrong: $rows")
+    assert(rows("2024-01-01 10:20:00.0") === 1L,
+      s"file landed while the query was down was missed: $rows")
+  }
+
   test("stream-static enrichment join: stream result equals batch result") {
     val s = spark
     import s.implicits._
