@@ -37,22 +37,45 @@ import graft.{ArtifactStore, Tables}
   * never serve a stale index, and concurrent builders race benignly. */
 object Ivf {
 
-  /** Learn the coarse quantizer: k centroids, `iters` Lloyd steps. */
-  def train(e: DataFrame, iters: Int = 3): DataFrame =
-    Llm.ivfLearnedCentroids(e, iters)
+  /** Learn the coarse quantizer: k centroids (nlist), `iters` Lloyd
+    * steps. k defaults to 8 — the value the oracle faces' unrolled
+    * CTEs state — but is a real knob: a larger corpus wants more
+    * cells (probe I/O is corpus/k * nprobe). */
+  def train(e: DataFrame, iters: Int = 3, k: Int = 8): DataFrame =
+    Llm.ivfLearnedCentroids(e, iters, k)
 
-  /** Persist a trained index: the centroid table plus the inverted
-    * lists (cell-partitioned member vectors) — distributed parquet
-    * writes, same discipline as Macau.saveModel. */
-  def save(e: DataFrame, cent: DataFrame, path: String): Unit = {
+  /** Persist a trained index: the centroid table, the inverted lists
+    * (cell-partitioned member vectors), and a one-row `meta/` table
+    * recording the build parameters (k, Lloyd iters, trainer
+    * fingerprint) — so a loaded index can be validated against the
+    * probe's expectations instead of trusting the path. Distributed
+    * parquet writes, same discipline as Macau.saveModel. */
+  def save(e: DataFrame, cent: DataFrame, path: String,
+           iters: Int = 3, k: Int = 8): Unit = {
     cent.write.mode("overwrite").parquet(s"$path/centroids")
     Llm.ivfAssign(e, cent)
       .write.partitionBy("cid").mode("overwrite").parquet(s"$path/lists")
+    val s = cent.sparkSession
+    import s.implicits._
+    Seq((k, iters, trainerVersion)).toDF("k", "iters", "trainer")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Load the centroid table of an index written by [[save]]. */
   def loadCentroids(s: SparkSession, path: String): DataFrame =
     s.read.parquet(s"$path/centroids")
+
+  /** Build parameters of a saved index: (k, iters, trainer). Indexes
+    * written before `meta/` existed are reported from their centroid
+    * count (k) with unknown iters/trainer. */
+  def loadMeta(s: SparkSession, path: String): (Int, Int, String) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val r = s.read.parquet(s"$path/meta").collect()(0)
+      (r.getInt(0), r.getInt(1), r.getString(2))
+    } else (loadCentroids(s, path).count().toInt, -1, "unknown")
+  }
 
   /** Load the inverted lists of an index written by [[save]] —
     * (vec_id, embedding, cid) with cid as the partition column, so a
@@ -73,19 +96,20 @@ object Ivf {
   private val trainerVersion = "lloyd3-seed8-sqdistq6-v2-lists"
 
   /** Deterministic per-corpus index location: content-keyed (full file
-    * bytes of the embeddings table + trainer fingerprint), so neither
-    * a same-size corpus rewrite nor a trainer change can ever serve a
-    * stale index. */
-  private[queries] def indexPath(dir: String): String =
+    * bytes of the embeddings table + trainer fingerprint + k), so
+    * neither a same-size corpus rewrite, a trainer change, nor a
+    * different nlist can ever serve a stale or mis-sized index. */
+  private[queries] def indexPath(dir: String, k: Int = 8): String =
     ArtifactStore.cachePath("ivf",
-      ArtifactStore.contentKey(s"$dir/embeddings.parquet", trainerVersion))
+      ArtifactStore.contentKey(s"$dir/embeddings.parquet",
+        s"$trainerVersion-k$k"))
 
-  /** Train + save the index for `dir`'s embeddings table unless a
-    * current one is already published; returns its path. */
-  def ensureIndex(s: SparkSession, dir: String): String =
-    ArtifactStore.ensure(indexPath(dir)) { tmp =>
+  /** Train + save the k-cell index for `dir`'s embeddings table unless
+    * a current one is already published; returns its path. */
+  def ensureIndex(s: SparkSession, dir: String, k: Int = 8): String =
+    ArtifactStore.ensure(indexPath(dir, k)) { tmp =>
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      save(e, train(e), tmp)
+      save(e, train(e, 3, k), tmp, 3, k)
     }
 
   /** Probe the saved index: the query's `nprobe` nearest cells from
@@ -93,11 +117,11 @@ object Ivf {
     * top-10 over THOSE cells' inverted lists only. The collected cell
     * ids (nprobe longs) make the lists filter a static partition
     * prune — the scan reads nprobe of k directories. */
-  private def probeSaved(s: SparkSession, dir: String,
-                         nprobe: Int): DataFrame = {
+  private[queries] def probeSaved(s: SparkSession, dir: String,
+                                  nprobe: Int, k: Int = 8): DataFrame = {
     graft.expressions.VectorOps.register(s)
     graft.expressions.VecSum6.register(s)
-    val p = ensureIndex(s, dir)
+    val p = ensureIndex(s, dir, k)
     val q0 = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding").as("qemb"))
     val qcids = Llm.ivfQueryCells(q0, loadCentroids(s, p), nprobe)

@@ -573,9 +573,12 @@ object Llm {
     * DuckDB oracle matches). Empty clusters keep their previous
     * centroid. Fixed iteration count keeps it oracle-expressible;
     * at 100 TB this is k scan passes with tiny broadcast state. */
-  /** Seed coarse quantizer: vectors 0..7 as double arrays. */
-  private[queries] def ivfSeedCentroids(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") < 8)
+  /** Seed coarse quantizer: vectors 0..k-1 as double arrays. k is the
+    * IVF nlist knob — the oracle faces keep the default 8 (their
+    * unrolled CTEs state it), while [[Ivf]] threads any k through
+    * train/save/ensureIndex and records it in the index metadata. */
+  private[queries] def ivfSeedCentroids(e: DataFrame, k: Int = 8): DataFrame =
+    e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"),
               expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
 
@@ -620,8 +623,9 @@ object Llm {
   /** `iters` Lloyd steps from the seeds; empty clusters keep their
     * previous centroid. */
   private[queries] def ivfLearnedCentroids(e: DataFrame,
-                                           iters: Int = 3): DataFrame = {
-    var cent = ivfSeedCentroids(e)
+                                           iters: Int = 3,
+                                           k: Int = 8): DataFrame = {
+    var cent = ivfSeedCentroids(e, k)
     for (_ <- 1 to iters) {
       val sums = ivfAssign(e, cent).groupBy("cid")
         .agg(expr("graft_vecsum6(embedding)").as("sums"),

@@ -168,6 +168,74 @@ class IvfSpec extends SparkSpec {
       "pruned MaxSim reads every cell of the lists"))
   }
 
+  test("k (nlist) is a real knob: distinct artifact, metadata records it, probe still pruned") {
+    graft.expressions.VectorOps.register(spark)
+    graft.expressions.VecSum6.register(spark)
+    val dir = sf("sf0.01")
+    // k=4 and the default k=8 publish DISTINCT artifacts (k is folded
+    // into the content key — a mis-sized index can never be served)
+    val p4 = Ivf.ensureIndex(spark, dir, 4)
+    val p8 = Ivf.ensureIndex(spark, dir)
+    assert(p4 != p8, "k=4 and k=8 indexes share an artifact path")
+    assert(Ivf.loadCentroids(spark, p4).count() == 4)
+    assert(Ivf.loadCentroids(spark, p8).count() == 8)
+    // the saved metadata records the build parameters
+    val (k4, it4, tr4) = Ivf.loadMeta(spark, p4)
+    assert(k4 == 4 && it4 == 3 && tr4.nonEmpty,
+      s"meta mismatch: ($k4, $it4, $tr4)")
+    assert(Ivf.loadMeta(spark, p8)._1 == 8)
+    // a k=4 probe works end-to-end and still prunes: the lists scan
+    // reads 1 of 4 cells, not the corpus
+    val df = Ivf.probeSaved(spark, dir, 1, 4)
+    val rows = df.collect()
+    assert(rows.length == 10)
+    val corpus = graft.Tables.embeddings(spark, dir).count()
+    val scans = allNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("lists")) => f
+    }
+    assert(scans.nonEmpty, "k=4: no lists scan in the plan")
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty, "k=4 probe reads every cell")
+      assert(f.metrics("numOutputRows").value < corpus,
+        "k=4 probe scanned the whole corpus")
+    }
+  }
+
+  /** recall@10 of the saved-index probes (query = vector 0) against
+    * the exact brute-force top-10 over `dir`'s corpus. */
+  private def recallAt(dir: String): (Int, Int) = {
+    graft.expressions.VectorOps.register(spark)
+    graft.expressions.VecSum6.register(spark)
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+    val exact = e.crossJoin(q0)
+      .select(col("vec_id"), expr("graft_sqdist12(embedding, qemb)").as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val p1 = Ivf.probeSaved(spark, dir, 1).collect().map(_.getLong(0)).toSet
+    val p2 = Ivf.probeSaved(spark, dir, 2).collect().map(_.getLong(0)).toSet
+    (exact.intersect(p1).size, exact.intersect(p2).size)
+  }
+
+  test("recall@10 vs exact holds at sf0.1 (2k vectors, not just the sf0.01 fixture)") {
+    val (r1, r2) = recallAt(sf("sf0.1"))
+    info(s"sf0.1 recall@10: nprobe=1 $r1/10, nprobe=2 $r2/10")
+    assert(r2 >= r1, s"multi-probe lost recall at sf0.1: $r2 < $r1")
+    assert(r2 >= 8, s"nprobe=2 recall collapsed at sf0.1: $r2/10")
+  }
+
+  test("recall@10 vs exact holds at the 10x clone (20k vectors)") {
+    val dir = sys.env.getOrElse("GRAFT_X10_DIR", "/tmp/graft_sf1")
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists(),
+      s"10x clone absent at $dir (tools/scale10.py builds it)")
+    val (r1, r2) = recallAt(dir)
+    info(s"10x recall@10: nprobe=1 $r1/10, nprobe=2 $r2/10")
+    assert(r2 >= r1, s"multi-probe lost recall at 10x: $r2 < $r1")
+    assert(r2 >= 8, s"nprobe=2 recall collapsed at 10x: $r2/10")
+  }
+
   test("nprobe=2 recall@10 >= nprobe=1 against the exact top-10") {
     graft.expressions.VectorOps.register(spark)
     graft.expressions.VecSum6.register(spark)
