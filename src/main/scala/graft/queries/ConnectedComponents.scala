@@ -64,13 +64,18 @@ object ConnectedComponents {
       // settled by the time localCheckpoint returns, so obs.get below
       // never blocks on a second job
       val obs = Observation(s"cc_${inv}_round_$round")
-      val next = stepped.join(hop, col("lab1") === col("hid"), "left")
-        .select(col("id"), col("lab0"),
-                least(col("lab1"), coalesce(col("hlab"), col("lab1"))).as("lab"))
-        .observe(obs, coalesce(sum(when(col("lab") < col("lab0"), 1L)
-                                     .otherwise(0L)), lit(0L)).as("n_changed"))
-        .select(col("id"), col("lab"))
-        .localCheckpoint()
+      // Lineage.truncate = the eager checkpoint this round's observation
+      // rides on PLUS a statistics reset: a bare localCheckpoint's
+      // LogicalRDD inherits the origin plan's stats, which square every
+      // round and overflow BigInteger near round 30 — inside this
+      // loop's maxRounds=50 budget (see graft.Lineage)
+      val next = graft.Lineage.truncate(
+        stepped.join(hop, col("lab1") === col("hid"), "left")
+          .select(col("id"), col("lab0"),
+                  least(col("lab1"), coalesce(col("hlab"), col("lab1"))).as("lab"))
+          .observe(obs, coalesce(sum(when(col("lab") < col("lab0"), 1L)
+                                       .otherwise(0L)), lit(0L)).as("n_changed"))
+          .select(col("id"), col("lab")))
       changed = obs.get("n_changed").asInstanceOf[Long]
       lab = next
     }

