@@ -19,7 +19,15 @@ import graft.{ArtifactStore, Tables}
   *    assigned to its cell and written `partitionBy("cid")`, so a
   *    probe's scan touches ONLY the probed cells' files (static
   *    partition pruning; the nprobe cell ids are a tiny driver-side
-  *    list, same by-design shape as the 1-row argmax broadcasts).
+  *    list, same by-design shape as the 1-row argmax broadcasts);
+  *  - `members/` — the PASSAGE-MAJOR re-rank store: the same vectors
+  *    re-written `partitionBy("pbucket")` where pbucket hashes the
+  *    passage id, so a fine-stage lookup of a bounded candidate list
+  *    reads only the candidates' buckets (static partition pruning
+  *    again — the re-rank twin of the coarse lists). Deployed
+  *    ColBERT systems keep exactly this second copy: cell-major for
+  *    probing, passage-major for re-ranking; storage is one extra
+  *    corpus copy, the standard price of a two-stage retriever.
   *
   * Probe cost is therefore k kernel evals (query -> centroids) plus
   * the probed cells' members — never the corpus. IvfSpec pins this:
@@ -44,20 +52,33 @@ object Ivf {
   def train(e: DataFrame, iters: Int = 3, k: Int = 8): DataFrame =
     Llm.ivfLearnedCentroids(e, iters, k)
 
+  /** Passage-bucket count for the `members/` re-rank store. 128 keeps
+    * each bucket about one passage at the fixtures (125-12.5k
+    * passages), so a 64-candidate fine stage provably skips files; a
+    * 100 TB deployment sizes this to corpus_bytes / target_file_size
+    * (the knob is folded into [[trainerVersion]] — resizing republishes
+    * the index, it can never mis-read an old layout). */
+  val passageBuckets = 128
+
   /** Persist a trained index: the centroid table, the inverted lists
-    * (cell-partitioned member vectors), and a one-row `meta/` table
-    * recording the build parameters (k, Lloyd iters, trainer
-    * fingerprint) — so a loaded index can be validated against the
-    * probe's expectations instead of trusting the path. Distributed
-    * parquet writes, same discipline as Macau.saveModel. */
+    * (cell-partitioned member vectors), the passage-major `members/`
+    * re-rank store (bucket-partitioned by hashed passage id), and a
+    * one-row `meta/` table recording the build parameters (k, Lloyd
+    * iters, passage buckets, trainer fingerprint) — so a loaded index
+    * can be validated against the probe's expectations instead of
+    * trusting the path. Distributed parquet writes, same discipline as
+    * Macau.saveModel. */
   def save(e: DataFrame, cent: DataFrame, path: String,
            iters: Int = 3, k: Int = 8): Unit = {
     cent.write.mode("overwrite").parquet(s"$path/centroids")
     Llm.ivfAssign(e, cent)
       .write.partitionBy("cid").mode("overwrite").parquet(s"$path/lists")
+    e.withColumn("pbucket", expr(s"(vec_id div 4) % $passageBuckets"))
+      .write.partitionBy("pbucket").mode("overwrite").parquet(s"$path/members")
     val s = cent.sparkSession
     import s.implicits._
-    Seq((k, iters, trainerVersion)).toDF("k", "iters", "trainer")
+    Seq((k, iters, passageBuckets, trainerVersion))
+      .toDF("k", "iters", "pbuckets", "trainer")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -72,7 +93,8 @@ object Ivf {
     val p = new org.apache.hadoop.fs.Path(s"$path/meta")
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     if (fs.exists(p)) {
-      val r = s.read.parquet(s"$path/meta").collect()(0)
+      val r = s.read.parquet(s"$path/meta")
+        .select("k", "iters", "trainer").collect()(0)
       (r.getInt(0), r.getInt(1), r.getString(2))
     } else (loadCentroids(s, path).count().toInt, -1, "unknown")
   }
@@ -89,11 +111,18 @@ object Ivf {
     s.read.parquet(s"$path/lists")
       .withColumn("cid", col("cid").cast("long"))
 
+  /** Load the passage-major `members/` re-rank store of an index
+    * written by [[save]] — (vec_id, embedding, pbucket) with pbucket
+    * as the partition column; same LongType pin as [[loadLists]]. */
+  def loadMembers(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"$path/members")
+      .withColumn("pbucket", col("pbucket").cast("long"))
+
   /** Trainer fingerprint folded into the cache key: bump whenever the
     * training algorithm, its parameters (Lloyd iters, seed rule,
     * kernel scale), or the INDEX LAYOUT changes — a persisted index
     * must never silently serve stale centroids or an old format. */
-  private val trainerVersion = "lloyd3-seed8-sqdistq6-v2-lists"
+  private val trainerVersion = "lloyd3-seed8-sqdistq6-v3-members128"
 
   /** Deterministic per-corpus index location: content-keyed (full file
     * bytes of the embeddings table + trainer fingerprint + k), so
@@ -200,31 +229,50 @@ object Ivf {
     * production re-ranker caps its fine-stage fan-in. (2) FINE — the
     * exact-decimal MaxSim fold re-ranks ONLY the candidates' member
     * vectors (≤ 64·4 kernel·query-token evals), top-5 by score via
-    * TakeOrderedAndProject. The fine-stage lookup joins the ≤64-id
-    * broadcast against the corpus — a broadcast hash join that scans
-    * but never shuffles the corpus; with a passage-bucketed layout
-    * that scan prunes too. */
-  def qSimMaxsimPruned(s: SparkSession, dir: String): DataFrame = {
-    graft.expressions.VectorOps.register(s)
-    graft.expressions.VecSum6.register(s)
-    val p = ensureIndex(s, dir)
+    * TakeOrderedAndProject. The fine-stage lookup reads the index's
+    * passage-major `members/` store: the candidates' pbuckets (a
+    * ≤64-long driver list derived from the bounded candidate ids) are
+    * a STATIC PARTITION PRUNE, so the fine stage neither shuffles nor
+    * scans the corpus — it reads the candidate buckets' files only
+    * and row-filters to the exact candidate passages. */
+  /** Coarse stage of [[qSimMaxsimPruned]] as its own plan: the
+    * hit-ranked top-C=64 candidate passages over the probed cells'
+    * inverted lists (cell-id partition prune, never the corpus).
+    * Factored out so IvfSpec can pin the lists prune on THIS plan —
+    * the contract query collects it (≤64 longs, bounded by the limit)
+    * to drive the fine stage's static members prune. */
+  private[queries] def maxsimCoarse(s: SparkSession, dir: String,
+                                    p: String): DataFrame = {
     val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 4)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val qcids = Llm.ivfAssign(
         qs.select(col("qid").as("vec_id"), col("qv").as("embedding")),
         loadCentroids(s, p))
       .select("cid").distinct().collect().map(_.getLong(0))
-    // coarse candidate ranking: passages by probed-member hit count,
-    // top C=64 — the bounded fine-stage fan-in
-    val cand = loadLists(s, p).filter(col("cid").isin(qcids: _*))
+    loadLists(s, p).filter(col("cid").isin(qcids: _*))
       .groupBy(expr("vec_id div 4").as("cpass"))
       .agg(count(lit(1)).as("hits"))
       .orderBy(col("hits").desc, col("cpass").asc)
       .limit(64)
       .select(col("cpass"))
+  }
+
+  def qSimMaxsimPruned(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.VectorOps.register(s)
+    graft.expressions.VecSum6.register(s)
+    val p = ensureIndex(s, dir)
+    val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // candidate ids to the driver (≤64 longs, bounded BY CONSTRUCTION
+    // by the coarse limit) so the members read below is a static
+    // partition prune — the same sanctioned driver-list shape as the
+    // nprobe cell ids.
+    val cand = maxsimCoarse(s, dir, p).collect().map(_.getLong(0))
+    val cbuckets = cand.map(_ % passageBuckets).distinct
     Llm.maxsimFold(
-      Tables.embeddings(s, dir)
-        .join(broadcast(cand), expr("vec_id div 4") === col("cpass"))
+      loadMembers(s, p)
+        .filter(col("pbucket").isin(cbuckets.toSeq: _*))
+        .filter(expr("vec_id div 4").isin(cand.toSeq: _*))
         .crossJoin(broadcast(qs)))
       .orderBy(col("maxsim").desc, col("passage").asc)
       .limit(5)

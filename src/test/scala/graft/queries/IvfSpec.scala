@@ -158,14 +158,35 @@ class IvfSpec extends SparkSpec {
       assert(full(p) == s, s"passage $p: pruned score $s != full ${full(p)}")
     }
     // the coarse stage is a partition prune on the lists (never the
-    // corpus through the index side)
-    val scans = allNodes(df.queryExecution.executedPlan).collect {
+    // corpus through the index side); it runs as its own collected
+    // plan, so pin the prune on that plan directly
+    val coarse = Ivf.maxsimCoarse(spark, dir, Ivf.ensureIndex(spark, dir))
+    coarse.collect()
+    val lscans = allNodes(coarse.queryExecution.executedPlan).collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
           if f.metadata.get("Location").exists(_.contains("lists")) => f
     }
-    assert(scans.nonEmpty, "no lists scan in the pruned MaxSim plan")
-    scans.foreach(f => assert(f.partitionFilters.nonEmpty,
-      "pruned MaxSim reads every cell of the lists"))
+    assert(lscans.nonEmpty, "no lists scan in the coarse MaxSim plan")
+    lscans.foreach(f => assert(f.partitionFilters.nonEmpty,
+      "coarse MaxSim stage reads every cell of the lists"))
+    // the fine stage is a partition prune on the passage-major
+    // members store: it reads the candidate buckets' files only,
+    // never the corpus (128 buckets ~ one passage each at sf0.01, so
+    // <=64 candidates touch <=64 buckets -> ~half the rows)
+    val corpus = graft.Tables.embeddings(spark, dir).count()
+    val mscans = allNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("members")) => f
+    }
+    assert(mscans.nonEmpty, "no members scan in the pruned MaxSim plan")
+    mscans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        "fine stage reads every passage bucket of the members store")
+      val rows = f.metrics("numOutputRows").value
+      info(s"members scan rows: $rows of $corpus")
+      assert(rows < corpus,
+        s"fine stage scanned the whole corpus ($rows rows)")
+    }
   }
 
   test("k (nlist) is a real knob: distinct artifact, metadata records it, probe still pruned") {
