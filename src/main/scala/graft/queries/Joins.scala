@@ -229,7 +229,74 @@ object Joins {
       .orderBy("p_brand")
   }
 
+  /** One bucketed-table write per (dir, table) per JVM: check-then-
+    * write races between suites sharing the session are serialized. */
+  private val bucketLock = new Object
+
+  /** Register `df` as a catalog table bucketed into `buckets` by `key`
+    * (sorted within buckets), writing it once per corpus directory.
+    * `repartition(buckets, key)` first: Spark's bucket id and hash
+    * partitioning share the same Murmur3 pmod, so each write task
+    * holds exactly one bucket and every bucket lands in ONE file —
+    * the layout bucketed-scan needs to also use the sort order.
+    * The data lives under java.io.tmpdir (external table path); a
+    * fresh session re-registers over the same path, mode=overwrite
+    * keeps it consistent with the source. */
+  private def bucketTable(s: SparkSession, dir: String, name: String,
+                          df: DataFrame, key: String,
+                          buckets: Int): String = bucketLock.synchronized {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val tbl = s"graft_${name}_$tag"
+    if (!s.catalog.tableExists(tbl)) {
+      df.repartition(buckets, col(key))
+        .write.mode("overwrite")
+        .bucketBy(buckets, key).sortBy(key)
+        .option("path",
+          s"${sys.props("java.io.tmpdir")}/graft_buckets/$tag/$name")
+        .saveAsTable(tbl)
+    }
+    tbl
+  }
+
+  /** The bare co-located join over the bucketed tables — the plan
+    * BucketJoinSpec pins: both sides pre-bucketed into 8 buckets on
+    * the join key, so the sort-merge join reads bucket i of orders
+    * against bucket i of customer with ZERO Exchange (and zero Sort:
+    * one sorted file per bucket) on either side. The `merge` hint
+    * keeps the physical strategy the one a 100 TB fact⨝fact join
+    * gets — at fixture scale Spark would otherwise broadcast the
+    * small side and the co-location would go unexercised. */
+  private[queries] def bucketedOrdersCustomer(s: SparkSession,
+                                              dir: String): DataFrame = {
+    val ot = bucketTable(s, dir, "orders",
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "o_custkey", 8)
+    val ct = bucketTable(s, dir, "customer",
+      Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+      "c_custkey", 8)
+    s.table(ot).hint("merge")
+      .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+  }
+
+  /** Co-located BUCKETED join — the canonical 100 TB shuffle
+    * elimination: both fact tables are written `bucketBy(8, join
+    * key)` ONCE (the expensive shuffle is paid at layout time), and
+    * every subsequent join on that key is exchange-free — bucket i
+    * joins bucket i, no network. The only shuffle left in this plan
+    * is the 5-row segment rollup AFTER the join. Values are identical
+    * to the plain join (bucketing is layout, not semantics), which is
+    * exactly what the oracle checks. */
+  def qJoinBucketColocated(s: SparkSession, dir: String): DataFrame =
+    bucketedOrdersCustomer(s, dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("sum_price"),
+           max(col("o_totalprice")).as("max_price"))
+      .orderBy("c_mktsegment")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_bucket_colocated" -> (qJoinBucketColocated _),
     "q_join_skew_salted" -> (qJoinSkewSalted _),
     "q_join_range_bucketed" -> (qJoinRangeBucketed _),
     "q_join_inner" -> (qJoinInner _),
@@ -251,6 +318,12 @@ object Joins {
     s"CAST(${D.dec("l_extendedprice")} * (CAST(1 AS DECIMAL(18,6)) - ${D.dec("l_discount")}) AS DECIMAL(18,6))"
 
   val oracle: Map[String, String] = Map(
+    "q_join_bucket_colocated" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |  ${D.dsum("o_totalprice")} AS sum_price,
+         |  MAX(o_totalprice) AS max_price
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_join_skew_salted" ->
       s"""SELECT p_brand, COUNT(*) AS n_items,
          |  ${D.dsum("l_quantity")} AS sum_qty
