@@ -83,13 +83,93 @@ object Layout {
       .orderBy("z_bucket")
   }
 
+  /** Layout fingerprint of the ship-month-partitioned fact copy —
+    * bump on any layout change so a stale artifact is never served. */
+  private val factYmVersion = "lineitem-ship-ym-partitioned-v1"
+
+  /** One-time layout: lineitem re-written `partitionBy(ship_ym)`
+    * (year*100+month of l_shipdate) — the date-partitioned fact table
+    * every 100 TB warehouse keeps. Content-keyed + atomically
+    * published like the IVF index; the layout pays one shuffle-free
+    * pass, every later month-filtered scan prunes at the DIRECTORY
+    * level. */
+  private[queries] def factYmPath(s: SparkSession, dir: String): String =
+    graft.ArtifactStore.ensure(graft.ArtifactStore.cachePath("fact_ym",
+      graft.ArtifactStore.contentKey(s"$dir/lineitem.parquet",
+        factYmVersion))) { tmp =>
+      Tables.lineitem(s, dir)
+        .withColumn("ship_ym",
+          expr("year(l_shipdate) * 100 + month(l_shipdate)"))
+        .write.partitionBy("ship_ym").mode("overwrite")
+        .parquet(s"$tmp/fact")
+    }
+
+  /** DYNAMIC PARTITION PRUNING over the date-partitioned fact — the
+    * third leg of the layout story next to z-order (row-group skip)
+    * and bucketing (shuffle-free joins): revenue per ship month for
+    * the ABOVE-AVERAGE order months. The month list is only known at
+    * runtime (it comes out of the dim-side aggregate+filter), so no
+    * static filter can prune the fact; Spark's DPP turns the
+    * broadcast dim into a runtime partition filter on the fact scan,
+    * which then reads ONLY the selected months' directories — at
+    * 100 TB the difference between scanning 7 years and scanning the
+    * selected months. DppSpec pins the dynamicpruning expression in
+    * the scan's partition filters and the sub-corpus row count.
+    * Month selection is exact integer arithmetic (n·nm > tot ⇔
+    * n > tot/nm) — no float average, bit-stable in both engines. */
+  def qScanDppMonths(s: SparkSession, dir: String): DataFrame = {
+    val fact = s.read.parquet(s"${factYmPath(s, dir)}/fact")
+    val m = Tables.orders(s, dir)
+      .groupBy(expr("year(o_orderdate) * 100 + month(o_orderdate)").as("ym"))
+      .agg(count(lit(1)).as("n"))
+    // the global (total, month-count) pair comes to the driver as ONE
+    // row (the sanctioned bounded-collect shape) and re-enters as
+    // literals: Spark only considers a dim side for DPP when it has a
+    // Filter whose condition compares against literals (`isLikely
+    // Selective`), which is exactly how a production dim filter looks
+    // ("d_year = 2024") — an attribute-only comparison or a join
+    // condition is invisible to the pruning rule
+    val trow = m.agg(sum(col("n")).as("tot"), count(lit(1)).as("nm"))
+      .collect()(0)
+    val (tot, nm) = (trow.getLong(0), trow.getLong(1))
+    val sel = m.filter(col("n") * lit(nm) > lit(tot))
+      .select(col("ym").cast("int").as("ym"))
+    // broadcast the month list explicitly: at 100 TB the fact side
+    // could never be the build side, and DPP (reuseBroadcastOnly)
+    // derives the runtime partition filter FROM the dim broadcast —
+    // at fixture scale Spark would otherwise broadcast the fact and
+    // prune nothing
+    fact.join(broadcast(sel), col("ship_ym") === col("ym"))
+      .groupBy(col("ship_ym").cast("long").as("ship_ym"))
+      .agg(count(lit(1)).as("n_items"),
+           graft.sql.Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("ship_ym")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_layout_zorder" -> (qLayoutZorder _),
+    "q_scan_dpp_months" -> (qScanDppMonths _),
   )
 
   /** The oracle spells out the same mask ladder with DuckDB's bitwise
-    * operators — bit-for-bit identical integer arithmetic. */
+    * operators — bit-for-bit identical integer arithmetic. The DPP
+    * oracle reads the ORIGINAL lineitem (the partitioned copy is
+    * layout, not semantics — same rows, same months). */
   val oracle: Map[String, String] = Map(
+    "q_scan_dpp_months" ->
+      s"""WITH m AS (
+         |  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+         |         COUNT(*) AS n
+         |  FROM orders GROUP BY 1),
+         |t AS (SELECT SUM(n) AS tot, COUNT(*) AS nm FROM m),
+         |sel AS (SELECT ym FROM m, t WHERE m.n * t.nm > t.tot)
+         |SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+         |    AS ship_ym,
+         |  COUNT(*) AS n_items,
+         |  ${graft.sql.DetSql.dsum("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |JOIN sel ON year(l_shipdate) * 100 + month(l_shipdate) = sel.ym
+         |GROUP BY 1 ORDER BY ship_ym""".stripMargin,
     "q_layout_zorder" ->
       s"""WITH mm AS (
          |  SELECT MIN(l_partkey) AS n1, MAX(l_partkey) AS x1,
