@@ -190,6 +190,43 @@ object Llm {
       .orderBy("da", "db")
   }
 
+  /** Character-4-gram CONTAINMENT near-dup pairs — the quote /
+    * doc-inside-doc detector Jaccard structurally misses: containment
+    * = |A∩B| / min(|A|,|B|) scores ~1 when a short document's grams
+    * live inside a longer one even though the union dwarfs the
+    * intersection (a 100-word quote of a 10k-word article has Jaccard
+    * ~0.01 but containment ~1). Same two-phase shape as
+    * [[qDedupJaccardNgram]]: single-minhash band join on ~24 B/doc
+    * signatures, text looked up only for the candidate pairs — the
+    * corpus text never shuffles at any scale. */
+  def qDedupContainment(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.ShingleOps.register(s)
+    val sig = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+              expr("graft_minhash_sig(text)").getField("mh0").as("mh0"),
+              expr("graft_cgram_count(text, 4)").as("cg"))
+    val a = sig.select(col("doc_id").as("da"), col("mh0"), col("cg").as("ca"))
+    val b = sig.select(col("doc_id").as("db"), col("mh0").as("nh0"),
+                       col("cg").as("cb"))
+    val cand = a.join(b, col("mh0") === col("nh0") && col("da") < col("db"))
+      .select(col("da"), col("db"), col("ca"), col("cb"))
+    val ta = Tables.documents(s, dir)
+      .select(col("doc_id").as("xa"), col("text").as("text_a"))
+    val tb = Tables.documents(s, dir)
+      .select(col("doc_id").as("xb"), col("text").as("text_b"))
+    cand.join(ta, col("da") === col("xa"))
+      .join(tb, col("db") === col("xb"))
+      .select(col("da"), col("db"), col("ca"), col("cb"),
+              expr("graft_cgram_common(text_a, text_b, 4)").as("n_common"))
+      .select(col("da"), col("db"), col("n_common"),
+              least(col("ca"), col("cb")).as("n_min"),
+              (col("n_common").cast("double") /
+                 least(col("ca"), col("cb"))).as("containment"))
+      .filter(col("containment") >= 0.9)
+      .orderBy("da", "db")
+  }
+
   /** Engine fast path: MLlib HashingTF + MinHashLSH approx similarity
     * join (seeded; hash family differs from any oracle -> rows-only).
     * MLlib's MinHashLSH only OR-amplifies (numHashTables = OR bands of
@@ -830,6 +867,7 @@ object Llm {
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_minhash_banded" -> (qDedupMinhashBanded _),
     "q_dedup_jaccard_ngram" -> (qDedupJaccardNgram _),
+    "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_near_minhash" -> (qDedupNearMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_text_fingerprint" -> (qTextFingerprint _),
@@ -1120,6 +1158,37 @@ object Llm {
         |  JOIN cg cb ON cb.doc_id = db
         |  GROUP BY da, db, ca.c, cb.c)
         |WHERE jaccard >= 0.7 ORDER BY da, db""".stripMargin,
+    // same blocked-pair CTE chain; containment divides by the SMALLER
+    // gram set, the doc-inside-doc metric
+    "q_dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CONCAT_WS(' ', tk[i], tk[i + 1], tk[i + 2]) AS token
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |       GENERATE_SERIES(1, 512) AS g(i)
+        |  WHERE i <= GREATEST(LEN(tk) - 2, 1)),
+        |sig AS (
+        |  SELECT doc_id, MIN(SUBSTRING(MD5(token), 1, 8)) AS mh0
+        |  FROM (SELECT DISTINCT doc_id, token FROM sh) GROUP BY doc_id),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, SUBSTRING(text, i, 4) AS gr
+        |  FROM documents, GENERATE_SERIES(1, 2048) AS g(i)
+        |  WHERE i <= LENGTH(text) - 3),
+        |cg AS (SELECT doc_id, COUNT(*) AS c FROM grams GROUP BY doc_id),
+        |cand AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM sig a JOIN sig b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id)
+        |SELECT * FROM (
+        |  SELECT da, db, COUNT(*) AS n_common,
+        |    LEAST(ca.c, cb.c) AS n_min,
+        |    CAST(COUNT(*) AS DOUBLE) / LEAST(ca.c, cb.c) AS containment
+        |  FROM cand
+        |  JOIN grams ga ON ga.doc_id = da
+        |  JOIN grams gb ON gb.doc_id = db AND ga.gr = gb.gr
+        |  JOIN cg ca ON ca.doc_id = da
+        |  JOIN cg cb ON cb.doc_id = db
+        |  GROUP BY da, db, ca.c, cb.c)
+        |WHERE containment >= 0.9 ORDER BY da, db""".stripMargin,
     "q_dedup_simhash" -> simhashSql,
     // native codegen expression computes the identical hash -> same oracle
     "q_text_fingerprint_fast" -> fingerprintSql,
