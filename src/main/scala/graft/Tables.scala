@@ -9,17 +9,26 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType (PARQUET_TYPE_ILLEGAL). Sessions set
-    * spark.sql.legacy.parquet.nanosAsLong=true (see Verify/Bench/specs),
-    * so ts arrives as LongType nanoseconds; normalize to a microsecond
-    * TimestampType column (`ts DIV 1000` = floor, identical to DuckDB's
-    * ns->us truncation for these post-1970 timestamps). */
+  /** events.ts has shipped in two parquet encodings across testdata
+    * generations; normalize both to a microsecond TimestampType column:
+    *  - TIMESTAMP(NANOS): Spark 4 refuses to map it to TimestampType
+    *    (PARQUET_TYPE_ILLEGAL); sessions set
+    *    spark.sql.legacy.parquet.nanosAsLong=true (see Verify/Bench/specs),
+    *    so ts arrives as LongType nanoseconds → `ts DIV 1000` (floor,
+    *    identical to DuckDB's ns->us truncation post-1970).
+    *  - timestamp[us] without timezone: Spark reads TIMESTAMP_NTZ, which
+    *    time functions like unix_micros() reject. Sessions run UTC, so the
+    *    NTZ→TIMESTAMP cast is instant-identical (and DuckDB, which has no
+    *    NTZ distinction for these files, agrees bit-for-bit). */
   private def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
 

@@ -32,4 +32,16 @@ class QuerySmokeSpec extends SparkSpec {
   test("every oracleSql key has a queries entry") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  /** Registry-size tripwire (round 11): the driver's correctness gate
+    * skips queries that throw at DataFrame-construction time, so a
+    * shrinking CORRECTNESS_r*.json can pass unnoticed (rounds 9-10 lost
+    * 13 event-time queries this way). Pinning the count turns any
+    * accidental registration loss into a named red test. Bump the
+    * constant when ADDING queries. */
+  test("registry size is pinned (silent gate-shrink tripwire)") {
+    assert(SparkEntry.queries.size == 159,
+      s"expected 159 registered queries, got ${SparkEntry.queries.size} — " +
+        "if you added queries, bump this pin; if not, something unregistered")
+  }
 }
