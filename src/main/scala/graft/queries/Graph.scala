@@ -132,10 +132,16 @@ object Graph {
       .localCheckpoint(true)
     val nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
+    // 3 iterations unrolled into ONE plan: no per-iteration eager
+    // localCheckpoint (each one is a full materialize-to-memory job —
+    // pure overhead at depth 3; the converged face keeps them because
+    // ITS lineage is unbounded). edges/deg/nodes stay checkpointed:
+    // each feeds every unrolled step, so the single plan scans three
+    // small in-memory RDDs instead of re-deriving the orders⨝lineitem
+    // distinct three times.
     var rank = nodes.withColumn("rank_ppm", lit(1000000L))
-      .localCheckpoint(true)
     for (_ <- 1 to 3)
-      rank = prStep(edges, deg, nodes, rank).localCheckpoint(true)
+      rank = prStep(edges, deg, nodes, rank)
     rank.orderBy("node")
   }
 
