@@ -244,7 +244,33 @@ object StreamingQ {
       .orderBy("ws", "rnk")
   }
 
+  /** CDC upsert compaction — the "current state" view every
+    * change-stream consumer materializes: latest event per user_id
+    * (last-writer-wins on (ts, event_id); event_id breaks exact-ts
+    * ties so the winner is total-ordered and engine-exact). The plan
+    * is a map-side partial MAX over a struct whose leading fields are
+    * the ordering key — at 100 TB only one candidate row per user per
+    * input partition reaches the shuffle, vs a per-key window sort
+    * that would shuffle EVERY row to sort it (the payload fields ride
+    * behind the unique (tsu, event_id) prefix, so they never decide a
+    * comparison). Streaming face: the same last-writer-wins state in
+    * mapGroupsWithState, asserted against this batch plan in
+    * StreamingSpec. */
+  def qStreamCdcUpsert(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"),
+              struct(unix_micros(col("ts")).as("tsu"), col("event_id"),
+                     col("event_type"), col("value")).as("st"))
+      .groupBy("user_id")
+      .agg(max(col("st")).as("last"))
+      .select(col("user_id"), col("last.tsu").as("last_tsu"),
+              col("last.event_id").as("last_event_id"),
+              col("last.event_type").as("last_type"),
+              col("last.value").as("last_value"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_cdc_upsert" -> (qStreamCdcUpsert _),
     "q_stream_topk" -> (qStreamTopk _),
     "q_stream_session_capped" -> (qStreamSessionCapped _),
     "q_stream_enrich" -> (qStreamEnrich _),
@@ -261,6 +287,15 @@ object StreamingQ {
   private val esSql = "CAST(FLOOR(EPOCH(ts)) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "q_stream_cdc_upsert" ->
+      """SELECT user_id, epoch_us(ts) AS last_tsu, event_id AS last_event_id,
+        |  event_type AS last_type, value AS last_value
+        |FROM (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_stream_topk" ->
       s"""WITH hourly AS (
          |  SELECT ($esSql // 3600) * 3600 AS ws, event_type,

@@ -162,6 +162,50 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((100L, 10L), (100L, 11L)), s"unexpected pairs: $got")
   }
 
+  test("CDC upsert: streamed last-writer-wins state matches the batch face") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[CdcUpsert.Change]
+    val q = CdcUpsert.latestState(mem.toDS())
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode(CdcUpsert.outputMode).start()
+
+    // user 1: three versions across two micro-batches, LAST arrives
+    // out of order (older ts than the second) and must NOT win;
+    // user 2: exact-ts tie broken by event_id
+    mem.addData(CdcUpsert.Change(1L, ts(0), 10L, "view", 1.0),
+                CdcUpsert.Change(2L, ts(5), 20L, "view", 5.0),
+                CdcUpsert.Change(2L, ts(5), 21L, "click", 6.0))
+    q.processAllAvailable()
+    mem.addData(CdcUpsert.Change(1L, ts(30), 12L, "purchase", 9.0),
+                CdcUpsert.Change(1L, ts(10), 11L, "click", 2.0)) // stale
+    q.processAllAvailable()
+    q.stop()
+
+    // memory sink in Update mode appends each emitted change — the
+    // CURRENT state per key is the row with the max (tsMs, eventId)
+    val cur = s.table("cdc_out").as[CdcUpsert.Latest].collect()
+      .groupBy(_.userId)
+      .map { case (u, rows) => u -> rows.maxBy(r => (r.tsMs, r.eventId)) }
+    assert(cur(1L).eventId === 12L, s"stale row overwrote newer state: $cur")
+    assert(cur(1L).eventType === "purchase")
+    assert(cur(2L).eventId === 21L, s"exact-ts tie must break by event_id: $cur")
+
+    // batch face agrees: same winner via the max-struct plan
+    val batch = Seq(
+      (1L, ts(0), 10L, "view", 1.0), (2L, ts(5), 20L, "view", 5.0),
+      (2L, ts(5), 21L, "click", 6.0), (1L, ts(30), 12L, "purchase", 9.0),
+      (1L, ts(10), 11L, "click", 2.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .select($"user_id", struct(unix_micros($"ts").as("tsu"), $"event_id",
+              $"event_type", $"value").as("st"))
+      .groupBy($"user_id").agg(max($"st").as("last"))
+      .select($"user_id", $"last.event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch === Map(1L -> 12L, 2L -> 21L))
+  }
+
   test("stateful dedup collapses duplicate event ids in-stream") {
     val s = spark
     import s.implicits._
