@@ -273,6 +273,173 @@ object Multimodal {
            "duration_ms", "n_frames", "features")
   }
 
+  /** Image resize — the thumbnail/normalization stage every vision
+    * training pipeline runs before embedding. Real jpg/png bytes decode
+    * through ImageIO and box-resample their LUMINANCE plane to a fixed
+    * thumbW x thumbH grid with exact integer arithmetic (per-cell pixel
+    * box bounds by floor division, cell value = lum sum div count — no
+    * float filter kernels, so the output is bit-stable across JVMs for
+    * lossless inputs); non-image bytes fall back to a deterministic
+    * stub grid so the stage is testable end-to-end without real media.
+    * Resize runs where the bytes live (mapPartitions batches, no
+    * shuffle) — at 100 TB this is a narrow map over the scan, same as
+    * [[decodeAndFeaturize]]. */
+  object Resize {
+    /** (inW, inH, cells 0..255 row-major) for a decodable image. */
+    def thumbOf(bytes: Array[Byte], thumbW: Int, thumbH: Int)
+        : Option[(Int, Int, Array[Int])] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val cells = new Array[Int](thumbW * thumbH)
+          var cy = 0
+          while (cy < thumbH) {
+            val y0 = cy * h / thumbH; val y1 = math.max((cy + 1) * h / thumbH, y0 + 1)
+            var cx = 0
+            while (cx < thumbW) {
+              val x0 = cx * w / thumbW; val x1 = math.max((cx + 1) * w / thumbW, x0 + 1)
+              var sum = 0L; var n = 0L
+              var y = y0
+              while (y < math.min(y1, h)) {
+                var x = x0
+                while (x < math.min(x1, w)) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                    (rgb & 0xff) * 114) / 1000
+                  n += 1
+                  x += 1
+                }
+                y += 1
+              }
+              cells(cy * thumbW + cx) = if (n == 0) 0 else (sum / n).toInt
+              cx += 1
+            }
+            cy += 1
+          }
+          Some((w, h, cells))
+        }
+      } catch { case _: Exception => None }
+
+    /** Deterministic stub grid for non-image bytes (same mixing
+      * discipline as [[StubCodec]]). */
+    def stubThumb(bytes: Array[Byte], thumbW: Int, thumbH: Int): Array[Int] = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      Array.tabulate(thumbW * thumbH) { k =>
+        var z = h + k * 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        (((z ^ (z >>> 27)) & Long.MaxValue) % 256L).toInt
+      }
+    }
+  }
+
+  /** The resize stage as a partition-batched map: one typed row per
+    * media item with input geometry, the fixed output geometry, and
+    * the exact-integer thumb cells. `decoded` marks which path ran
+    * (real ImageIO vs stub) — a production pipeline alerts on the
+    * stub/corrupt rate. */
+  def resizeStage(spark: SparkSession, media: DataFrame,
+                  thumbW: Int = 8, thumbH: Int = 8,
+                  batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte], String)] =
+      media.select(col("doc_id").cast("long"), col("content"), col("format"))
+        .as[(Long, Array[Byte], String)]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes, fmt) =>
+          val real =
+            if (fmt == "jpg" || fmt == "png") Resize.thumbOf(bytes, thumbW, thumbH)
+            else None
+          real match {
+            case Some((w, h, cells)) =>
+              (id, fmt, w, h, thumbW, thumbH, cells, true)
+            case None =>
+              val d = StubCodec.decode(bytes, fmt)
+              (id, fmt, d.width, d.height, thumbW, thumbH,
+                Resize.stubThumb(bytes, thumbW, thumbH), false)
+          }
+        }
+      }
+    }.toDF("doc_id", "format", "in_w", "in_h", "out_w", "out_h",
+           "thumb", "decoded")
+  }
+
+  /** Frame sampling — the "every k-th frame" stage of a video curation
+    * pipeline. Real ISO-BMFF bytes enumerate their mdat payload boxes
+    * (the same walk as [[VideoCodec]]) and emit up to `maxFrames`
+    * evenly-strided frames with exact payload statistics; non-video
+    * bytes emit deterministic stub frames sized by the stub's
+    * pseudo frame count. One row PER SAMPLED FRAME (bounded by
+    * maxFrames per item), computed where the bytes live — no shuffle,
+    * no driver loop. */
+  def frameSample(spark: SparkSession, media: DataFrame,
+                  maxFrames: Int = 4, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(maxFrames > 0, "maxFrames must be positive")
+    val ds: Dataset[(Long, Array[Byte], String)] =
+      media.select(col("doc_id").cast("long"), col("content"), col("format"))
+        .as[(Long, Array[Byte], String)]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { case (id, bytes, fmt) =>
+          val real = if (fmt == "mp4") mdatBoxes(bytes) else Nil
+          if (real.nonEmpty) {
+            val n = real.length
+            val stride = math.max(1, (n + maxFrames - 1) / maxFrames)
+            (0 until n by stride).map { fi =>
+              val (off, len) = real(fi)
+              var sum = 0L
+              var p = off
+              while (p < off + len) { sum += (bytes(p) & 0xff); p += 1 }
+              (id, fmt, fi, n, len.toLong, sum, true)
+            }
+          } else {
+            val d = StubCodec.decode(bytes, fmt)
+            val n = math.max(d.frames, 1)
+            val stride = math.max(1, (n + maxFrames - 1) / maxFrames)
+            (0 until n by stride).map { fi =>
+              var z = (id * 0x9e3779b97f4a7c15L) + fi
+              z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+              val len = 32L + ((z ^ (z >>> 27)) & Long.MaxValue) % 4096L
+              (id, fmt, fi, n, len, len * 127L, false)
+            }
+          }
+        }
+      }
+    }.toDF("doc_id", "format", "frame_idx", "n_frames_total",
+           "n_frame_bytes", "byte_sum", "decoded")
+  }
+
+  /** (offset, length) of every top-level mdat payload in an ISO-BMFF
+    * byte stream; Nil when the bytes are not BMFF. */
+  private[multimodal] def mdatBoxes(bytes: Array[Byte]): List[(Int, Int)] = {
+    def beInt(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    if (bytes.length <= 12 || bytes(4) != 'f' || bytes(5) != 't' ||
+        bytes(6) != 'y' || bytes(7) != 'p') Nil
+    else try {
+      var acc = List.empty[(Int, Int)]
+      var off = 0
+      var ok = true
+      while (ok && off + 8 <= bytes.length) {
+        val size = beInt(off)
+        if (size < 8 || off + size > bytes.length) ok = false
+        else {
+          if (bytes(off + 4) == 'm' && bytes(off + 5) == 'd' &&
+              bytes(off + 6) == 'a' && bytes(off + 7) == 't')
+            acc ::= ((off + 8, size.toInt - 8))
+          off += size.toInt
+        }
+      }
+      acc.reverse
+    } catch { case _: Exception => Nil }
+  }
+
   /** Downstream example: per-format feature statistics (what a curation
     * pipeline aggregates after embedding extraction). */
   def featureStats(decoded: DataFrame): DataFrame =

@@ -858,7 +858,40 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Image-resize stage over the media columns: fixed 8x8 luminance
+    * thumb per item, exported as exact-integer summary stats (cell
+    * sum/min/max) so the row is schema-stable and engine-hashable.
+    * Rows-only check like the decode stub (ImageIO/stub arithmetic is
+    * not SQL-expressible); bit-exactness is pinned by fixture tests in
+    * MultimodalSpec. */
+  def qMmResize(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.withMediaColumns(Tables.documents(s, dir))
+    Multimodal.resizeStage(s, media)
+      .select(col("doc_id"), col("format"), col("in_w"), col("in_h"),
+              col("out_w"), col("out_h"),
+              expr("aggregate(thumb, 0L, (a, x) -> a + x)").as("thumb_sum"),
+              array_min(col("thumb")).as("thumb_min"),
+              array_max(col("thumb")).as("thumb_max"), col("decoded"))
+      .orderBy("doc_id")
+  }
+
+  /** Frame-sampling stage over the media columns: up to 4 evenly
+    * strided frames per video (stub frames for the synthesized
+    * testdata bytes), one row per sampled frame with exact payload
+    * stats. Rows-only check; real-mp4 exactness pinned in
+    * MultimodalSpec. */
+  def qMmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.withMediaColumns(Tables.documents(s, dir))
+      .filter(col("format") === "mp4")
+    Multimodal.frameSample(s, media)
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_resize" -> (qMmResize _),
+    "q_mm_frame_sample" -> (qMmFrameSample _),
     "q_mm_decode_stub" -> (qMmDecodeStub _),
     "q_text_tokenize" -> (qTextTokenize _),
     "q_text_stats" -> (qTextStats _),

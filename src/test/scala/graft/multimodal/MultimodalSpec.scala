@@ -147,6 +147,86 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("resize box-samples a real png to exact integer luminance cells") {
+    val s = spark
+    import s.implicits._
+    // 4x2 image, luminance exactly computable: pixel (x,y) has
+    // r=g=b = 10 + 20*x + 40*y, so lum == that value (299+587+114=1000)
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val v = 10 + 20 * x + 40 * y
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rows = Seq((0L, bos.toByteArray, "png"),
+                   (1L, "not an image".getBytes("UTF-8"), "png"))
+    val out = Multimodal.resizeStage(spark,
+        rows.toDF("doc_id", "content", "format"), thumbW = 2, thumbH = 1)
+      .orderBy("doc_id").collect()
+    // cell 0 = pixels x in [0,2), all y: lums {10,30,50,70} -> 40
+    // cell 1 = pixels x in [2,4): lums {50,70,90,110} -> 80
+    assert(out(0).getAs[Boolean]("decoded"))
+    assert((out(0).getAs[Int]("in_w"), out(0).getAs[Int]("in_h")) === ((4, 2)))
+    assert(out(0).getAs[scala.collection.Seq[Int]]("thumb").toSeq === Seq(40, 80))
+    // non-image bytes fall back to the deterministic stub grid
+    assert(!out(1).getAs[Boolean]("decoded"))
+    val stub = out(1).getAs[scala.collection.Seq[Int]]("thumb")
+    assert(stub.length === 2 && stub.forall(c => c >= 0 && c < 256))
+    assert(stub.toSeq ===
+      Multimodal.Resize.stubThumb("not an image".getBytes("UTF-8"), 2, 1).toSeq)
+  }
+
+  test("resize upsamples below-thumb-size images without losing pixels") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((0L, imageBytes("png", 3, 3), "png"))
+    val out = Multimodal.resizeStage(spark,
+        rows.toDF("doc_id", "content", "format"), thumbW = 8, thumbH = 8)
+      .orderBy("doc_id").collect()
+    val thumb = out(0).getAs[scala.collection.Seq[Int]]("thumb")
+    assert(thumb.length === 64)
+    assert(thumb.forall(c => c >= 0 && c < 256))
+  }
+
+  test("frame sample strides real mdat payloads with exact byte sums") {
+    val s = spark
+    import s.implicits._
+    // 5 frames, maxFrames=2 -> stride 3 -> frames 0 and 3
+    val rows = Seq((0L, mp4Bytes(1000, 5000, 5), "mp4"),
+                   (1L, "not a video".getBytes("UTF-8"), "mp4"))
+    val out = Multimodal.frameSample(spark,
+        rows.toDF("doc_id", "content", "format"), maxFrames = 2)
+      .orderBy("doc_id", "frame_idx").collect()
+    val real = out.filter(_.getLong(0) == 0L)
+    assert(real.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 3))
+    assert(real.forall(_.getAs[Int]("n_frames_total") == 5))
+    assert(real.forall(_.getAs[Boolean]("decoded")))
+    // fixture payload: 64 bytes of (i*7 + f*31) & 0xff — sum exactly
+    def expectSum(f: Int): Long =
+      (0 until 64).map(i => ((i * 7 + f * 31) & 0xff).toLong).sum
+    assert(real(0).getAs[Long]("byte_sum") === expectSum(0))
+    assert(real(1).getAs[Long]("byte_sum") === expectSum(3))
+    assert(real.forall(_.getAs[Long]("n_frame_bytes") == 64L))
+    // stub path: deterministic pseudo frames, at most maxFrames
+    val stub = out.filter(_.getLong(0) == 1L)
+    assert(stub.nonEmpty && stub.length <= 2)
+    assert(stub.forall(r => !r.getAs[Boolean]("decoded")))
+  }
+
+  test("resize and frame sample are invariant to partitioning") {
+    val a = Multimodal.resizeStage(spark, media).orderBy("doc_id").collect()
+    val b = Multimodal.resizeStage(spark, media.repartition(7), batchSize = 1)
+      .orderBy("doc_id").collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    val fa = Multimodal.frameSample(spark, media)
+      .orderBy("doc_id", "frame_idx").collect()
+    val fb = Multimodal.frameSample(spark, media.repartition(5), batchSize = 1)
+      .orderBy("doc_id", "frame_idx").collect()
+    assert(fa.map(_.toString).toSeq === fb.map(_.toString).toSeq)
+  }
+
   test("real mp4 boxes decode through the BMFF walk, not the stub") {
     val s = spark
     import s.implicits._
