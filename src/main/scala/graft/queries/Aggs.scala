@@ -263,7 +263,37 @@ object Aggs {
       .orderBy("l_returnflag")
   }
 
+  /** Pre-aggregated SKETCH rollup — the 100 TB distinct-count design:
+    * one DataSketches HLL sketch per partition key (order month) built
+    * where the data lives, then rolled up to the global estimate by
+    * MERGING the tiny sketches — no second scan, no distinct shuffle
+    * of raw keys. This is the pattern behind every "persist per-day
+    * sketch tables, union at query time" production metric store: the
+    * monthly sketch column here is exactly what `partitionBy(ym)`
+    * would persist. HLL register updates are max-merges, so the
+    * estimates are insertion-order- and partitioning-invariant —
+    * deterministic output without an ordering discipline (asserted in
+    * SketchSpec, with accuracy vs exact countDistinct). No oracle:
+    * engine sketch implementations differ by construction. */
+  def qAggHllPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy(expr("year(o_orderdate) * 100 + month(o_orderdate)").as("ym"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+           count(lit(1)).as("n_orders"))
+    val total = monthly
+      .agg(hll_union_agg(col("sk")).as("sk"),
+           sum(col("n_orders")).as("n_orders"))
+      .select(lit(0L).as("ym"),
+              hll_sketch_estimate(col("sk")).as("nd_cust"), col("n_orders"))
+    monthly
+      .select(col("ym"), hll_sketch_estimate(col("sk")).as("nd_cust"),
+              col("n_orders"))
+      .unionByName(total)
+      .orderBy("ym")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_hll_partitioned" -> (qAggHllPartitioned _),
     "q_agg_weighted_median" -> (qAggWeightedMedian _),
     "q_agg_skew_salted" -> (qAggSkewSalted _),
     "q_agg_bitwise" -> (qAggBitwise _),

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Substitute correctness for the sketch queries (no cross-engine
+  * oracle exists by construction — sketch implementations differ):
+  * accuracy against the exact answer, merge ≡ single-sketch identity,
+  * and partitioning invariance. */
+class SketchSpec extends SparkSpec {
+
+  test("hll monthly estimates stay within 5% of exact distinct counts") {
+    val dir = sf("sf0.01")
+    val got = Aggs.qAggHllPartitioned(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Tables.orders(spark, dir)
+      .groupBy(expr("CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)")
+        .as("ym"))
+      .agg(countDistinct(col("o_custkey")).as("nd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactTotal = Tables.orders(spark, dir)
+      .agg(countDistinct(col("o_custkey"))).head().getLong(0)
+    assert(got.keySet === exact.keySet + 0L)
+    (exact + (0L -> exactTotal)).foreach { case (ym, nd) =>
+      val est = got(ym)
+      assert(math.abs(est - nd) <= math.max(1L, (nd * 0.05).toLong),
+        s"ym=$ym estimate $est vs exact $nd drifts past 5%")
+    }
+  }
+
+  test("merged monthly sketches track the single big sketch within 2%") {
+    // NOT exact equality: a small single-pass sketch stays in
+    // DataSketches' coupon (list/set) mode, which is exact, while
+    // hll_union_agg promotes partials to dense HLL whose estimator
+    // carries the usual relative error — so merged and single-pass can
+    // differ by a few counts even over the identical input set. The
+    // production claim is that the rollup stays inside sketch accuracy,
+    // not bit-equality across representations.
+    val dir = sf("sf0.01")
+    val merged = Tables.orders(spark, dir)
+      .groupBy(expr("year(o_orderdate) * 100 + month(o_orderdate)").as("ym"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("nd"))
+      .head().getLong(0)
+    val single = Tables.orders(spark, dir)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("nd"))
+      .head().getLong(0)
+    assert(math.abs(merged - single) <= math.max(1L, (single * 0.02).toLong),
+      s"merged rollup $merged drifts past 2% of single-pass $single")
+  }
+
+  test("sketch output is invariant to input partitioning") {
+    val dir = sf("sf0.001")
+    val a = Aggs.qAggHllPartitioned(spark, dir).collect().map(_.toString).toSeq
+    val b = {
+      val o = Tables.orders(spark, dir).repartition(13)
+      val monthly = o
+        .groupBy(expr("year(o_orderdate) * 100 + month(o_orderdate)").as("ym"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+             count(lit(1)).as("n_orders"))
+      val total = monthly
+        .agg(hll_union_agg(col("sk")).as("sk"),
+             sum(col("n_orders")).as("n_orders"))
+        .select(lit(0L).as("ym"),
+                hll_sketch_estimate(col("sk")).as("nd_cust"), col("n_orders"))
+      monthly
+        .select(col("ym"), hll_sketch_estimate(col("sk")).as("nd_cust"),
+                col("n_orders"))
+        .unionByName(total)
+        .orderBy("ym").collect().map(_.toString).toSeq
+    }
+    assert(a === b)
+  }
+}
