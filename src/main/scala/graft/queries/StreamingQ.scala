@@ -269,7 +269,30 @@ object StreamingQ {
               col("last.value").as("last_value"))
       .orderBy("user_id")
 
+  /** CDC upsert + DELETE resolution: same last-writer-wins compaction
+    * as [[qStreamCdcUpsert]], with 'error' events acting as tombstones
+    * — a key whose LATEST change is a tombstone has been deleted and
+    * must not appear in the resolved state table (stale tombstones
+    * overwritten by newer rows keep the key alive). Same map-side
+    * max-struct plan + one post-agg filter, so delete resolution costs
+    * nothing extra on the wire; streaming twin asserted in
+    * StreamingSpec (state removed on tombstone). */
+  def qStreamCdcResolved(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"),
+              struct(unix_micros(col("ts")).as("tsu"), col("event_id"),
+                     col("event_type"), col("value")).as("st"))
+      .groupBy("user_id")
+      .agg(max(col("st")).as("last"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("last.tsu").as("last_tsu"),
+              col("last.event_id").as("last_event_id"),
+              col("last.event_type").as("last_type"),
+              col("last.value").as("last_value"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_cdc_resolved" -> (qStreamCdcResolved _),
     "q_stream_cdc_upsert" -> (qStreamCdcUpsert _),
     "q_stream_topk" -> (qStreamTopk _),
     "q_stream_session_capped" -> (qStreamSessionCapped _),
@@ -287,6 +310,15 @@ object StreamingQ {
   private val esSql = "CAST(FLOOR(EPOCH(ts)) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "q_stream_cdc_resolved" ->
+      """SELECT user_id, epoch_us(ts) AS last_tsu, event_id AS last_event_id,
+        |  event_type AS last_type, value AS last_value
+        |FROM (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
     "q_stream_cdc_upsert" ->
       """SELECT user_id, epoch_us(ts) AS last_tsu, event_id AS last_event_id,
         |  event_type AS last_type, value AS last_value

@@ -48,4 +48,42 @@ object CdcUpsert {
   /** OutputMode for sinks of [[latestState]]: per-key state rows are
     * re-emitted on change, which is Update-mode semantics. */
   val outputMode: OutputMode = OutputMode.Update
+
+  /** `deleted` marks a key whose latest change is a tombstone — the
+    * downstream MERGE turns it into a DELETE instead of an UPSERT. */
+  final case class Resolved(userId: Long, tsMs: Long, eventId: Long,
+                            eventType: String, value: Double, deleted: Boolean)
+
+  /** [[latestState]] with DELETE semantics: events whose type equals
+    * `tombstoneType` delete the key when they are its latest change.
+    * The winning tombstone STAYS in state — dropping it would let a
+    * stale update arriving in a later micro-batch resurrect the
+    * deleted key, diverging from the batch plan where the tombstone
+    * wins the same (ts, eventId) race. (A production store expires
+    * tombstones once the watermark passes their event time — the
+    * standard CDC retention compromise — which is when late stale
+    * updates can no longer arrive.) */
+  def resolvedState(changes: Dataset[Change],
+                    tombstoneType: String = "error"): Dataset[Resolved] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[Change],
+               state: GroupState[Latest]): Resolved = {
+      var cur = state.getOption.orNull
+      rows.foreach { c =>
+        val t = c.ts.getTime
+        if (cur == null || t > cur.tsMs ||
+            (t == cur.tsMs && c.eventId > cur.eventId))
+          cur = Latest(userId, t, c.eventId, c.eventType, c.value)
+      }
+      state.update(cur)
+      Resolved(userId, cur.tsMs, cur.eventId, cur.eventType, cur.value,
+               cur.eventType == tombstoneType)
+    }
+
+    changes
+      .groupByKey(_.userId)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
 }

@@ -206,6 +206,34 @@ class StreamingSpec extends SparkSpec {
     assert(batch === Map(1L -> 12L, 2L -> 21L))
   }
 
+  test("CDC tombstones delete keys and block stale resurrection") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[CdcUpsert.Change]
+    val q = CdcUpsert.resolvedState(mem.toDS())
+      .writeStream.format("memory").queryName("cdc_del_out")
+      .outputMode(CdcUpsert.outputMode).start()
+
+    mem.addData(CdcUpsert.Change(1L, ts(0), 10L, "view", 1.0),
+                CdcUpsert.Change(2L, ts(0), 20L, "view", 2.0))
+    q.processAllAvailable()
+    // user 1 deleted; then a STALE pre-delete update arrives late and
+    // must NOT resurrect the key
+    mem.addData(CdcUpsert.Change(1L, ts(20), 12L, "error", 0.0))
+    q.processAllAvailable()
+    mem.addData(CdcUpsert.Change(1L, ts(10), 11L, "click", 9.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val cur = s.table("cdc_del_out").as[CdcUpsert.Resolved].collect()
+      .groupBy(_.userId)
+      .map { case (u, rows) => u -> rows.maxBy(r => (r.tsMs, r.eventId)) }
+    assert(cur(1L).deleted, s"stale update resurrected a deleted key: $cur")
+    assert(cur(1L).eventId === 12L)
+    assert(!cur(2L).deleted && cur(2L).eventId === 20L)
+  }
+
   test("stateful dedup collapses duplicate event ids in-stream") {
     val s = spark
     import s.implicits._
