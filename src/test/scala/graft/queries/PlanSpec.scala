@@ -52,6 +52,20 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final aggregation:\n$p")
   }
 
+  test("q_stream_cdc_upsert partial-aggregates the max-struct before the shuffle") {
+    // struct max can't use HashAggregate's primitive buffer, so Spark
+    // plans SortAggregate/ObjectHashAggregate — the scale property is
+    // that a PARTIAL phase still runs before the exchange (one
+    // candidate per key per input partition on the wire), not which
+    // aggregate exec carries it
+    val p = finalPlan(StreamingQ.qStreamCdcUpsert(spark, sf("sf0.001")))
+    val aggs = "(HashAggregate|SortAggregate|ObjectHashAggregate)".r
+      .findAllIn(p).length
+    assert(aggs >= 2, s"expected partial+final aggregation:\n$p")
+    assert(p.contains("partial_max"),
+      s"no partial max phase before the exchange:\n$p")
+  }
+
   test("q_dedup_minhash_lsh joins candidates on the signature (no cartesian)") {
     val p = finalPlan(Llm.qDedupMinhashLsh(spark, sf("sf0.001")))
     assert(!p.contains("CartesianProduct"), s"all-pairs join:\n$p")
