@@ -176,4 +176,14 @@ class ShuffleSpec extends SparkSpec {
     // TakeOrderedAndProject: <=100 rows per map task cross the wire
     assert(b < 50 * 1000, s"bounded top-k claim violated: $b bytes")
   }
+
+  test("CDC upsert shuffles one candidate per key per partition") {
+    val b = shuffleBytes(StreamingQ.qStreamCdcUpsert(spark, sf("sf0.01")))
+    info(s"q_stream_cdc_upsert shuffle bytes at sf0.01: $b")
+    // partial_max runs before the exchange: <= n_users x n_partitions
+    // candidate structs (~60 B each) cross the wire, not the 10k-event
+    // stream — a windowed row_number formulation would shuffle every
+    // event and trip this
+    assert(b < 200 * 1000, s"partial-agg claim violated: $b bytes")
+  }
 }
