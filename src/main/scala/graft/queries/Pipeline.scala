@@ -24,40 +24,21 @@ object Pipeline {
     * duplicate-token ratio and most-frequent-bigram fraction. A doc
     * where one bigram dominates or few distinct tokens repeat is
     * boilerplate/spam in a web corpus; these two are the cheap,
-    * per-doc-parallel versions of the Gopher repetition gates.
-    *
-    * Built-in-only face (the kernel twin is
-    * [[qTextRepetitionFast]]): everything is PER-DOC, so the whole
-    * computation lives in array higher-order functions inside one
-    * codegen'd projection — no Generate, no shuffle, no join (the
-    * round-10 formulation exploded tokens AND bigrams into two
-    * shuffled aggregates + a join; at 100 TB that shuffles the corpus
-    * twice for per-row arithmetic). The top-bigram count is the
-    * longest equal-run in the SORTED bigram array (aggregate over
-    * array_sort) — O(L log L) per doc, exact. Docs with no non-empty
-    * token or no bigram drop, same as the oracle's inner join. */
-  def qTextRepetition(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    * per-doc-parallel versions of the Gopher repetition gates. */
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    val uni = toks(s, dir).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           countDistinct(col("token")).as("n_distinct"))
+    val bg = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"),
-              expr("filter(tk, x -> x != '')").as("tkne"),
-              expr("transform(sequence(1, size(tk) - 1)," +
-                " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")
-                .as("bgs"))
-      .filter(size(col("tkne")) > 0 && size(col("bgs")) > 0)
-      .select(col("doc_id"),
-              size(col("tkne")).cast("long").as("n_tokens"),
-              size(expr("array_distinct(tkne)")).cast("long").as("n_distinct"),
-              size(col("bgs")).cast("long").as("n_bigrams"),
-              expr("""aggregate(
-                  array_sort(bgs),
-                  struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best),
-                  (a, x) -> IF(a.prev IS NOT NULL AND x = a.prev,
-                    struct(x AS prev, a.run + 1L AS run,
-                           GREATEST(a.best, a.run + 1L) AS best),
-                    struct(x AS prev, 1L AS run,
-                           GREATEST(a.best, 1L) AS best)),
-                  a -> a.best)""").as("top_bigram_n"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1)," +
+          " i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"))
+        .as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+    val top = bg.groupBy("doc_id")
+      .agg(max(col("n")).as("top_bigram_n"), sum(col("n")).as("n_bigrams"))
+    uni.join(top, "doc_id")
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
               ((col("n_tokens") - col("n_distinct")).cast("double") /
                 col("n_tokens")).as("dup_ratio"),
@@ -65,6 +46,7 @@ object Pipeline {
               (col("top_bigram_n").cast("double") / col("n_bigrams"))
                 .as("top_bigram_frac"))
       .orderBy("doc_id")
+  }
 
   /** Same repetition signals via the native one-pass kernel
     * (graft.expressions.TextRep): no Generate, no shuffle — only the
