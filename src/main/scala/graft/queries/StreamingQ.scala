@@ -310,6 +310,17 @@ object StreamingQ {
   private val esSql = "CAST(FLOOR(EPOCH(ts)) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // round 11: the batch face is pure integer arithmetic (epoch-µs
+    // max, integer lookback, positive-value floor division), so it IS
+    // oracle-checkable — only the streaming-observable late-row DROP
+    // stays MemoryStream-only (StreamingSpec)
+    "q_stream_late_watermark" ->
+      """WITH e AS (SELECT epoch_us(ts) AS tsu FROM events),
+        |mx AS (SELECT MAX(tsu) AS mx FROM e)
+        |SELECT tsu // 60000000 AS minute_bucket, COUNT(*) AS n
+        |FROM e, mx
+        |WHERE tsu >= mx - 600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_cdc_resolved" ->
       """SELECT user_id, epoch_us(ts) AS last_tsu, event_id AS last_event_id,
         |  event_type AS last_type, value AS last_value
