@@ -292,7 +292,47 @@ object Aggs {
       .orderBy("ym")
   }
 
+  /** The PERSISTED half of the sketch-rollup story: the monthly HLL
+    * sketch table is written ONCE as a parquet artifact (binary sketch
+    * column + month key + row count — exactly what a metric store
+    * materializes nightly), and the query then serves per-month AND
+    * merged-global distinct estimates from the tiny sketch table alone
+    * — the raw orders table is never rescanned on the serve path.
+    * Same build-once/serve-many ArtifactStore lifecycle as the IVF
+    * index and the BPE vocab (content-keyed, atomically published).
+    * SketchSpec asserts every per-month estimate equals the inline
+    * [[qAggHllPartitioned]] bit-for-bit (sketch serialization
+    * round-trips losslessly) and the merged global stays within 1% —
+    * the union gadget's ESTIMATE is not associativity-stable, so
+    * exact equality of the merged row is not a property either path
+    * can promise. */
+  def qAggHllPersisted(s: SparkSession, dir: String): DataFrame = {
+    val key = graft.ArtifactStore.contentKey(s"$dir/orders.parquet",
+      "hll-monthly-v1")
+    val path = graft.ArtifactStore.cachePath("hll_monthly", key)
+    graft.ArtifactStore.ensure(path) { tmp =>
+      Tables.orders(s, dir)
+        .groupBy(expr("CAST(year(o_orderdate) * 100 + month(o_orderdate)" +
+          " AS BIGINT)").as("ym"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+             count(lit(1)).as("n_orders"))
+        .write.mode("overwrite").parquet(s"$tmp/sketches")
+    }
+    val monthly = s.read.parquet(s"$path/sketches")
+    val total = monthly
+      .agg(hll_union_agg(col("sk")).as("sk"),
+           sum(col("n_orders")).as("n_orders"))
+      .select(lit(0L).as("ym"),
+              hll_sketch_estimate(col("sk")).as("nd_cust"), col("n_orders"))
+    monthly
+      .select(col("ym"), hll_sketch_estimate(col("sk")).as("nd_cust"),
+              col("n_orders"))
+      .unionByName(total)
+      .orderBy("ym")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_hll_persisted" -> (qAggHllPersisted _),
     "q_agg_hll_partitioned" -> (qAggHllPartitioned _),
     "q_agg_weighted_median" -> (qAggWeightedMedian _),
     "q_agg_skew_salted" -> (qAggSkewSalted _),

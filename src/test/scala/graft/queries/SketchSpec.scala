@@ -49,6 +49,30 @@ class SketchSpec extends SparkSpec {
       s"merged rollup $merged drifts past 2% of single-pass $single")
   }
 
+  test("persisted sketch table serves the same estimates as the inline rollup") {
+    val dir = sf("sf0.01")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val inline = rows(Aggs.qAggHllPartitioned(spark, dir))
+    val served = rows(Aggs.qAggHllPersisted(spark, dir))
+    assert(served.keySet === inline.keySet)
+    // per-month sketches round-trip through parquet losslessly, so
+    // every month's estimate must match the inline rollup bit-for-bit
+    (inline - 0L).foreach { case (ym, v) =>
+      assert(served(ym) === v, s"month $ym diverged after persistence")
+    }
+    // the merged-total ESTIMATE is not associativity-stable (the union
+    // gadget's estimator state depends on how partial unions nest, and
+    // the persisted path unions compact serialized sketches while the
+    // inline path unions agg-buffer sketches) — hold it to 1%
+    val (ni, _) = inline(0L)
+    val (np, _) = served(0L)
+    assert(math.abs(ni - np) <= math.max(1L, (ni * 0.01).toLong),
+      s"merged estimate drifted: inline $ni vs persisted $np")
+    // serving twice hits the published artifact deterministically
+    assert(rows(Aggs.qAggHllPersisted(spark, dir)) === served)
+  }
+
   test("sketch output is invariant to input partitioning") {
     val dir = sf("sf0.001")
     val a = Aggs.qAggHllPartitioned(spark, dir).collect().map(_.toString).toSeq
