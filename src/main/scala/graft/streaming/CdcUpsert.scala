@@ -8,41 +8,70 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * queries/StreamingQ.qStreamCdcUpsert: per-key last-writer-wins state
   * (winner = max (ts, eventId), the same total order as the batch
   * plan's max-struct aggregate), emitted in Update mode whenever a
-  * key's current state changes. State is ONE row per live key —
-  * bounded, no event history — so memory stays O(distinct keys) at any
-  * scale, and a downstream idempotent sink (foreachBatch MERGE) gets
-  * exactly the "current state" table CDC consumers materialize. */
+  * key's current state changes. State is ONE row per live key and
+  * expires `retentionMs` of event time after the key's last change
+  * (EventTimeTimeout driven by the `delay` watermark), so memory is
+  * O(recently-changed keys), not O(all keys ever seen). Expiry cannot
+  * resurrect or corrupt a key: a row behind the watermark is dropped
+  * by the watermark BEFORE the state function runs, and any accepted
+  * row has ts >= watermark > expired_ts + retention, i.e. it would
+  * have won the (ts, eventId) race against the expired state anyway. */
 object CdcUpsert {
 
   final case class Change(userId: Long, ts: Timestamp, eventId: Long,
                           eventType: String, value: Double)
-  final case class Latest(userId: Long, tsMs: Long, eventId: Long,
+
+  /** `tsUs` is event time in MICROseconds since the epoch — the same
+    * resolution as the batch face's unix_micros and the DuckDB oracle,
+    * so sub-millisecond arrivals resolve identically in both faces
+    * (a millisecond comparison would tie them and fall through to the
+    * eventId tiebreak, diverging from batch). */
+  final case class Latest(userId: Long, tsUs: Long, eventId: Long,
                           eventType: String, value: Double)
+
+  /** Event time at microsecond precision: getTime is floor-to-ms (so
+    * /1000 is the epoch second) and getNanos carries the full
+    * sub-second component. */
+  private def tsUs(t: Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
 
   /** Compact a change stream to latest-state-per-key. Out-of-order
     * arrivals within and across micro-batches resolve identically to
-    * the batch face: (ts, eventId) is a unique total order, so a stale
-    * row can never overwrite a newer one. */
-  def latestState(changes: Dataset[Change]): Dataset[Latest] = {
+    * the batch face: (tsUs, eventId) is a unique total order, so a
+    * stale row can never overwrite a newer one. Rows later than
+    * `delay` behind the max seen event time are dropped by the
+    * watermark (the standard lateness contract); per-key state is
+    * GC'd once the watermark passes last-change + `retentionMs`. */
+  def latestState(changes: Dataset[Change],
+                  delay: String = "10 minutes",
+                  retentionMs: Long = 30 * 60 * 1000L): Dataset[Latest] = {
     val spark = changes.sparkSession
     import spark.implicits._
 
     def update(userId: Long, rows: Iterator[Change],
-               state: GroupState[Latest]): Latest = {
-      var cur = state.getOption.orNull
-      rows.foreach { c =>
-        val t = c.ts.getTime
-        if (cur == null || t > cur.tsMs ||
-            (t == cur.tsMs && c.eventId > cur.eventId))
-          cur = Latest(userId, t, c.eventId, c.eventType, c.value)
+               state: GroupState[Latest]): Iterator[Latest] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var cur = state.getOption.orNull
+        rows.foreach { c =>
+          val t = tsUs(c.ts)
+          if (cur == null || t > cur.tsUs ||
+              (t == cur.tsUs && c.eventId > cur.eventId))
+            cur = Latest(userId, t, c.eventId, c.eventType, c.value)
+        }
+        state.update(cur)
+        // cur.tsUs >= every arriving row's ts >= watermark, so the
+        // timeout is always strictly ahead of the current watermark
+        state.setTimeoutTimestamp(cur.tsUs / 1000 + retentionMs)
+        Iterator.single(cur)
       }
-      state.update(cur)
-      cur
     }
 
     changes
+      .withWatermark("ts", delay)
       .groupByKey(_.userId)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
   /** OutputMode for sinks of [[latestState]]: per-key state rows are
@@ -51,39 +80,49 @@ object CdcUpsert {
 
   /** `deleted` marks a key whose latest change is a tombstone — the
     * downstream MERGE turns it into a DELETE instead of an UPSERT. */
-  final case class Resolved(userId: Long, tsMs: Long, eventId: Long,
+  final case class Resolved(userId: Long, tsUs: Long, eventId: Long,
                             eventType: String, value: Double, deleted: Boolean)
 
   /** [[latestState]] with DELETE semantics: events whose type equals
     * `tombstoneType` delete the key when they are its latest change.
-    * The winning tombstone STAYS in state — dropping it would let a
-    * stale update arriving in a later micro-batch resurrect the
-    * deleted key, diverging from the batch plan where the tombstone
-    * wins the same (ts, eventId) race. (A production store expires
-    * tombstones once the watermark passes their event time — the
-    * standard CDC retention compromise — which is when late stale
-    * updates can no longer arrive.) */
+    * The winning tombstone STAYS in state until the watermark passes
+    * its event time + `retentionMs` — while a stale pre-delete update
+    * can still arrive (i.e. while it is within the watermark), the
+    * tombstone is present to win the (tsUs, eventId) race against it,
+    * matching the batch plan. Once the watermark passes, the tombstone
+    * is GC'd (the standard CDC retention compromise): any row accepted
+    * after that is newer than the tombstone by the watermark bound, so
+    * re-creating the key is a genuine new version, not resurrection. */
   def resolvedState(changes: Dataset[Change],
-                    tombstoneType: String = "error"): Dataset[Resolved] = {
+                    tombstoneType: String = "error",
+                    delay: String = "10 minutes",
+                    retentionMs: Long = 30 * 60 * 1000L): Dataset[Resolved] = {
     val spark = changes.sparkSession
     import spark.implicits._
 
     def update(userId: Long, rows: Iterator[Change],
-               state: GroupState[Latest]): Resolved = {
-      var cur = state.getOption.orNull
-      rows.foreach { c =>
-        val t = c.ts.getTime
-        if (cur == null || t > cur.tsMs ||
-            (t == cur.tsMs && c.eventId > cur.eventId))
-          cur = Latest(userId, t, c.eventId, c.eventType, c.value)
+               state: GroupState[Latest]): Iterator[Resolved] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var cur = state.getOption.orNull
+        rows.foreach { c =>
+          val t = tsUs(c.ts)
+          if (cur == null || t > cur.tsUs ||
+              (t == cur.tsUs && c.eventId > cur.eventId))
+            cur = Latest(userId, t, c.eventId, c.eventType, c.value)
+        }
+        state.update(cur)
+        state.setTimeoutTimestamp(cur.tsUs / 1000 + retentionMs)
+        Iterator.single(
+          Resolved(userId, cur.tsUs, cur.eventId, cur.eventType, cur.value,
+                   cur.eventType == tombstoneType))
       }
-      state.update(cur)
-      Resolved(userId, cur.tsMs, cur.eventId, cur.eventType, cur.value,
-               cur.eventType == tombstoneType)
     }
 
     changes
+      .withWatermark("ts", delay)
       .groupByKey(_.userId)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout)(update)
   }
 }

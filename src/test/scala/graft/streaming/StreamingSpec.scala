@@ -184,10 +184,10 @@ class StreamingSpec extends SparkSpec {
     q.stop()
 
     // memory sink in Update mode appends each emitted change — the
-    // CURRENT state per key is the row with the max (tsMs, eventId)
+    // CURRENT state per key is the row with the max (tsUs, eventId)
     val cur = s.table("cdc_out").as[CdcUpsert.Latest].collect()
       .groupBy(_.userId)
-      .map { case (u, rows) => u -> rows.maxBy(r => (r.tsMs, r.eventId)) }
+      .map { case (u, rows) => u -> rows.maxBy(r => (r.tsUs, r.eventId)) }
     assert(cur(1L).eventId === 12L, s"stale row overwrote newer state: $cur")
     assert(cur(1L).eventType === "purchase")
     assert(cur(2L).eventId === 21L, s"exact-ts tie must break by event_id: $cur")
@@ -228,10 +228,98 @@ class StreamingSpec extends SparkSpec {
 
     val cur = s.table("cdc_del_out").as[CdcUpsert.Resolved].collect()
       .groupBy(_.userId)
-      .map { case (u, rows) => u -> rows.maxBy(r => (r.tsMs, r.eventId)) }
+      .map { case (u, rows) => u -> rows.maxBy(r => (r.tsUs, r.eventId)) }
     assert(cur(1L).deleted, s"stale update resurrected a deleted key: $cur")
     assert(cur(1L).eventId === 12L)
     assert(!cur(2L).deleted && cur(2L).eventId === 20L)
+  }
+
+  test("CDC upsert resolves sub-millisecond arrivals at microsecond precision") {
+    // two versions of one key inside the SAME millisecond: the later
+    // MICROsecond must win even though its eventId is smaller. A
+    // millisecond-resolution comparison would tie them and fall back
+    // to the eventId tiebreak, picking 99 — diverging from the batch
+    // face (unix_micros max-struct) and the DuckDB oracle.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def tsMicro(us: Int): Timestamp = {
+      val t = Timestamp.valueOf("2024-01-01 10:00:00")
+      t.setNanos(us * 1000)
+      t
+    }
+    val rows = Seq(CdcUpsert.Change(1L, tsMicro(123), 99L, "view", 1.0),
+                   CdcUpsert.Change(1L, tsMicro(999), 1L, "click", 2.0))
+    val mem = MemoryStream[CdcUpsert.Change]
+    val q = CdcUpsert.latestState(mem.toDS())
+      .writeStream.format("memory").queryName("cdc_us_out")
+      .outputMode(CdcUpsert.outputMode).start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val cur = s.table("cdc_us_out").as[CdcUpsert.Latest].collect()
+      .groupBy(_.userId)
+      .map { case (u, rs) => u -> rs.maxBy(r => (r.tsUs, r.eventId)) }
+    assert(cur(1L).eventId === 1L,
+      s"sub-ms arrival resolved at ms precision (eventId tiebreak won): $cur")
+
+    // batch face agrees at the same precision
+    val batch = rows.map(c => (c.userId, c.ts, c.eventId))
+      .toDF("user_id", "ts", "event_id")
+      .select($"user_id", struct(unix_micros($"ts").as("tsu"), $"event_id").as("st"))
+      .groupBy($"user_id").agg(max($"st").as("last"))
+      .select($"user_id", $"last.event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch === Map(1L -> 1L))
+    assert(cur(1L).tsUs % 1000 === 999L, s"tsUs lost microseconds: ${cur(1L)}")
+  }
+
+  test("CDC state expires by watermark+retention; late stale rows die by watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[CdcUpsert.Change]
+    // 10-minute lateness, 20-minute retention: keys 1 and 2 time out
+    // once the watermark passes their last change + 20 min
+    val q = CdcUpsert.latestState(mem.toDS(), delay = "10 minutes",
+                                  retentionMs = 20 * 60 * 1000L)
+      .writeStream.format("memory").queryName("cdc_ttl_out")
+      .outputMode(CdcUpsert.outputMode).start()
+
+    def stateRows(): Long = q.recentProgress.reverse
+      .find(p => p != null && p.stateOperators.nonEmpty)
+      .map(_.stateOperators(0).numRowsTotal).getOrElse(-1L)
+
+    mem.addData(CdcUpsert.Change(1L, ts(0), 10L, "view", 1.0),
+                CdcUpsert.Change(2L, ts(1), 20L, "view", 2.0))
+    q.processAllAvailable()
+    assert(stateRows() === 2L, s"expected 2 live keys, got ${stateRows()}")
+
+    // advance the watermark to ts(590): far past ts(0)+20min and
+    // ts(1)+20min, so both idle keys must leave state; key 9's own
+    // timeout (ts(600)+20min) is still ahead of the watermark
+    mem.addData(CdcUpsert.Change(9L, ts(600), 90L, "view", 0.0))
+    q.processAllAvailable()
+    // one more data batch so timeout processing definitely ran after
+    // the watermark update (no-data batches usually cover this)
+    mem.addData(CdcUpsert.Change(9L, ts(601), 91L, "view", 0.0))
+    q.processAllAvailable()
+    assert(stateRows() === 1L,
+      s"idle keys past retention must leave state, got ${stateRows()}")
+
+    // a LATE stale row for the expired key (event time far behind the
+    // watermark) is dropped by the watermark, NOT re-admitted as a
+    // fresh key — no resurrection race
+    mem.addData(CdcUpsert.Change(1L, ts(5), 99L, "click", 9.9))
+    q.processAllAvailable()
+    q.stop()
+    assert(stateRows() === 1L,
+      s"late stale row re-created expired key state: ${stateRows()}")
+    val key1Emits = s.table("cdc_ttl_out").as[CdcUpsert.Latest].collect()
+      .filter(_.userId == 1L).map(_.eventId).toSet
+    assert(key1Emits === Set(10L),
+      s"late stale row for an expired key must not emit: $key1Emits")
   }
 
   test("stateful dedup collapses duplicate event ids in-stream") {
