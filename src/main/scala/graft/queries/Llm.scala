@@ -107,8 +107,23 @@ object Llm {
                                     bands: Seq[Seq[Int]], threshold: Double): DataFrame =
     minhashPairsOn(s, Tables.documents(s, dir), bands, threshold)
 
+  /** Per-band bucket-population cap for [[minhashPairsOn]]. A band
+    * bucket of n docs emits n(n-1)/2 candidate pairs — quadratic in
+    * that ONE bucket, independent of corpus size — so one hot bucket
+    * (boilerplate pages sharing a band hash on a real crawl) can blow
+    * up an otherwise-linear plan. Buckets over the cap are excluded
+    * from the candidate join entirely (the skip-and-account compromise:
+    * a 100k-member bucket is a dup CLUSTER, and pairwise output over it
+    * is 5e9 rows nobody wants); [[lshOverCapBuckets]] is the audit face
+    * that reports exactly what was skipped. 4096 is ~100x the densest
+    * bucket in any tested corpus (max 40 on the 10x clone), so the
+    * oracle-checked queries never trip it, while capping the pair
+    * blow-up of a single bucket at ~8.4M rows. */
+  private[queries] val MaxBandBucket = 4096
+
   private[queries] def minhashPairsOn(s: SparkSession, docs: DataFrame,
-                                      bands: Seq[Seq[Int]], threshold: Double): DataFrame = {
+                                      bands: Seq[Seq[Int]], threshold: Double,
+                                      maxBandBucket: Int = MaxBandBucket): DataFrame = {
     graft.expressions.ShingleOps.register(s)
     val nHash = 4
     // the corpus parquet is one small file -> 1-2 scan partitions; the
@@ -122,11 +137,21 @@ object Llm {
       .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sg"))
       .select(col("doc_id") +: col("sg.sz").as("sz") +:
         (0 until nHash).map(k => col(s"sg.mh$k").as(s"mh$k")): _*)
-    val a = sig.select(col("doc_id").as("da") +: col("sz").as("sa") +:
-      (0 until nHash).map(k => col(s"mh$k")): _*)
-    val b = sig.select(col("doc_id").as("db") +: col("sz").as("sb") +:
-      (0 until nHash).map(k => col(s"mh$k").as(s"nh$k")): _*)
     val perBand = bands.map { band =>
+      // bucket-population pre-count: a tiny agg over band keys (one row
+      // per DISTINCT bucket, not per doc) that gates the self-join —
+      // signatures in over-cap buckets never enter it, so the join's
+      // output is bounded by cap^2/2 per bucket by construction
+      val keys = band.map(k => s"mh$k")
+      val okBuckets = sig.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= maxBandBucket)
+        .select(keys.map(col): _*)
+      val keep = sig.join(okBuckets, keys)
+      val a = keep.select(col("doc_id").as("da") +: col("sz").as("sa") +:
+        band.map(k => col(s"mh$k")): _*)
+      val b = keep.select(col("doc_id").as("db") +: col("sz").as("sb") +:
+        band.map(k => col(s"mh$k").as(s"nh$k")): _*)
       val bandEq = band.map(k => col(s"mh$k") === col(s"nh$k")).reduce(_ && _)
       a.join(b, bandEq && col("da") < col("db"))
         .select("da", "db", "sa", "sb")
@@ -146,6 +171,31 @@ object Llm {
                  (col("sa") + col("sb") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("da", "db")
+  }
+
+  /** Dropped-mass accounting for [[minhashPairsOn]]'s bucket cap: one
+    * row per over-cap (band, bucket) with its population — exactly the
+    * signatures the capped join skipped, from the same tiny band-key
+    * agg the cap itself runs. Pipelines that cap should run this audit
+    * alongside (its cost is one extra pass over the ~100-byte
+    * signatures); an over-cap bucket is itself a finding — a dup
+    * cluster worth handling as a unit rather than pairwise. */
+  private[queries] def lshOverCapBuckets(s: SparkSession, docs: DataFrame,
+                                         bands: Seq[Seq[Int]],
+                                         maxBandBucket: Int = MaxBandBucket): DataFrame = {
+    graft.expressions.ShingleOps.register(s)
+    val sig = docs
+      .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sg"))
+    bands.zipWithIndex.map { case (band, bi) =>
+      sig.groupBy(band.map(k => col(s"sg.mh$k").as(s"mh$k")): _*)
+        .agg(count(lit(1)).as("bucket_docs"))
+        .filter(col("bucket_docs") > maxBandBucket)
+        .select(lit(bi).as("band"),
+                concat_ws("_", band.map(k => col(s"mh$k")): _*).as("bucket_key"),
+                col("bucket_docs"),
+                expr("bucket_docs * (bucket_docs - 1) div 2")
+                  .as("pairs_skipped"))
+    }.reduce(_ unionByName _)
   }
 
   /** Character 4-gram Jaccard near-dup pairs: candidates blocked on a

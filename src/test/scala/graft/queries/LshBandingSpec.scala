@@ -51,4 +51,41 @@ class LshBandingSpec extends SparkSpec {
     assert(rBanded > rSingle,
       f"banding did not improve recall: and4=$rSingle%.3f banded=$rBanded%.3f")
   }
+
+  test("hot band buckets are capped: pairs bounded, dropped mass audited") {
+    // adversarial all-same-band corpus: 300 identical docs share every
+    // minhash, so ONE bucket would emit 300*299/2 = 44850 pairs — the
+    // quadratic blow-up a boilerplate-heavy crawl produces. With the
+    // cap below the bucket size, the bucket is skipped entirely and
+    // the only emitted pair is the well-behaved small bucket's.
+    val s = spark
+    import s.implicits._
+    val hotText = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val dupText = "zulu yankee xray whiskey victor uniform tango sierra romeo quebec"
+    val corpus = ((1 to 300).map(i => (i.toLong, hotText)) ++
+      Seq((1001L, dupText), (1002L, dupText))).toDF("doc_id", "text")
+    val bands = Seq(0 until 4)
+
+    val capped = pairs(Llm.minhashPairsOn(spark, corpus, bands, 0.8,
+      maxBandBucket = 100))
+    assert(capped === Set((1001L, 1002L)),
+      s"capped run must keep only the small bucket's pair: $capped")
+
+    // raising the cap above the bucket re-admits the full pair set
+    val uncapped = Llm.minhashPairsOn(spark, corpus, bands, 0.8,
+      maxBandBucket = 1000).count()
+    assert(uncapped === 300L * 299 / 2 + 1,
+      s"uncapped pair count wrong: $uncapped")
+
+    // the audit face reports exactly the skipped bucket and its mass
+    val audit = Llm.lshOverCapBuckets(spark, corpus, bands, 100).collect()
+    assert(audit.length === 1, s"expected one over-cap bucket: ${audit.toSeq}")
+    assert(audit(0).getAs[Long]("bucket_docs") === 300L)
+    assert(audit(0).getAs[Long]("pairs_skipped") === 44850L)
+
+    // per-band accounting: two bands over the same corpus -> two rows
+    val audit2 = Llm.lshOverCapBuckets(spark, corpus,
+      Seq(Seq(0, 1), Seq(2, 3)), 100)
+    assert(audit2.count() === 2L)
+  }
 }
