@@ -149,6 +149,12 @@ object Multimodal {
     private def isBmff(b: Array[Byte]): Boolean =
       b.length > 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
 
+    private def beLong(b: Array[Byte], off: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < 8) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+      v
+    }
+
     def decode(bytes: Array[Byte]): Option[Decoded] =
       if (!isBmff(bytes)) None
       else try {
@@ -156,45 +162,55 @@ object Multimodal {
         var frames = 0
         val hist = new Array[Float](StubCodec.FeatureDim)
         var n = 0
+        var bad = false
         def walk(lo: Int, hi: Int, depth: Int): Unit = {
           var off = lo
-          var ok = true
-          while (ok && off + 8 <= hi) {
-            val size = beInt(bytes, off)
-            // size==1 means a 64-bit extended box — out of scope, bail
-            if (size < 8 || off + size > hi) ok = false
+          while (!bad && off + 8 <= hi) {
+            // ISO-BMFF size encodings: 0 = box extends to end of the
+            // enclosing space (valid for the LAST box), 1 = 64-bit
+            // largesize follows the type field; otherwise the 32-bit
+            // size covers header + payload. A size that cannot be
+            // resolved marks the WHOLE file malformed (bad=true ->
+            // decode None -> stub path), never a silent partial parse.
+            val size32 = beInt(bytes, off)
+            val (boxEnd, pLo) =
+              if (size32 == 0L) (hi.toLong, (off + 8).toLong)
+              else if (size32 == 1L) {
+                if (off + 16 > hi) (-1L, -1L)
+                else (off + beLong(bytes, off + 8), (off + 16).toLong)
+              } else ((off + size32), (off + 8).toLong)
+            if (pLo < 0 || boxEnd < pLo || boxEnd > hi) bad = true
             else {
               val tp = new String(bytes, off + 4, 4, "US-ASCII")
+              val payLo = pLo.toInt; val payHi = boxEnd.toInt
               tp match {
                 case "moov" if depth < 4 =>
-                  walk(off + 8, off + size.toInt, depth + 1)
+                  walk(payLo, payHi, depth + 1)
                 case "mvhd" =>
                   // version(1) flags(3) ctime(4) mtime(4) timescale(4)
                   // duration(4) — version-0 layout
-                  if (bytes(off + 8) == 0 && off + 28 <= hi) {
-                    val ts = beInt(bytes, off + 20)
-                    val dur = beInt(bytes, off + 24)
+                  if (payLo + 20 <= payHi && bytes(payLo) == 0) {
+                    val ts = beInt(bytes, payLo + 12)
+                    val dur = beInt(bytes, payLo + 16)
                     if (ts > 0) durationMs = dur * 1000L / ts
                   }
                 case "mdat" =>
                   frames += 1
-                  val pLo = off + 8
-                  val pHi = off + size.toInt
-                  val stride = math.max(1, (pHi - pLo) / 512)
-                  var p = pLo
-                  while (p < pHi) {
+                  val stride = math.max(1, (payHi - payLo) / 512)
+                  var p = payLo
+                  while (p < payHi) {
                     hist((bytes(p) & 0xff) / 16) += 1f
                     n += 1
                     p += stride
                   }
                 case _ =>
               }
-              off += size.toInt
+              off = payHi max (off + 8) // size==0 consumed the rest
             }
           }
         }
         walk(0, bytes.length, 0)
-        if (frames == 0 && durationMs == 0L) None
+        if (bad || (frames == 0 && durationMs == 0L)) None
         else {
           if (n > 0) { var i = 0; while (i < hist.length) { hist(i) /= n; i += 1 } }
           Some(Decoded(0, 0, 0, durationMs, frames, hist))
@@ -415,29 +431,158 @@ object Multimodal {
   }
 
   /** (offset, length) of every top-level mdat payload in an ISO-BMFF
-    * byte stream; Nil when the bytes are not BMFF. */
+    * byte stream; Nil when the bytes are not BMFF — or when any box
+    * size cannot be resolved (the caller then takes the stub path
+    * cleanly instead of acting on a silently-truncated frame list).
+    * Resolves all three size encodings: 0 = box extends to EOF (last
+    * box), 1 = 64-bit largesize after the type, else the 32-bit size. */
   private[multimodal] def mdatBoxes(bytes: Array[Byte]): List[(Int, Int)] = {
     def beInt(off: Int): Long =
       ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
         ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def beLong(off: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < 8) { v = (v << 8) | (bytes(off + i) & 0xffL); i += 1 }
+      v
+    }
     if (bytes.length <= 12 || bytes(4) != 'f' || bytes(5) != 't' ||
         bytes(6) != 'y' || bytes(7) != 'p') Nil
     else try {
       var acc = List.empty[(Int, Int)]
       var off = 0
-      var ok = true
-      while (ok && off + 8 <= bytes.length) {
-        val size = beInt(off)
-        if (size < 8 || off + size > bytes.length) ok = false
-        else {
-          if (bytes(off + 4) == 'm' && bytes(off + 5) == 'd' &&
-              bytes(off + 6) == 'a' && bytes(off + 7) == 't')
-            acc ::= ((off + 8, size.toInt - 8))
-          off += size.toInt
-        }
+      while (off + 8 <= bytes.length) {
+        val size32 = beInt(off)
+        val (boxEnd, payloadOff) =
+          if (size32 == 0L) (bytes.length.toLong, (off + 8).toLong)
+          else if (size32 == 1L) {
+            if (off + 16 > bytes.length) return Nil
+            (off + beLong(off + 8), (off + 16).toLong)
+          } else ((off + size32), (off + 8).toLong)
+        if (boxEnd < payloadOff || boxEnd > bytes.length) return Nil
+        if (bytes(off + 4) == 'm' && bytes(off + 5) == 'd' &&
+            bytes(off + 6) == 'a' && bytes(off + 7) == 't')
+          acc ::= ((payloadOff.toInt, (boxEnd - payloadOff).toInt))
+        off = boxEnd.toInt max (off + 8) // size==0 consumed the rest
       }
       acc.reverse
     } catch { case _: Exception => Nil }
+  }
+
+  /** Fixed-bin loudness envelope — the audio twin of [[Resize]]: real
+    * RIFF/WAVE bytes split their PCM sample stream into `nBins` equal
+    * time bins and report each bin's mean absolute amplitude with
+    * exact integer arithmetic (bin bounds by floor division, value =
+    * sum |sample| div count — bit-stable across JVMs). 16-bit PCM
+    * amplitudes land in 0..32768, 8-bit (unsigned) in 0..128.
+    * Interleaved channels contribute to the same bin (a mono mixdown
+    * of absolute loudness), so the envelope is channel-count-agnostic.
+    * Per-bin work is stride-bounded like the other codecs. */
+  object Envelope {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** (channels, sampleRate, durationMs, bins) for real RIFF/WAVE
+      * bytes; None on anything malformed (caller falls back to the
+      * stub — fail-soft like every codec here). */
+    def envelopeOf(bytes: Array[Byte], nBins: Int): Option[(Int, Int, Long, Array[Int])] =
+      if (!(bytes.length > 44 &&
+            bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+            bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
+        None
+      else try {
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        var channels = 0; var sampleRate = 0; var byteRate = 0
+        var bitsPerSample = 0; var dataOff = -1; var dataLen = 0
+        var off = 12
+        while (off + 8 <= bytes.length) {
+          val id = new String(bytes, off, 4, "US-ASCII")
+          val size = bb.getInt(off + 4)
+          if (size < 0) return None
+          if (id == "fmt " && off + 24 <= bytes.length) {
+            channels = bb.getShort(off + 10).toInt
+            sampleRate = bb.getInt(off + 12)
+            byteRate = bb.getInt(off + 16)
+            bitsPerSample = bb.getShort(off + 22).toInt
+          } else if (id == "data") {
+            dataOff = off + 8
+            dataLen = math.min(size.toLong, (bytes.length - dataOff).toLong).toInt
+          }
+          off += 8 + size + (size & 1) // chunks are word-aligned
+        }
+        if (channels <= 0 || byteRate <= 0 || dataOff < 0 || nBins <= 0) None
+        else {
+          val durationMs = dataLen * 1000L / byteRate
+          val bytesPerSample = math.max(1, bitsPerSample / 8)
+          val nSamples = dataLen / bytesPerSample
+          val bins = new Array[Int](nBins)
+          var k = 0
+          while (k < nBins) {
+            val s0 = k.toLong * nSamples / nBins
+            val s1 = (k + 1).toLong * nSamples / nBins
+            val stride = math.max(1L, (s1 - s0) / 1024)
+            var sum = 0L; var n = 0L
+            var s = s0
+            while (s < s1) {
+              val p = dataOff + (s * bytesPerSample).toInt
+              val amp =
+                if (bitsPerSample == 16 && p + 1 < bytes.length)
+                  math.abs(bb.getShort(p).toInt)
+                else math.abs((bytes(p) & 0xff) - 128)
+              sum += amp
+              n += 1
+              s += stride
+            }
+            bins(k) = if (n == 0) 0 else (sum / n).toInt
+            k += 1
+          }
+          Some((channels, sampleRate, durationMs, bins))
+        }
+      } catch { case _: Exception => None }
+
+    /** Deterministic stub envelope for non-audio bytes (same mixing
+      * discipline as [[StubCodec]]; values in the 16-bit 0..32768
+      * amplitude range). */
+    def stubEnvelope(bytes: Array[Byte], nBins: Int): Array[Int] = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      Array.tabulate(nBins) { k =>
+        var z = h + k * 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        (((z ^ (z >>> 27)) & Long.MaxValue) % 32769L).toInt
+      }
+    }
+  }
+
+  /** The audio-envelope stage as a partition-batched map: one typed
+    * row per media item with stream properties and the exact-integer
+    * loudness bins. `decoded` marks which path ran (real RIFF parse vs
+    * stub) — a production pipeline alerts on the stub/corrupt rate.
+    * Runs where the bytes live (no shuffle, no driver loop), same
+    * shape as [[resizeStage]] / [[frameSample]]. */
+  def audioEnvelope(spark: SparkSession, media: DataFrame,
+                    nBins: Int = 16, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(nBins > 0, "nBins must be positive")
+    val ds: Dataset[(Long, Array[Byte], String)] =
+      media.select(col("doc_id").cast("long"), col("content"), col("format"))
+        .as[(Long, Array[Byte], String)]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes, fmt) =>
+          val real =
+            if (fmt == "wav") Envelope.envelopeOf(bytes, nBins) else None
+          real match {
+            case Some((ch, sr, durMs, bins)) =>
+              (id, fmt, ch, sr, durMs, nBins, bins, true)
+            case None =>
+              val d = StubCodec.decode(bytes, fmt)
+              (id, fmt, d.channels, 0, d.durationMs, nBins,
+                Envelope.stubEnvelope(bytes, nBins), false)
+          }
+        }
+      }
+    }.toDF("doc_id", "format", "channels", "sample_rate", "duration_ms",
+           "n_bins", "envelope", "decoded")
   }
 
   /** Downstream example: per-format feature statistics (what a curation

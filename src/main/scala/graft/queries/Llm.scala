@@ -939,9 +939,30 @@ object Llm {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Audio-envelope stage over the media columns: 16 exact-integer
+    * loudness bins per wav item (real RIFF/PCM parse for actual audio
+    * bytes, deterministic stub envelope for the synthesized testdata),
+    * exported as integer bin stats so the row is schema-stable and
+    * engine-hashable. Rows-only check like resize/frame-sample (PCM
+    * arithmetic is not SQL-expressible); bit-exactness is pinned by
+    * fixture tests in MultimodalSpec. */
+  def qMmAudioEnvelope(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.withMediaColumns(Tables.documents(s, dir))
+      .filter(col("format") === "wav")
+    Multimodal.audioEnvelope(s, media)
+      .select(col("doc_id"), col("format"), col("channels"),
+              col("sample_rate"), col("duration_ms"), col("n_bins"),
+              expr("aggregate(envelope, 0L, (a, x) -> a + x)").as("env_sum"),
+              array_min(col("envelope")).as("env_min"),
+              array_max(col("envelope")).as("env_max"), col("decoded"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_resize" -> (qMmResize _),
     "q_mm_frame_sample" -> (qMmFrameSample _),
+    "q_mm_audio_envelope" -> (qMmAudioEnvelope _),
     "q_mm_decode_stub" -> (qMmDecodeStub _),
     "q_text_tokenize" -> (qTextTokenize _),
     "q_text_stats" -> (qTextStats _),

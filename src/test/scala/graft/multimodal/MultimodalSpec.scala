@@ -227,6 +227,87 @@ class MultimodalSpec extends SparkSpec {
     assert(fa.map(_.toString).toSeq === fb.map(_.toString).toSeq)
   }
 
+  test("audio envelope bins real PCM with exact integer means") {
+    val s = spark
+    import s.implicits._
+    // 8 mono 16-bit samples of the wavBytes ramp ((i*131)%65536-32768),
+    // 2 bins of 4 samples each: expected value = sum(|sample|) div 4,
+    // computed here from first principles
+    def amp(i: Int): Long = math.abs((i * 131) % 65536 - 32768).toLong
+    val exp0 = (0 until 4).map(amp).sum / 4
+    val exp1 = (4 until 8).map(amp).sum / 4
+    val rows = Seq((0L, wavBytes(8000, 1, 8), "wav"),
+                   (1L, "not audio at all".getBytes("UTF-8"), "wav"))
+    val out = Multimodal.audioEnvelope(spark,
+        rows.toDF("doc_id", "content", "format"), nBins = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("decoded"))
+    assert(out(0).getAs[Int]("channels") === 1)
+    assert(out(0).getAs[Int]("sample_rate") === 8000)
+    assert(out(0).getAs[Long]("duration_ms") === 1L) // 8 samples @ 8 kHz
+    assert(out(0).getAs[scala.collection.Seq[Int]]("envelope").toSeq
+      === Seq(exp0.toInt, exp1.toInt))
+    // non-audio bytes fall back to the deterministic stub envelope
+    assert(!out(1).getAs[Boolean]("decoded"))
+    val stub = out(1).getAs[scala.collection.Seq[Int]]("envelope")
+    assert(stub.length === 2 && stub.forall(v => v >= 0 && v <= 32768))
+    assert(stub.toSeq === Multimodal.Envelope
+      .stubEnvelope("not audio at all".getBytes("UTF-8"), 2).toSeq)
+  }
+
+  test("audio envelope is invariant to partitioning and batch size") {
+    val wavs = media.filter(org.apache.spark.sql.functions.col("format") === "wav")
+    val a = Multimodal.audioEnvelope(spark, wavs).orderBy("doc_id").collect()
+    val b = Multimodal.audioEnvelope(spark, wavs.repartition(7), batchSize = 1)
+      .orderBy("doc_id").collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+  }
+
+  test("mdat walk resolves size==0 (to-EOF) and size==1 (64-bit largesize) boxes") {
+    def be(i: Int): Array[Byte] =
+      Array(((i >> 24) & 0xff).toByte, ((i >> 16) & 0xff).toByte,
+            ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+    def be64(l: Long): Array[Byte] = (0 until 8).map(k =>
+      ((l >> (56 - 8 * k)) & 0xff).toByte).toArray
+    val ftyp = be(16) ++ "ftyp".getBytes("US-ASCII") ++
+      "isom".getBytes("US-ASCII") ++ be(0)
+    val pay1 = Array.tabulate[Byte](32)(i => (i * 3).toByte)
+    val pay2 = Array.tabulate[Byte](48)(i => (i * 5).toByte)
+    // mdat #1 uses the 64-bit largesize encoding (header 16 bytes);
+    // mdat #2 uses size==0 (extends to EOF) as the last box
+    val large = be(1) ++ "mdat".getBytes("US-ASCII") ++
+      be64(16L + pay1.length) ++ pay1
+    val toEof = be(0) ++ "mdat".getBytes("US-ASCII") ++ pay2
+    val bytes = ftyp ++ large ++ toEof
+    val boxes = Multimodal.mdatBoxes(bytes)
+    assert(boxes.map(_._2) === List(32, 48),
+      s"payload lengths wrong: $boxes")
+    // payload offsets line up with the actual bytes
+    val (o1, l1) = boxes(0)
+    assert(bytes.slice(o1, o1 + l1).toSeq === pay1.toSeq)
+    val (o2, l2) = boxes(1)
+    assert(bytes.slice(o2, o2 + l2).toSeq === pay2.toSeq)
+
+    // a size that cannot be resolved (4 < header size) invalidates the
+    // WHOLE parse -> Nil -> the stage takes the stub path cleanly
+    // instead of acting on a truncated frame list
+    val badBox = be(4) ++ "mdat".getBytes("US-ASCII")
+    assert(Multimodal.mdatBoxes(ftyp ++ large ++ badBox) === Nil)
+
+    // frameSample enumerates the special-size payloads with exact sums
+    val s = spark
+    import s.implicits._
+    val out = Multimodal.frameSample(spark,
+        Seq((0L, bytes, "mp4")).toDF("doc_id", "content", "format"),
+        maxFrames = 4)
+      .orderBy("frame_idx").collect()
+    assert(out.length === 2)
+    assert(out.forall(_.getAs[Boolean]("decoded")))
+    assert(out(0).getAs[Long]("byte_sum") === pay1.map(b => (b & 0xff).toLong).sum)
+    assert(out(1).getAs[Long]("byte_sum") === pay2.map(b => (b & 0xff).toLong).sum)
+  }
+
   test("real mp4 boxes decode through the BMFF walk, not the stub") {
     val s = spark
     import s.implicits._
