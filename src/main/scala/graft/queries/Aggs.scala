@@ -331,7 +331,76 @@ object Aggs {
       .orderBy("ym")
   }
 
+  /** Mergeable QUANTILE rollup — the latency-percentile twin of the
+    * HLL distinct-count store: one equi-width histogram sketch per
+    * order month over o_totalprice (in exact cents), persisted ONCE as
+    * a tiny parquet artifact, then per-month AND merged-global
+    * p50/p90/p99 served from the sketch table alone — raw orders are
+    * never rescanned on the serve path. Unlike HLL, count-histogram
+    * merging is LOSSLESS (integer counts over shared bin edges add
+    * exactly), so the merged-global estimate is bit-identical to a
+    * single global histogram with the same edges — asserted in
+    * SketchSpec along with the accuracy bound (any percentile estimate
+    * is within one bin width of the exact order statistic, the
+    * equi-width histogram's guarantee) and serve-twice determinism.
+    * All arithmetic is integer (bin = (c - min) div width; estimate =
+    * binLo + offset*width div count), so output is partitioning- and
+    * insertion-order-invariant. No oracle: sketch estimates are not
+    * cross-engine; the substitute spec carries correctness. */
+  def qAggQuantilePersisted(s: SparkSession, dir: String): DataFrame = {
+    val nBins = 256L
+    val key = graft.ArtifactStore.contentKey(s"$dir/orders.parquet",
+      "qhist-monthly-v1")
+    val path = graft.ArtifactStore.cachePath("qhist_monthly", key)
+    graft.ArtifactStore.ensure(path) { tmp =>
+      val cents = Tables.orders(s, dir).select(
+        expr("CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)")
+          .as("ym"),
+        expr("CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,6)) * 100, 0)" +
+          " AS BIGINT)").as("c"))
+      // bin edges are fixed ONCE at build from the global domain so
+      // every month's histogram shares them — the mergeability
+      // precondition. (A 100 TB metric store fixes edges in the table
+      // spec for the same reason.)
+      val bounds = cents.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+        .head()
+      val cmin = bounds.getLong(0)
+      val width = (bounds.getLong(1) - cmin) / nBins + 1
+      cents
+        .select(col("ym"), expr(s"(c - ${cmin}L) div ${width}L").as("bin"))
+        .groupBy("ym", "bin").agg(count(lit(1)).as("cnt"))
+        .select(col("ym"), col("bin"), col("cnt"),
+                lit(cmin).as("cmin"), lit(width).as("width"))
+        .write.mode("overwrite").parquet(s"$tmp/sketch")
+    }
+    val sketch = s.read.parquet(s"$path/sketch")
+    val global = sketch.groupBy("bin")
+      .agg(sum(col("cnt")).as("cnt"), first(col("cmin")).as("cmin"),
+           first(col("width")).as("width"))
+      .select(lit(0L).as("ym"), col("bin"), col("cnt"), col("cmin"),
+              col("width"))
+    val all = sketch.select("ym", "bin", "cnt", "cmin", "width")
+      .unionByName(global)
+    import org.apache.spark.sql.expressions.Window
+    val cum = all
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy("ym").orderBy("bin")))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("ym")))
+    // target rank (1-based, ceil) per percentile; the hit bin is the
+    // first whose cumulative count reaches it; the estimate places the
+    // rank's 0-based offset uniformly inside the bin — pure longs
+    cum.withColumn("pct", explode(array(lit(50L), lit(90L), lit(99L))))
+      .withColumn("target", expr("(n * pct + 99L) div 100L"))
+      .filter(col("cum") >= col("target") &&
+              col("cum") - col("cnt") < col("target"))
+      .select(col("ym"), col("pct"), col("n").as("n_orders"),
+              expr("cmin + bin * width + ((target - (cum - cnt) - 1L)" +
+                " * width) div cnt").as("est_cents"))
+      .orderBy("ym", "pct")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_quantile_persisted" -> (qAggQuantilePersisted _),
     "q_agg_hll_persisted" -> (qAggHllPersisted _),
     "q_agg_hll_partitioned" -> (qAggHllPartitioned _),
     "q_agg_weighted_median" -> (qAggWeightedMedian _),

@@ -73,6 +73,60 @@ class SketchSpec extends SparkSpec {
     assert(rows(Aggs.qAggHllPersisted(spark, dir)) === served)
   }
 
+  test("quantile sketch estimates land within one bin width of exact order statistics") {
+    val dir = sf("sf0.01")
+    val got = Aggs.qAggQuantilePersisted(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // exact cents per month, plus the bin width the build fixed
+    val cents = Tables.orders(spark, dir).select(
+        expr("CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)"),
+        expr("CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,6)) * 100, 0) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val width = (cents.map(_._2).max - cents.map(_._2).min) / 256 + 1
+    def exact(vs: Array[Long], pct: Long): Long = {
+      val sorted = vs.sorted
+      sorted(((vs.length * pct + 99) / 100 - 1).toInt)
+    }
+    val byYm = cents.groupBy(_._1).view.mapValues(_.map(_._2)).toMap +
+      (0L -> cents.map(_._2))
+    assert(got.keySet.map(_._1) === byYm.keySet)
+    got.foreach { case ((ym, pct), est) =>
+      val ex = exact(byYm(ym), pct)
+      assert(math.abs(est - ex) <= width,
+        s"ym=$ym p$pct estimate $est vs exact $ex exceeds bin width $width")
+    }
+  }
+
+  test("quantile merge is lossless: merged-global equals a direct global histogram") {
+    // unlike HLL, integer count histograms over SHARED bin edges merge
+    // exactly — the global row must be BIT-IDENTICAL to an estimate
+    // from one histogram built over all months at once
+    val dir = sf("sf0.01")
+    val got = Aggs.qAggQuantilePersisted(spark, dir).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val cents = Tables.orders(spark, dir).select(
+        expr("CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,6)) * 100, 0) AS BIGINT)"))
+      .collect().map(_.getLong(0))
+    val cmin = cents.min
+    val width = (cents.max - cmin) / 256 + 1
+    val hist = cents.groupBy(c => (c - cmin) / width).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val n = cents.length.toLong
+    Seq(50L, 90L, 99L).foreach { pct =>
+      val target = (n * pct + 99) / 100
+      var cum = 0L
+      val (bin, cnt) = hist.find { case (_, c) => cum += c; cum >= target }.get
+      val est = cmin + bin * width + ((target - (cum - cnt) - 1) * width) / cnt
+      assert(got(pct) === est,
+        s"merged p$pct ${got(pct)} != direct global histogram $est")
+    }
+    // serving twice hits the published artifact deterministically
+    val again = Aggs.qAggQuantilePersisted(spark, dir).collect()
+      .filter(_.getLong(0) == 0L).map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(again === got)
+  }
+
   test("sketch output is invariant to input partitioning") {
     val dir = sf("sf0.001")
     val a = Aggs.qAggHllPartitioned(spark, dir).collect().map(_.toString).toSeq
