@@ -88,6 +88,17 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // the driver's artifact keeps only the LAST 2000 chars of stdout,
+    // so the full line above never parses there (every BENCH_r*.json
+    // through round 11 landed "parsed": null). Emit a compact record
+    // LAST, sized to fit that tail whole: headline total + the slowest
+    // medians; bench_last.json stays the complete per-query source.
+    val slow = results.sortBy(-_._2).take(15)
+    def r3(v: Double): Double = math.round(v * 1000).toDouble / 1000
+    val qsSlow = slow.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$qsSlow,"queries_note":"15 slowest of ${results.size} medians; full per-query data in bench_last.json","loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

