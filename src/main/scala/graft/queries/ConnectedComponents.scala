@@ -81,4 +81,89 @@ object ConnectedComponents {
     }
     lab
   }
+
+  /** The ALTERNATING algorithm (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond": large-star / small-star) behind the same
+    * (id, lab=component-min) contract as [[labels]] — the standard
+    * skew mitigation for power-law dup graphs. Where hash-min
+    * aggregates every node's full neighborhood each round (late in
+    * convergence most traffic converges on few hub labels), the
+    * alternating steps REWRITE the edge set itself toward a star per
+    * component: large-star hangs every larger neighbor under the
+    * neighborhood min, small-star compresses the smaller neighbors,
+    * and hub degrees split across rounds instead of concentrating.
+    * Each round is two (groupBy-min + join) passes over the edge set,
+    * one action (the signature Observation rides on the checkpoint).
+    * Termination: the edge set is a fixpoint of one full round —
+    * detected by an observed (count, hash-sum, id-sum) signature
+    * match, which is collision-safe far beyond the graph sizes any
+    * dedup run produces.
+    *
+    * Round-12 evaluation vs [[labels]] (ConnectedComponentsSpec pins
+    * result equality on chains / cliques / hub-skew / random graphs;
+    * timing measured on the sf0.1 banded dup graph and a 64-chain):
+    * hash-min + pointer jumping converges in fewer rounds on
+    * small-diameter dup graphs (its shortcut halves tree depth), so
+    * [[labels]] stays the default engine path; labelsAlternating is
+    * the drop-in when a corpus's dup graph develops true power-law
+    * hubs (boilerplate mega-clusters) that make per-node neighborhood
+    * aggs the bottleneck. */
+  def labelsAlternating(edges0: DataFrame, xCol: String, yCol: String,
+                        maxRounds: Int = 100): DataFrame = {
+    val inv = invocations.incrementAndGet()
+    val nodes = edges0.select(col(xCol).as("id"))
+      .unionByName(edges0.select(col(yCol).as("id"))).distinct()
+    var e = edges0
+      .select(col(xCol).as("u"), col(yCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+              least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var sig: (Long, Long, Long) = (-1L, 0L, 0L)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      round += 1
+      // large-star: every neighbor LARGER than u hangs under
+      // m(u) = min(neighborhood of u, u itself)
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mL = sym.groupBy(col("u").as("lu")).agg(min(col("v")).as("mn"))
+        .select(col("lu"), least(col("mn"), col("lu")).as("m"))
+      val ls = sym.join(mL, col("u") === col("lu"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // u > v by construction
+        .distinct()
+      // small-star on the (larger -> smaller) directed edges: u's
+      // smaller neighbors and u itself all hang under their min
+      val mS = ls.groupBy(col("u").as("su")).agg(min(col("v")).as("m"))
+      val ss = ls.join(mS, col("u") === col("su"))
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("p"))
+        .select(col("p.a").as("u"), col("p.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // signature components stay overflow-safe at any edge count:
+      // hash() is 32-bit, so the long sum is bounded by |E| * 2^31
+      val obs = Observation(s"ccalt_${inv}_round_$round")
+      val next = graft.Lineage.truncate(
+        ss.observe(obs,
+          count(lit(1)).as("n"),
+          coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L)).as("h"),
+          coalesce(sum(hash(col("v"), col("u"), lit(17)).cast("long")), lit(0L))
+            .as("h2")))
+      val nsig = (obs.get("n").asInstanceOf[Long],
+                  obs.get("h").asInstanceOf[Long],
+                  obs.get("h2").asInstanceOf[Long])
+      done = nsig == sig
+      sig = nsig
+      e = next
+    }
+    // fixpoint edges are (node, component-min) stars; roots carry no
+    // edge and label themselves
+    nodes
+      .join(e.select(col("u").as("id"), col("v").as("elab")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("elab"), col("id")).as("lab"))
+  }
 }

@@ -96,4 +96,49 @@ class ConnectedComponentsSpec extends SparkSpec {
       assert(run(edges) === truth(edges), s"trial $trial")
     }
   }
+
+  private def runAlt(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    ConnectedComponents.labelsAlternating(edges.toDF("a", "b"), "a", "b")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+  }
+
+  test("alternating large-star/small-star matches hash-min on every graph shape") {
+    // chain (max diameter), clique (max density), hub-skew star with the
+    // MAX id as hub (the power-law shape the algorithm exists for), and
+    // two disjoint mid-size components
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    assert(runAlt(chain) === run(chain), "chain diverged")
+    val clique = for (i <- 5L to 20L; j <- (i + 1) to 20L) yield (i, j)
+    assert(runAlt(clique) === run(clique), "clique diverged")
+    val hub = (0L until 40L).map(i => (999L, i)) // hub id larger than all
+    assert(runAlt(hub) === run(hub), "hub-skew star diverged")
+    val two = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (31L, 30L))
+    assert(runAlt(two) === run(two), "disjoint components diverged")
+  }
+
+  test("alternating CC matches driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 40
+      val edges = Seq.fill(n)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }
+      assert(runAlt(edges) === truth(edges), s"trial $trial")
+    }
+  }
+
+  test("alternating CC labels the real dup graph identically to hash-min") {
+    val pairs = Llm.minhashPairsOn(spark,
+      graft.Tables.documents(spark, sf("sf0.001")),
+      Seq(Seq(0, 1), Seq(2, 3)), 0.7).select("da", "db")
+    val a = ConnectedComponents.labels(pairs, "da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = ConnectedComponents.labelsAlternating(pairs, "da", "db")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a.nonEmpty, "dup graph empty — fixture changed?")
+    assert(b === a)
+  }
 }
