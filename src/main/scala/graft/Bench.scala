@@ -10,6 +10,30 @@ object Bench {
       .trim.split(" ").take(3).toSeq.map(_.toDouble)
     catch { case _: Throwable => Nil }
 
+  /** Single-thread CPU-speed canary: wall seconds for a fixed 2e8-step
+    * xorshift64 loop, best of 3 (JIT-warmed). Absolute query times are
+    * only comparable ACROSS rounds if the host runs at the same speed —
+    * the round-12 VM ran unchanged queries ~1.3x slower than the
+    * round-11 artifact on an idle host (fresh VM boot, likely different
+    * physical machine underneath). The canary makes that shift visible
+    * in-artifact: divide cross-round query deltas by the canary ratio
+    * before calling anything a regression. */
+  private def cpuCanary(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      // data dependency so the loop can't be dead-code-eliminated
+      if (x == 0) System.err.println("unreachable")
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(); (1 to 3).map(_ => once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,6 +50,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadavg()
+    val canaryStart = cpuCanary()
     // warm the JVM / codegen / parquet reader on EVERY table so the
     // first timed query touching each file isn't charged the one-time
     // footer-read/codegen startup cost
@@ -64,6 +89,7 @@ object Bench {
         if (clean.isEmpty) None else Some(name -> clean(clean.size / 2))
     }
     val loadEnd = loadavg()
+    val canaryEnd = cpuCanary()
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -79,7 +105,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"reps":$rs,"loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"reps":$rs,"loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"cpu_canary_sec":[$canaryStart,$canaryEnd],"sf":"$sfDir"}"""
     println(line)
     // the driver captures only a stdout tail (BENCH_r03.json lost 32 of
     // 95 per-query medians to truncation) — persist the full line too
@@ -98,7 +124,7 @@ object Bench {
     val qsSlow = slow.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$qsSlow,"queries_note":"15 slowest of ${results.size} medians; full per-query data in bench_last.json","loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$qsSlow,"queries_note":"15 slowest of ${results.size} medians; full per-query data in bench_last.json","loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"cpu_canary_sec":[${r3(canaryStart)},${r3(canaryEnd)}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

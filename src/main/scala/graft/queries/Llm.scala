@@ -1037,32 +1037,52 @@ object Llm {
        |SELECT doc_id, $sim AS simhash FROM agg ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB-side candidate CTE for banded LSH: one equi-join per band,
+    * UNION'd then deduped — semantically identical to the OR-of-bands
+    * join predicate (a pair matching both bands still yields ONE row;
+    * (da,db) determines (sa,sb) so the DISTINCT is exact), but each
+    * branch is hash-joinable. DuckDB 1.0 plans an OR join predicate as
+    * a blockwise nested loop — quadratic in |sig|; the 10x-clone sweep
+    * exhausted 79 GB of spill there — while the union form stays
+    * linear in band-bucket mass, the same reason the ENGINE side
+    * blocks per band. MATERIALIZED pins the result: DuckDB inlines
+    * CTEs by default, and every downstream reference would otherwise
+    * re-evaluate the whole LSH pipeline (measured: the unrolled
+    * 4-step label chain went from out-of-disk to 10 s at 10x with
+    * materialization + union). */
+  private def bandedCandSql(bands: Seq[Seq[Int]]): String = {
+    val branches = bands.map { band =>
+      val eq = band.map(k => s"a.mh$k = b.mh$k").mkString(" AND ")
+      s"""    SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb
+         |    FROM sig a JOIN sig b ON $eq AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n    UNION ALL\n")
+    s"""cand AS MATERIALIZED (
+       |  SELECT DISTINCT da, db, sa, sb FROM (
+       |$branches))""".stripMargin
+  }
+
   /** Shared WITH RECURSIVE prefix for the fixpoint-dedup oracles:
     * banded-LSH pairs -> symmetric edges -> exact transitive closure ->
     * per-node component-min labels in CTE `lab(id, lab)`. Both sides
     * are diameter-unbounded, so it matches ConnectedComponents.labels
-    * for ANY cluster shape. */
+    * for ANY cluster shape. Multiply-referenced CTEs carry MATERIALIZED
+    * (see [[bandedCandSql]]); `reach` stays plain — recursive CTEs
+    * have their own evaluation mode. */
   private def convergedLabCte: String = {
     val mhCols = (0 until 4).map(k => s"MIN(SUBSTRING(MD5(token), ${8 * k + 1}, 8)) AS mh$k").mkString(", ")
-    val bandOr = Seq(Seq(0, 1), Seq(2, 3))
-      .map(band => band.map(k => s"a.mh$k = b.mh$k").mkString("(", " AND ", ")"))
-      .mkString(" OR ")
     s"""WITH RECURSIVE sh AS (
        |  SELECT doc_id,
        |    CONCAT_WS(' ', tk[i], tk[i + 1], tk[i + 2]) AS token
        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
        |       GENERATE_SERIES(1, 512) AS g(i)
        |  WHERE i <= GREATEST(LEN(tk) - 2, 1)),
-       |t AS (
+       |t AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, token FROM sh),
-       |sig AS (
+       |sig AS MATERIALIZED (
        |  SELECT doc_id, $mhCols, COUNT(*) AS sz
        |  FROM t GROUP BY doc_id),
-       |cand AS (
-       |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb
-       |  FROM sig a JOIN sig b
-       |    ON ($bandOr) AND a.doc_id < b.doc_id),
-       |pairs AS (
+       |${bandedCandSql(Seq(Seq(0, 1), Seq(2, 3)))},
+       |pairs AS MATERIALIZED (
        |  SELECT da, db FROM (
        |    SELECT da, db, COUNT(*) AS nc, sa, sb
        |    FROM cand
@@ -1070,7 +1090,7 @@ object Llm {
        |    JOIN t tb ON tb.doc_id = db AND ta.token = tb.token
        |    GROUP BY da, db, sa, sb)
        |  WHERE CAST(nc AS DOUBLE) / (sa + sb - nc) >= 0.7),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT da AS x, db AS y FROM pairs
        |  UNION ALL SELECT db AS x, da AS y FROM pairs),
        |reach(x, y) AS (
@@ -1163,24 +1183,18 @@ object Llm {
     },
     "q_dedup_minhash_banded" -> {
       val mhCols = (0 until 4).map(k => s"MIN(SUBSTRING(MD5(token), ${8 * k + 1}, 8)) AS mh$k").mkString(", ")
-      val bandOr = Seq(Seq(0, 1), Seq(2, 3))
-        .map(band => band.map(k => s"a.mh$k = b.mh$k").mkString("(", " AND ", ")"))
-        .mkString(" OR ")
       s"""WITH sh AS (
          |  SELECT doc_id,
          |    CONCAT_WS(' ', tk[i], tk[i + 1], tk[i + 2]) AS token
          |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
          |       GENERATE_SERIES(1, 512) AS g(i)
          |  WHERE i <= GREATEST(LEN(tk) - 2, 1)),
-         |t AS (
+         |t AS MATERIALIZED (
          |  SELECT DISTINCT doc_id, token FROM sh),
-         |sig AS (
+         |sig AS MATERIALIZED (
          |  SELECT doc_id, $mhCols, COUNT(*) AS sz
          |  FROM t GROUP BY doc_id),
-         |cand AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb
-         |  FROM sig a JOIN sig b
-         |    ON ($bandOr) AND a.doc_id < b.doc_id)
+         |${bandedCandSql(Seq(Seq(0, 1), Seq(2, 3)))}
          |SELECT * FROM (
          |  SELECT da, db, COUNT(*) AS n_common,
          |    sa + sb - COUNT(*) AS n_union,
@@ -1193,14 +1207,15 @@ object Llm {
     },
     "q_dedup_clusters" -> {
       val mhCols = (0 until 4).map(k => s"MIN(SUBSTRING(MD5(token), ${8 * k + 1}, 8)) AS mh$k").mkString(", ")
-      val bandOr = Seq(Seq(0, 1), Seq(2, 3))
-        .map(band => band.map(k => s"a.mh$k = b.mh$k").mkString("(", " AND ", ")"))
-        .mkString(" OR ")
+      // every l_k / n_k is referenced twice downstream: without
+      // MATERIALIZED, DuckDB's default CTE inlining re-evaluates the
+      // whole upstream pipeline per reference — the chain doubles the
+      // work per unrolled step (out-of-disk at the 10x clone)
       val steps = (1 to 4).map(k =>
-        s"""n$k AS (
+        s"""n$k AS MATERIALIZED (
            |  SELECT e.x AS id, MIN(n.lab) AS nlab
            |  FROM edges e JOIN l${k - 1} n ON n.id = e.y GROUP BY e.x),
-           |l$k AS (
+           |l$k AS MATERIALIZED (
            |  SELECT l.id, LEAST(l.lab, m.nlab) AS lab
            |  FROM l${k - 1} l JOIN n$k m ON m.id = l.id)""".stripMargin)
         .mkString(",\n")
@@ -1210,16 +1225,13 @@ object Llm {
          |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
          |       GENERATE_SERIES(1, 512) AS g(i)
          |  WHERE i <= GREATEST(LEN(tk) - 2, 1)),
-         |t AS (
+         |t AS MATERIALIZED (
          |  SELECT DISTINCT doc_id, token FROM sh),
-         |sig AS (
+         |sig AS MATERIALIZED (
          |  SELECT doc_id, $mhCols, COUNT(*) AS sz
          |  FROM t GROUP BY doc_id),
-         |cand AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb
-         |  FROM sig a JOIN sig b
-         |    ON ($bandOr) AND a.doc_id < b.doc_id),
-         |pairs AS (
+         |${bandedCandSql(Seq(Seq(0, 1), Seq(2, 3)))},
+         |pairs AS MATERIALIZED (
          |  SELECT da, db FROM (
          |    SELECT da, db, COUNT(*) AS nc, sa, sb
          |    FROM cand
@@ -1227,10 +1239,10 @@ object Llm {
          |    JOIN t tb ON tb.doc_id = db AND ta.token = tb.token
          |    GROUP BY da, db, sa, sb)
          |  WHERE CAST(nc AS DOUBLE) / (sa + sb - nc) >= 0.7),
-         |edges AS (
+         |edges AS MATERIALIZED (
          |  SELECT da AS x, db AS y FROM pairs
          |  UNION ALL SELECT db AS x, da AS y FROM pairs),
-         |l0 AS (SELECT DISTINCT x AS id, x AS lab FROM edges),
+         |l0 AS MATERIALIZED (SELECT DISTINCT x AS id, x AS lab FROM edges),
          |$steps
          |SELECT lab AS cluster_id, COUNT(*) AS n_docs,
          |  MIN(id) AS canonical_doc, MAX(id) AS max_doc
