@@ -153,9 +153,39 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  /** Tokenizer-FIT measurement per corpus source: fertility (BPE
+    * pieces per word, the standard tokenizer-evaluation metric) and
+    * the whole-word rate (occurrences the vocab covers as ONE symbol)
+    * — the production question "which slice of my mixture does the
+    * trained tokenizer fit worst?", answered from the PERSISTED
+    * vocabulary without re-running the merge loop. Ratios are integer
+    * ppm rationals (sum * 1e6 div count) like q_text_tfidf's IDF —
+    * both engines compute them bit-identically. Scale shape: one
+    * corpus explode + broadcast vocab join + source-cardinality agg;
+    * only (source, counters) cross the exchange. */
+  def qBpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val finalW = s.read.parquet(s"${ensureVocab(s, dir)}/vocab")
+    val vocab = finalW.select(col("token"),
+      size(split(expr("substring(syms, 2, length(syms) - 2)"), "\\|\\|"))
+        .cast("long").as("nsym"))
+    Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(vocab), "token")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+           sum(col("nsym")).as("n_pieces"),
+           sum(when(col("nsym") === 1L, 1L).otherwise(0L)).as("n_whole"))
+      .select(col("source"), col("n_words"), col("n_pieces"), col("n_whole"),
+        expr("n_pieces * 1000000 div n_words").as("fertility_ppm"),
+        expr("n_whole * 1000000 div n_words").as("whole_word_ppm"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> (qBpeTrain _),
     "q_bpe_tokenize" -> (qBpeTokenize _),
+    "q_bpe_fertility" -> (qBpeFertility _),
   )
 
   /** Unrolled k-round CTE: same histogram, same wrapped-string merge
@@ -225,8 +255,29 @@ object Bpe {
        |WHERE dw.token <> ''
        |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
 
+  private lazy val fertilitySql: String =
+    s"""$trainCtes,
+       |vocab AS (
+       |  SELECT token,
+       |    CAST(LEN(STRING_SPLIT(SUBSTRING(syms, 2, LENGTH(syms) - 2),
+       |                          '||')) AS BIGINT) AS nsym
+       |  FROM w$K),
+       |dw AS (
+       |  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS token
+       |  FROM documents)
+       |SELECT dw.source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(v.nsym) AS BIGINT) AS n_pieces,
+       |  CAST(COUNT(*) FILTER (WHERE v.nsym = 1) AS BIGINT) AS n_whole,
+       |  CAST(SUM(v.nsym) * 1000000 // COUNT(*) AS BIGINT) AS fertility_ppm,
+       |  CAST(COUNT(*) FILTER (WHERE v.nsym = 1) * 1000000 // COUNT(*)
+       |    AS BIGINT) AS whole_word_ppm
+       |FROM dw JOIN vocab v ON v.token = dw.token
+       |WHERE dw.token <> ''
+       |GROUP BY dw.source ORDER BY dw.source""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_bpe_train" -> trainSql,
     "q_bpe_tokenize" -> tokenizeSql,
+    "q_bpe_fertility" -> fertilitySql,
   )
 }

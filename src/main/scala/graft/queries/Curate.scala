@@ -393,7 +393,44 @@ object Curate {
       .orderBy("pos")
   }
 
+  /** Deterministic fractional epoch upsampling — the multi-epoch
+    * mixture knob (small high-quality sources repeated more often per
+    * training epoch, à la the published LLaMA / DoReMi recipes): each
+    * source gets factor sqrt(mass_max/mass_src) >= 1 where mass is
+    * the source's total character count (token budget, not doc count
+    * — doc counts are uniform in this corpus, so a count-based factor
+    * would degenerate to the identity), and a document is emitted
+    * floor(factor) times plus one more iff its Knuth-hash fraction
+    * falls under the fractional part — so realized copies are exact
+    * per doc and the expected source mass matches the target factor.
+    * All arithmetic is integer ppm after one correctly-rounded IEEE
+    * sqrt (sqrt, unlike ln/exp, is exact in both engines — same
+    * discipline as [[qMixTemperature]]). Scale shape: the factor
+    * table is source-cardinality-sized and broadcast; the replication
+    * is a narrow sequence+explode with NO shuffle — the inherent
+    * output-size multiplication is the op's purpose, not overhead. */
+  def qMixEpochUpsample(s: SparkSession, dir: String): DataFrame = {
+    import graft.sql.Det.lcgBucket
+    val per = Tables.documents(s, dir)
+      .groupBy("source").agg(sum(col("n_chars")).as("m"))
+    val mx = per.agg(max(col("m")).as("m_max"))
+    val fac = per.crossJoin(broadcast(mx))
+      .select(col("source"),
+        floor(sqrt(col("m_max").cast("double") / col("m").cast("double"))
+          * 1e6).cast("long").as("f_ppm"))
+    Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .join(broadcast(fac), "source")
+      .withColumn("n_copies",
+        expr("f_ppm div 1000000") +
+          when(lcgBucket(col("doc_id"), 1000000) <
+            col("f_ppm") % lit(1000000L), 1L).otherwise(0L))
+      .select(col("source"), col("doc_id"), col("f_ppm"),
+        explode(expr("sequence(1L, n_copies)")).as("copy_id"))
+      .orderBy("source", "doc_id", "copy_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_epoch_upsample" -> (qMixEpochUpsample _),
     "q_corpus_shuffle" -> (qCorpusShuffle _),
     "q_sample_weighted" -> (qSampleWeighted _),
     "q_mix_budget" -> (qMixBudget _),
@@ -411,6 +448,27 @@ object Curate {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mix_epoch_upsample" ->
+      s"""WITH per AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS m
+         |  FROM documents GROUP BY source),
+         |mx AS (SELECT MAX(m) AS m_max FROM per),
+         |fac AS (SELECT source,
+         |  CAST(FLOOR(SQRT(CAST(m_max AS DOUBLE) / CAST(m AS DOUBLE))
+         |    * 1000000) AS BIGINT) AS f_ppm
+         |  FROM per, mx),
+         |d AS (SELECT dd.source, dd.doc_id, f.f_ppm,
+         |  f.f_ppm // 1000000 +
+         |  CASE WHEN ${D.lcgBucket("dd.doc_id", 1000000)} < f.f_ppm % 1000000
+         |       THEN 1 ELSE 0 END AS n_copies
+         |  FROM documents dd JOIN fac f ON f.source = dd.source)
+         |SELECT source, doc_id, f_ppm, CAST(g.i AS BIGINT) AS copy_id
+         |-- series bound 64 copies/doc (= factor sqrt(n_max/n) up to 64,
+         |-- i.e. a 4096x source-size spread; the synthetic mixtures sit
+         |-- near 1) — DuckDB's GENERATE_SERIES takes no lateral bound,
+         |-- so fixed bound + WHERE, like the 512-token chunking oracles
+         |FROM d, GENERATE_SERIES(1, 64) AS g(i)
+         |WHERE g.i <= n_copies
+         |ORDER BY source, doc_id, copy_id""".stripMargin,
     "q_sample_weighted" ->
       """SELECT pos, doc_id, w, prio FROM (
         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY prio, doc_id) AS BIGINT)

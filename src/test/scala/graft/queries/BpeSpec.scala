@@ -107,4 +107,25 @@ class BpeSpec extends SparkSpec {
       assert(reapplied === toks, s"word '$word' re-tokenized differently")
     }
   }
+
+  test("q_bpe_fertility is consistent with the tokenize face") {
+    val dir = sf("sf0.01")
+    val fert = Bpe.qBpeFertility(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(fert.nonEmpty)
+    fert.foreach { case (src, nWords, nPieces, nWhole, fPpm, wPpm) =>
+      assert(nPieces >= nWords, s"$src: fewer pieces than words")
+      assert(nWhole <= nWords, s"$src: whole-word count exceeds words")
+      assert(fPpm == nPieces * 1000000L / nWords, s"$src: fertility ppm")
+      assert(wPpm == nWhole * 1000000L / nWords, s"$src: whole-word ppm")
+      assert(fPpm >= 1000000L && wPpm <= 1000000L, s"$src: ppm bounds")
+    }
+    // corpus totals must agree with the per-doc tokenize face exactly
+    val tok = Bpe.qBpeTokenize(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_words"),
+           org.apache.spark.sql.functions.sum("n_bpe")).collect()(0)
+    assert(fert.map(_._2).sum == tok.getLong(0), "total word count differs")
+    assert(fert.map(_._3).sum == tok.getLong(1), "total piece count differs")
+  }
 }

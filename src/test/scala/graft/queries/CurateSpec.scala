@@ -197,4 +197,36 @@ class CurateSpec extends SparkSpec {
       assert(k === java.lang.Long.remainderUnsigned(d * 2654435761L, 4294967296L))
     }
   }
+
+  test("q_mix_epoch_upsample matches brute-force fractional replication") {
+    val dir = sf("sf0.01") // sf0.001 masses may be too uniform to exercise
+    val rows = Curate.qMixEpochUpsample(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute-force factor per source from the raw table
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val mass = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val mMax = mass.values.max
+    val fppm = mass.view.mapValues(m =>
+      math.floor(math.sqrt(mMax.toDouble / m.toDouble) * 1e6).toLong).toMap
+    // per-doc expected copy count: floor + hash-fraction extra
+    val got = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    docs.foreach { case (d, src, _) =>
+      val f = fppm(src)
+      val frac = java.lang.Long.remainderUnsigned(d * 2654435761L,
+        4294967296L) % 1000000L
+      val want = f / 1000000L + (if (frac < f % 1000000L) 1L else 0L)
+      assert(got(d).toLong == want, s"doc $d: ${got(d)} copies, want $want")
+    }
+    // the factor column is the source's factor; copy ids are 1..n dense
+    rows.groupBy(_._2).foreach { case (d, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1L to rs.length).toSeq,
+        s"doc $d copy ids not dense")
+      rs.foreach { case (src, _, f, _) => assert(f == fppm(src)) }
+    }
+    // non-degeneracy: the corpus must actually exercise replication
+    assert(rows.length > docs.length,
+      "no doc was upsampled — factor table degenerated to identity")
+  }
 }
