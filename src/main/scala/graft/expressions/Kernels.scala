@@ -25,7 +25,7 @@ object Kernels {
   def all: Seq[Registration] =
     VectorOps.registrations ++ ShingleOps.registrations ++
       TextRep.registrations ++ VecSum6.registrations ++
-      RollingFingerprint.registrations
+      RollingFingerprint.registrations ++ MisraGries.registrations
 
   def registerAll(spark: SparkSession, rs: Seq[Registration]): Unit =
     rs.foreach { case (id, info, builder) =>

@@ -399,7 +399,48 @@ object Aggs {
       .orderBy("ym", "pct")
   }
 
+  /** EXACT heavy hitters by the two-pass bounded-state algorithm:
+    * pass 1 is a [[graft.expressions.MisraGries]] summary (k=192
+    * counters per partial, merged with the bound-preserving offset
+    * subtraction), whose survivors are PROVABLY a superset of every
+    * key with frequency > n/193; pass 2 recounts only those <=192
+    * candidates — the IN-filter pushes to the parquet scan — and
+    * applies the true threshold count*125 > n. Output is therefore
+    * exactly {user_id : freq > n/125}, independent of partitioning,
+    * which is what keeps a sketch-shaped plan under the DuckDB oracle.
+    *
+    * 100 TB story: `groupBy(user_id).count` shuffles one record per
+    * distinct user — the domain is the problem at scale. Here the
+    * shuffle carries <=k counters per map partial (a few KB total),
+    * the candidate list is a driver-side constant (same tiny-action
+    * shape as the quantile store's bin edges), and the recount scans
+    * with a pushed 192-key IN filter and aggregates a 192-key domain.
+    * State is O(k) regardless of distinct-key count.
+    *
+    * Fixture note: the synthetic corpus spreads events nearly evenly
+    * over its users, so the 1/125-of-traffic threshold yields 9 users
+    * at sf0.01 (the oracle-gate scale) and — correctly — an empty set
+    * at sf0.1/10x, where no user holds 1/125 of a 10x-larger stream.
+    * The semantics (fraction-of-total, the standard HH definition) are
+    * what a zipf-distributed production stream needs; both engines
+    * agree at every scale either way. */
+  def qAggHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.MisraGries.register(s)
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val pass1 = ev
+      .agg(expr("graft_misra_gries(user_id, 192)").as("cand"),
+           count(lit(1)).as("n")).head()
+    val cand = pass1.getSeq[Long](0)
+    val n = pass1.getLong(1)
+    ev.filter(col("user_id").isInCollection(cand))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") * 125L > lit(n))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_heavy_hitters" -> (qAggHeavyHitters _),
     "q_agg_quantile_persisted" -> (qAggQuantilePersisted _),
     "q_agg_hll_persisted" -> (qAggHllPersisted _),
     "q_agg_hll_partitioned" -> (qAggHllPartitioned _),
@@ -426,6 +467,12 @@ object Aggs {
     s"CAST($discPriceSql * (CAST(1 AS DECIMAL(18,6)) + ${D.dec("l_tax")}) AS DECIMAL(18,6))"
 
   val oracle: Map[String, String] = Map(
+    "q_agg_heavy_hitters" ->
+      """SELECT user_id, COUNT(*) AS n_events
+        |FROM events
+        |GROUP BY user_id
+        |HAVING COUNT(*) * 125 > (SELECT COUNT(*) FROM events)
+        |ORDER BY user_id""".stripMargin,
     "q_agg_weighted_median" ->
       """WITH hist AS (
         |  SELECT l_returnflag, CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,

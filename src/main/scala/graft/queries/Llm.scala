@@ -848,6 +848,24 @@ object Llm {
       .orderBy("cluster_id")
   }
 
+  /** [[qDedupClustersConverged]] computed by the SKEW-SAFE loop:
+    * alternating large-star/small-star (Kiveris et al., the rewrite
+    * that splits hub neighborhoods across rounds instead of funneling
+    * a power-law component through one node's aggregation). Both
+    * algorithms converge to component-min labels, so this face shares
+    * the converged face's exact-transitive-closure oracle VERBATIM —
+    * putting the path a boilerplate-heavy crawl actually needs under
+    * the same hash-exact gate, not just under the equality spec. */
+  def qDedupClustersBigstar(s: SparkSession, dir: String): DataFrame = {
+    val pairs = bandedPairsStored(s, dir)
+    ConnectedComponents.labelsAlternating(pairs, "da", "db")
+      .groupBy(col("lab").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("id")).as("canonical_doc"),
+           max(col("id")).as("max_doc"))
+      .orderBy("cluster_id")
+  }
+
   /** The APPLY step of near-dedup — the filtered-corpus view a training
     * run actually reads: drop every clustered doc except its
     * component-min canonical, keep all unclustered docs, report
@@ -1011,6 +1029,7 @@ object Llm {
     "q_sim_knn_all" -> (qSimKnnAll _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_dedup_clusters_converged" -> (qDedupClustersConverged _),
+    "q_dedup_clusters_bigstar" -> (qDedupClustersBigstar _),
     "q_dedup_keep_canonical" -> (qDedupKeepCanonical _),
     "q_mm_meta" -> (qMmMeta _),
   )
@@ -1251,6 +1270,13 @@ object Llm {
     // fixpoint face: exact transitive closure (WITH RECURSIVE), so the
     // oracle too is diameter-unbounded — labels are the component min
     "q_dedup_clusters_converged" ->
+      s"""$convergedLabCte
+         |SELECT lab AS cluster_id, COUNT(*) AS n_docs,
+         |  MIN(id) AS canonical_doc, MAX(id) AS max_doc
+         |FROM lab GROUP BY lab ORDER BY cluster_id""".stripMargin,
+    // the big-star face converges to the same component-min labels, so
+    // it shares the exact-closure oracle verbatim
+    "q_dedup_clusters_bigstar" ->
       s"""$convergedLabCte
          |SELECT lab AS cluster_id, COUNT(*) AS n_docs,
          |  MIN(id) AS canonical_doc, MAX(id) AS max_doc
@@ -1621,6 +1647,85 @@ object Llm {
        |  FROM mxp GROUP BY passage)
        |SELECT passage, maxsim FROM scp
        |ORDER BY maxsim DESC, passage ASC LIMIT 5""".stripMargin
+
+  /** Unrolled per-subspace Lloyd + ADC oracle for q_sim_ann_pq: for
+    * each of the 4 16-dim subspaces, seed codebook from vec_id<8
+    * subvectors, 3 (assign, mean) rounds at the same quantization
+    * points as the engine (DECIMAL(18,6) squared-diff terms, exact
+    * decimal means, double division), final codes under the converged
+    * codebook, LUT = exact subspace distances from query vec 0.
+    * adist2 adds the 4 LUT doubles in fixed subspace order — the same
+    * left-associated order as the Spark plan, so doubles match
+    * bit-for-bit. Multiply-referenced CTEs are MATERIALIZED (the
+    * round-12 10x scale-safety lesson: DuckDB default-inlines CTEs,
+    * re-evaluating the whole Lloyd chain per reference). */
+  private[queries] lazy val pqAdcSql: String = {
+    def assignCte(j: Int, t: Int, prev: String): String =
+      s"""s${j}d$t AS (
+         |  SELECT e.vec_id, c.cid,
+         |    CAST(SUM(CAST((CAST(e.embedding[c.pos] AS DOUBLE) - c.c)
+         |      * (CAST(e.embedding[c.pos] AS DOUBLE) - c.c) AS DECIMAL(18,6))) AS DOUBLE) AS dist2
+         |  FROM embeddings e, $prev c
+         |  GROUP BY e.vec_id, c.cid),
+         |s${j}a$t AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
+         |    FROM s${j}d$t) WHERE rn = 1)""".stripMargin
+    def centCte(j: Int, t: Int, prev: String): String = {
+      val lo = j * 16 + 1; val hi = (j + 1) * 16
+      s"""s${j}c$t AS MATERIALIZED (
+         |  SELECT p.cid, p.pos, COALESCE(n.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT a.cid, i AS pos,
+         |      CAST(SUM(${D.decf("e.embedding[i]")}) AS DOUBLE) / COUNT(*) AS c
+         |    FROM s${j}a$t a, embeddings e, GENERATE_SERIES($lo, $hi) AS g$j$t(i)
+         |    WHERE e.vec_id = a.vec_id
+         |    GROUP BY a.cid, i) n ON n.cid = p.cid AND n.pos = p.pos)""".stripMargin
+    }
+    val subs = (0 until 4).map { j =>
+      val lo = j * 16 + 1; val hi = (j + 1) * 16
+      val seed =
+        s"""s${j}c0 AS MATERIALIZED (
+           |  SELECT vec_id AS cid, i AS pos, CAST(embedding[i] AS DOUBLE) AS c
+           |  FROM embeddings, GENERATE_SERIES($lo, $hi) AS g${j}0(i)
+           |  WHERE vec_id < 16)""".stripMargin
+      val iters = (1 to 3).map(t =>
+        assignCte(j, t, s"s${j}c${t - 1}") + ",\n" +
+          centCte(j, t, s"s${j}c${t - 1}")).mkString(",\n")
+      val fin = assignCte(j, 4, s"s${j}c3")
+      val lutCte =
+        s"""s${j}lut AS (
+           |  SELECT c.cid,
+           |    CAST(SUM(CAST((CAST(q.embedding[c.pos] AS DOUBLE) - c.c)
+           |      * (CAST(q.embedding[c.pos] AS DOUBLE) - c.c) AS DECIMAL(18,6))) AS DOUBLE) AS qd
+           |  FROM s${j}c3 c, embeddings q WHERE q.vec_id = 0
+           |  GROUP BY c.cid)""".stripMargin
+      Seq(seed, iters, fin, lutCte).mkString(",\n")
+    }.mkString(",\n")
+    s"""WITH $subs,
+       |adist AS (
+       |  SELECT a0.vec_id, l0.qd + l1.qd + l2.qd + l3.qd AS adist2
+       |  FROM s0a4 a0
+       |  JOIN s1a4 a1 ON a1.vec_id = a0.vec_id
+       |  JOIN s2a4 a2 ON a2.vec_id = a0.vec_id
+       |  JOIN s3a4 a3 ON a3.vec_id = a0.vec_id
+       |  JOIN s0lut l0 ON l0.cid = a0.cid
+       |  JOIN s1lut l1 ON l1.cid = a1.cid
+       |  JOIN s2lut l2 ON l2.cid = a2.cid
+       |  JOIN s3lut l3 ON l3.cid = a3.cid),
+       |cand AS (
+       |  SELECT vec_id FROM adist ORDER BY adist2 ASC, vec_id ASC LIMIT 64),
+       |rr AS (
+       |  SELECT e.vec_id,
+       |    CAST(SUM(CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+       |      * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS dist2
+       |  FROM embeddings e JOIN cand ON cand.vec_id = e.vec_id,
+       |       embeddings q, GENERATE_SERIES(1, 64) AS grr(i)
+       |  WHERE q.vec_id = 0 GROUP BY e.vec_id)
+       |SELECT vec_id, dist2 FROM rr
+       |ORDER BY dist2 ASC, vec_id ASC LIMIT 10""".stripMargin
+  }
 
   private lazy val cosineSql: String =
     s"""WITH per AS (

@@ -34,9 +34,43 @@ object Scans {
               col("l_extendedprice"))
       .orderBy("l_orderkey", "l_linenumber", "ship_epoch", "l_extendedprice")
 
+  private val profileCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** ONE-PASS column profiler — the table-health scan every ingest
+    * pipeline runs before training jobs consume a drop: per column,
+    * row count, null count, EXACT distinct count, min and max. All
+    * seven columns' statistics come from a single aggregate over a
+    * single scan (Catalyst plans the multi-count-distinct via one
+    * Expand: rows fan out x(cols+1) BEFORE the map-side partial agg,
+    * so the shuffle still carries only (gid, value) partials — one
+    * pass, not seven). The wide one-row aggregate is then unpivoted
+    * with stack() into the (col_name, stats) long form a catalog
+    * stores. At 100 TB exact NDV on every column is a deliberate
+    * choice: when approximate suffices, the HLL sketch store
+    * (q_agg_hll_persisted) is the serve-many path; this is the exact
+    * one-shot audit. */
+  def qScanProfile(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val aggs = profileCols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c).cast("double")).as(s"mn_$c"),
+          max(col(c).cast("double")).as(s"mx_$c"))
+    }
+    val wide = l.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stackArgs = profileCols
+      .map(c => s"'$c', n_rows, n_rows - nn_$c, nd_$c, mn_$c, mx_$c")
+      .mkString(", ")
+    wide.select(expr(s"stack(${profileCols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_null, n_distinct, min_v, max_v)"))
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_project" -> (qScanProject _),
     "q_scan_filter_prune" -> (qScanFilterPrune _),
+    "q_scan_profile" -> (qScanProfile _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -50,5 +84,19 @@ object Scans {
          |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
          |  AND l_shipdate <  TIMESTAMP '1997-07-01'
          |ORDER BY l_orderkey, l_linenumber, ship_epoch, l_extendedprice""".stripMargin,
+    "q_scan_profile" -> {
+      val per = profileCols.map { c =>
+        s"""SELECT '$c' AS col_name, n.n_rows AS n_rows,
+           |  n.n_rows - COUNT($c) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_v,
+           |  CAST(MAX($c) AS DOUBLE) AS max_v
+           |FROM lineitem, n GROUP BY n.n_rows""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem)
+         |SELECT * FROM (
+         |$per
+         |) ORDER BY col_name""".stripMargin
+    },
   )
 }

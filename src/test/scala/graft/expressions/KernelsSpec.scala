@@ -30,7 +30,9 @@ class KernelsSpec extends SparkSpec {
       "graft_text_rep" -> "SELECT graft_text_rep('a b a b c').n_tokens",
       "graft_fingerprint" -> "SELECT graft_fingerprint('hello world')",
       "graft_vecsum6" ->
-        "SELECT graft_vecsum6(e) FROM (SELECT array(1.0D, 2.0D) AS e)")
+        "SELECT graft_vecsum6(e) FROM (SELECT array(1.0D, 2.0D) AS e)",
+      "graft_misra_gries" ->
+        "SELECT graft_misra_gries(k, 4) FROM (SELECT explode(array(1L, 1L, 2L)) AS k)")
     val missing = Kernels.all.map(_._1.funcName).toSet -- calls.keySet
     assert(missing.isEmpty, s"no smoke call for: $missing")
     calls.foreach { case (name, sql) =>

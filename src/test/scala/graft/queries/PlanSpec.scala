@@ -31,6 +31,32 @@ class PlanSpec extends SparkSpec {
       s"columns not pruned:\n$p")
   }
 
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allNodes(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      allNodes(s.plan)
+    case other => other +: other.children.flatMap(allNodes)
+  }
+
+  test("q_scan_profile reads lineitem exactly once (one-pass profiler)") {
+    val df = Scans.qScanProfile(spark, sf("sf0.001"))
+    df.collect()
+    val scans = allNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"expected 1 lineitem scan, got ${scans.size}")
+  }
+
+  test("q_agg_heavy_hitters pushes the candidate IN-filter into the recount scan") {
+    val df = Aggs.qAggHeavyHitters(spark, sf("sf0.001"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(user_id"),
+      s"candidate IN-filter not pushed:\n$p")
+  }
+
   test("q_join_broadcast and q_join_multiway broadcast the dimension sides") {
     val pb = finalPlan(Joins.qJoinBroadcast(spark, sf("sf0.001")))
     assert(pb.contains("BroadcastHashJoin"), s"no broadcast join:\n$pb")
