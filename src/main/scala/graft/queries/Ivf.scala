@@ -370,16 +370,12 @@ object Ivf {
     * graft_sqdist12 / exact-decimal-mean quantization points, the 4
     * LUT doubles add in fixed subspace order, so the unrolled
     * per-subspace Lloyd oracle matches bit-for-bit. */
-  def qSimAnnPq(s: SparkSession, dir: String): DataFrame = {
-    graft.expressions.VectorOps.register(s)
-    graft.expressions.VecSum6.register(s)
-    val m = 4; val sub = 16
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
-    // one broadcast row: per-subspace sorted (cid, cvec, qd) arrays,
-    // qd = exact subspace distance from the query (the ADC LUT).
-    // 16 codes/subspace: 8 left ADC recall@10 at 4/10 on the fixture;
-    // 16 reaches 7/10 (PqSpec) at still 4 B/vector
+  /** The ADC LUT packed into ONE broadcastable row: per-subspace
+    * sorted (cid, cvec, qd) arrays, qd = exact subspace distance from
+    * the query. 16 codes/subspace: 8 left ADC recall@10 at 4/10 on the
+    * fixture; 16 reaches 7/10 (PqSpec) at still 4 B/vector. */
+  private def pqLutPacked(e: DataFrame, q0: DataFrame,
+                          m: Int, sub: Int): DataFrame = {
     val lut = pqCodebooks(e, m, sub, k = 16).crossJoin(broadcast(q0))
       .select(col("sub"), col("cid"), col("cvec"),
         expr(s"graft_sqdist12(slice(qemb, sub * $sub + 1, $sub), cvec)")
@@ -388,30 +384,81 @@ object Ivf {
       expr(s"sort_array(collect_list(CASE WHEN sub = $j THEN " +
         "struct(cid, cvec, qd) END))").as(s"carr$j")
     }
-    val packed = lut.agg(carrCols.head, carrCols.tail: _*)
-    val encoded = e.crossJoin(broadcast(packed)).select(
-      col("vec_id") +: (0 until m).map { j =>
-        expr(s"array_min(transform(carr$j, c -> named_struct(" +
-          s"'d', graft_sqdist12(slice(embedding, $j * $sub + 1, $sub), c.cvec)," +
-          s" 'cid', c.cid, 'qd', c.qd)))").as(s"m$j")
-      }: _*)
-    val cand = encoded
+    lut.agg(carrCols.head, carrCols.tail: _*)
+  }
+
+  /** Encode + ADC in one narrow pass over `members` (no shuffle): each
+    * row's m per-subspace argmin codes read their LUT entries off the
+    * broadcast `packed` row; approximate distance adds the m doubles
+    * in fixed subspace order (oracle-matching associativity). Returns
+    * the ADC top-`c` candidate ids. */
+  private def pqAdcTop(members: DataFrame, packed: DataFrame,
+                       m: Int, sub: Int, c: Int): DataFrame =
+    members.crossJoin(broadcast(packed)).select(
+        col("vec_id") +: (0 until m).map { j =>
+          expr(s"array_min(transform(carr$j, c -> named_struct(" +
+            s"'d', graft_sqdist12(slice(embedding, $j * $sub + 1, $sub), c.cvec)," +
+            s" 'cid', c.cid, 'qd', c.qd)))").as(s"m$j")
+        }: _*)
       .select(col("vec_id"),
-        (col("m0.qd") + col("m1.qd") + col("m2.qd") + col("m3.qd"))
-          .as("adist2"))
+        (0 until m).map(j => col(s"m$j.qd")).reduce(_ + _).as("adist2"))
       .orderBy(col("adist2").asc, col("vec_id").asc)
-      .limit(64)
+      .limit(c)
       .select("vec_id")
+
+  /** Exact-distance re-rank of a bounded candidate id list: broadcast
+    * the ids back onto the raw vectors, top-10 by true distance. */
+  private def pqRerank(e: DataFrame, q0: DataFrame,
+                       cand: DataFrame): DataFrame =
     e.join(broadcast(cand), Seq("vec_id"))
       .crossJoin(broadcast(q0))
       .select(col("vec_id"),
         expr("graft_sqdist12(embedding, qemb)").as("dist2"))
       .orderBy(col("dist2").asc, col("vec_id").asc)
       .limit(10)
+
+  def qSimAnnPq(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.VectorOps.register(s)
+    graft.expressions.VecSum6.register(s)
+    val m = 4; val sub = 16
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+    val packed = pqLutPacked(e, q0, m, sub)
+    pqRerank(e, q0, pqAdcTop(e, packed, m, sub, 64))
+  }
+
+  /** The COMPOSED FAISS-style IVFADC pipeline — all three stages of a
+    * deployed 100 TB ANN service in one declarative plan:
+    * (1) COARSE PRUNE: the learned 8-cell IVF quantizer assigns the
+    * corpus, the query probes its nprobe=2 nearest cells — candidate
+    * pool is corpus/k*nprobe, never the corpus (at scale this is the
+    * partition-pruned inverted-list read the saved-index faces pin);
+    * (2) PQ ADC SCAN: the probed members' 4-byte codes are scored
+    * against the broadcast LUT — compressed-domain arithmetic only,
+    * raw vectors untouched; ADC top-32 survive;
+    * (3) EXACT RE-RANK: 32 raw vectors re-scored for the true top-10.
+    * Oracle: the ivf Lloyd CTE chain and the per-subspace PQ CTE chain
+    * COMPOSED (they share no CTE names), probe-2 cell selection as in
+    * q_sim_ann_ivf_probe2, re-rank from the dq exact-distance CTE —
+    * bit-exact at every quantization point. */
+  def qSimAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.VectorOps.register(s)
+    graft.expressions.VecSum6.register(s)
+    val m = 4; val sub = 16
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+    val cent = Llm.ivfLearnedCentroids(e)
+    val members = Llm.ivfAssign(e, cent)
+      .join(broadcast(Llm.ivfQueryCells(q0, cent, 2)),
+        col("cid") === col("qcid"))
+      .select("vec_id", "embedding")
+    val packed = pqLutPacked(e, q0, m, sub)
+    pqRerank(e, q0, pqAdcTop(members, packed, m, sub, 32))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_ann_pq" -> (qSimAnnPq _),
+    "q_sim_ann_ivfpq" -> (qSimAnnIvfPq _),
     "q_sim_ann_ivf_indexed" -> (qSimAnnIvfIndexed _),
     "q_sim_ann_ivf_probe2" -> (qSimAnnIvfProbe2 _),
     "q_sim_ann_ivf_batch" -> (qSimAnnIvfBatch _),
@@ -422,6 +469,7 @@ object Ivf {
   /** Indexed face bit-identical to the learned face by construction. */
   val oracle: Map[String, String] = Map(
     "q_sim_ann_pq" -> Llm.pqAdcSql,
+    "q_sim_ann_ivfpq" -> Llm.ivfPqSql,
     "q_sim_ann_ivf_indexed" -> Llm.ivfLearnedSql,
     "q_sim_ann_ivf_probe2" -> Llm.ivfProbe2Sql,
     "q_sim_ann_ivf_batch" -> Llm.ivfBatchSql,

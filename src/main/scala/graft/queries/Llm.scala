@@ -1659,7 +1659,7 @@ object Llm {
     * bit-for-bit. Multiply-referenced CTEs are MATERIALIZED (the
     * round-12 10x scale-safety lesson: DuckDB default-inlines CTEs,
     * re-evaluating the whole Lloyd chain per reference). */
-  private[queries] lazy val pqAdcSql: String = {
+  private lazy val pqSubCtes: String = {
     def assignCte(j: Int, t: Int, prev: String): String =
       s"""s${j}d$t AS (
          |  SELECT e.vec_id, c.cid,
@@ -1703,17 +1703,27 @@ object Llm {
            |  GROUP BY c.cid)""".stripMargin
       Seq(seed, iters, fin, lutCte).mkString(",\n")
     }.mkString(",\n")
-    s"""WITH $subs,
-       |adist AS (
+    subs
+  }
+
+  /** The ADC score CTE over the per-subspace codes/LUTs, restricted to
+    * `memJoin` (empty = whole corpus). */
+  private def pqAdistCte(memJoin: String): String =
+    s"""adist AS (
        |  SELECT a0.vec_id, l0.qd + l1.qd + l2.qd + l3.qd AS adist2
        |  FROM s0a4 a0
+       |  $memJoin
        |  JOIN s1a4 a1 ON a1.vec_id = a0.vec_id
        |  JOIN s2a4 a2 ON a2.vec_id = a0.vec_id
        |  JOIN s3a4 a3 ON a3.vec_id = a0.vec_id
        |  JOIN s0lut l0 ON l0.cid = a0.cid
        |  JOIN s1lut l1 ON l1.cid = a1.cid
        |  JOIN s2lut l2 ON l2.cid = a2.cid
-       |  JOIN s3lut l3 ON l3.cid = a3.cid),
+       |  JOIN s3lut l3 ON l3.cid = a3.cid)""".stripMargin
+
+  private[queries] lazy val pqAdcSql: String =
+    s"""WITH $pqSubCtes,
+       |${pqAdistCte("")},
        |cand AS (
        |  SELECT vec_id FROM adist ORDER BY adist2 ASC, vec_id ASC LIMIT 64),
        |rr AS (
@@ -1725,7 +1735,24 @@ object Llm {
        |  WHERE q.vec_id = 0 GROUP BY e.vec_id)
        |SELECT vec_id, dist2 FROM rr
        |ORDER BY dist2 ASC, vec_id ASC LIMIT 10""".stripMargin
-  }
+
+  /** Composed IVFADC oracle: the coarse Lloyd chain (c0..c3, a4, d4,
+    * dq) and the per-subspace PQ chain share no CTE names, so they
+    * concatenate; probe-2 cells as in ivfProbe2Sql, ADC restricted to
+    * the probed members, top-32 survivors re-ranked from the exact dq
+    * distances. */
+  private[queries] lazy val ivfPqSql: String =
+    s"""$ivfLloydCtes,
+       |$pqSubCtes,
+       |qc2 AS (SELECT cid AS qcid FROM d4 WHERE vec_id = 0
+       |        ORDER BY dist2 ASC, cid ASC LIMIT 2),
+       |mem AS (SELECT a.vec_id FROM a4 a JOIN qc2 ON a.cid = qc2.qcid),
+       |${pqAdistCte("JOIN mem ON mem.vec_id = a0.vec_id")},
+       |cand AS (
+       |  SELECT vec_id FROM adist ORDER BY adist2 ASC, vec_id ASC LIMIT 32)
+       |SELECT d.vec_id, d.dist2
+       |FROM dq d JOIN cand ON cand.vec_id = d.vec_id
+       |ORDER BY d.dist2 ASC, d.vec_id ASC LIMIT 10""".stripMargin
 
   private lazy val cosineSql: String =
     s"""WITH per AS (

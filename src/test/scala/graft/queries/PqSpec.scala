@@ -36,6 +36,31 @@ class PqSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("ivfpq results come only from the probed cells and rank sanely") {
+    graft.expressions.VectorOps.register(spark)
+    graft.expressions.VecSum6.register(spark)
+    val dir = sf("sf0.01")
+    val got = Ivf.qSimAnnIvfPq(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 10)
+    // results sorted by exact distance, query itself (dist 0) first
+    assert(got.head._1 === 0L && got.head._2 === 0.0)
+    assert(got.map(_._2).toSeq === got.map(_._2).sorted.toSeq)
+    // subset consistency: every result is a member of the query's
+    // 2 probed coarse cells — the prune stage really prunes
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+    val cent = Llm.ivfLearnedCentroids(e)
+    val memberIds = Llm.ivfAssign(e, cent)
+      .join(broadcast(Llm.ivfQueryCells(q0, cent, 2)),
+        col("cid") === col("qcid"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    got.foreach { case (id, _) =>
+      assert(memberIds.contains(id), s"result $id is not in a probed cell")
+    }
+  }
+
   test("codebooks: 4 subspaces x 16 codes, every vector encodable") {
     graft.expressions.VectorOps.register(spark)
     graft.expressions.VecSum6.register(spark)
