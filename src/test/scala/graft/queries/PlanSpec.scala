@@ -40,13 +40,17 @@ class PlanSpec extends SparkSpec {
     case other => other +: other.children.flatMap(allNodes)
   }
 
-  test("q_scan_profile reads lineitem exactly once (one-pass profiler)") {
+  test("q_scan_profile branches each scan exactly one pruned column") {
     val df = Scans.qScanProfile(spark, sf("sf0.001"))
     df.collect()
     val scans = allNodes(df.queryExecution.executedPlan).collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
-    assert(scans.size == 1, s"expected 1 lineitem scan, got ${scans.size}")
+    assert(scans.size == 7, s"expected 7 per-column scans, got ${scans.size}")
+    scans.foreach { f =>
+      assert(f.requiredSchema.fields.length == 1,
+        s"branch scan not pruned to one column: ${f.requiredSchema}")
+    }
   }
 
   test("q_agg_heavy_hitters pushes the candidate IN-filter into the recount scan") {
