@@ -25,7 +25,8 @@ object Kernels {
   def all: Seq[Registration] =
     VectorOps.registrations ++ ShingleOps.registrations ++
       TextRep.registrations ++ VecSum6.registrations ++
-      RollingFingerprint.registrations ++ MisraGries.registrations
+      RollingFingerprint.registrations ++ MisraGries.registrations ++
+      HilbertOps.registrations
 
   def registerAll(spark: SparkSession, rs: Seq[Registration]): Unit =
     rs.foreach { case (id, info, builder) =>

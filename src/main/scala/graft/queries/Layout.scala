@@ -83,6 +83,38 @@ object Layout {
       .orderBy("z_bucket")
   }
 
+  /** Hilbert-curve layout statistics — the better-locality sibling of
+    * [[qLayoutZorder]]: same min/max-normalized 16-bit ranks of
+    * (l_partkey, l_suppkey), but linearized by the Hilbert index
+    * ([[graft.expressions.HilbertOps.xy2d]], a codegen kernel) instead
+    * of the Morton interleave. Consecutive Hilbert ranks are always
+    * edge-adjacent cells — no power-of-two plane jumps — so a file
+    * range under this sort has a strictly tighter bounding box on
+    * adversarial boxes than the z-order one. Same plan shape: tiny
+    * min/max agg broadcast, one narrow kernel map, 64-group hash agg;
+    * nothing but 64 aggregate rows ever shuffles. Oracle: the same 16
+    * rotate-accumulate rounds unrolled as chained CTEs (linear, one
+    * CTE per round — the expression-substitution form would blow up
+    * exponentially), exact long arithmetic in both engines. */
+  def qLayoutHilbert(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.HilbertOps.register(s)
+    val li = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+    val mm = li.agg(min(col("l_partkey")).as("n1"), max(col("l_partkey")).as("x1"),
+                    min(col("l_suppkey")).as("n2"), max(col("l_suppkey")).as("x2"))
+    li.crossJoin(broadcast(mm))
+      .select(col("l_partkey"), col("l_suppkey"),
+              norm16(col("l_partkey"), col("n1"), col("x1")).as("xn"),
+              norm16(col("l_suppkey"), col("n2"), col("x2")).as("yn"))
+      .select(col("l_partkey"), col("l_suppkey"),
+              expr("graft_hilbert16(xn, yn)").as("h"))
+      .groupBy(shiftright(col("h"), 26).as("h_bucket"))
+      .agg(count(lit(1)).as("n"), min(col("h")).as("h_min"),
+           max(col("h")).as("h_max"),
+           min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+           min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+      .orderBy("h_bucket")
+  }
+
   /** Layout fingerprint of the ship-month-partitioned fact copy —
     * bump on any layout change so a stale artifact is never served. */
   private val factYmVersion = "lineitem-ship-ym-partitioned-v1"
@@ -147,6 +179,7 @@ object Layout {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_layout_hilbert" -> (qLayoutHilbert _),
     "q_layout_zorder" -> (qLayoutZorder _),
     "q_scan_dpp_months" -> (qScanDppMonths _),
   )
@@ -155,7 +188,46 @@ object Layout {
     * operators — bit-for-bit identical integer arithmetic. The DPP
     * oracle reads the ORIGINAL lineitem (the partitioned copy is
     * layout, not semantics — same rows, same months). */
+  /** The 16 Hilbert rotate-accumulate rounds as chained CTEs: each
+    * h{t} carries (keys, x, y, d) forward with the round's exact long
+    * arithmetic (rx/ry quadrant bits, d += s*s*((3rx) xor ry),
+    * flip+swap when ry=0) — the same loop body as HilbertOps.xy2d. */
+  private lazy val hilbertSql: String = {
+    val rounds = (0 until 16).map { t =>
+      val s = 1L << (15 - t)
+      val rx = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+      s"""h${t + 1} AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    CASE WHEN (y & $s) = 0 THEN
+         |      (CASE WHEN (x & $s) > 0 THEN ${s - 1} - y ELSE y END)
+         |    ELSE x END AS x,
+         |    CASE WHEN (y & $s) = 0 THEN
+         |      (CASE WHEN (x & $s) > 0 THEN ${s - 1} - x ELSE x END)
+         |    ELSE y END AS y,
+         |    d + CAST(${s * s} AS BIGINT) * xor(3 * $rx, $ry) AS d
+         |  FROM h$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH mm AS (
+       |  SELECT MIN(l_partkey) AS n1, MAX(l_partkey) AS x1,
+       |         MIN(l_suppkey) AS n2, MAX(l_suppkey) AS x2
+       |  FROM lineitem),
+       |h0 AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    ((l_partkey - n1) * 65535) // GREATEST(x1 - n1, 1) AS x,
+       |    ((l_suppkey - n2) * 65535) // GREATEST(x2 - n2, 1) AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM lineitem, mm),
+       |$rounds
+       |SELECT d >> 26 AS h_bucket, COUNT(*) AS n,
+       |  MIN(d) AS h_min, MAX(d) AS h_max,
+       |  MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+       |  MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+       |FROM h16 GROUP BY 1 ORDER BY h_bucket""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_layout_hilbert" -> hilbertSql,
     "q_scan_dpp_months" ->
       s"""WITH m AS (
          |  SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,

@@ -32,7 +32,8 @@ class KernelsSpec extends SparkSpec {
       "graft_vecsum6" ->
         "SELECT graft_vecsum6(e) FROM (SELECT array(1.0D, 2.0D) AS e)",
       "graft_misra_gries" ->
-        "SELECT graft_misra_gries(k, 4) FROM (SELECT explode(array(1L, 1L, 2L)) AS k)")
+        "SELECT graft_misra_gries(k, 4) FROM (SELECT explode(array(1L, 1L, 2L)) AS k)",
+      "graft_hilbert16" -> "SELECT graft_hilbert16(3L, 4L)")
     val missing = Kernels.all.map(_._1.funcName).toSet -- calls.keySet
     assert(missing.isEmpty, s"no smoke call for: $missing")
     calls.foreach { case (name, sql) =>

@@ -29,6 +29,59 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  /** Reference d2xy (inverse Hilbert walk) — independent of the
+    * kernel's xy2d, so the roundtrip test would catch a transcription
+    * error in either direction. */
+  private def hilbertD2xy(d: Long): (Long, Long) = {
+    var (x, y) = (0L, 0L)
+    var t = d
+    var s = 1L
+    while (s < 65536L) {
+      val rx = 1L & (t / 2)
+      val ry = 1L & (t ^ rx)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4
+      s *= 2
+    }
+    (x, y)
+  }
+
+  test("hilbert kernel round-trips against the independent inverse walk") {
+    // corners, axes, and a pseudo-random scatter of the 2^32 domain
+    val ds = Seq(0L, 1L, 2L, 3L, 65535L, 65536L, (1L << 31) - 1, (1L << 32) - 1) ++
+      (1 to 200).map(i => (i * 0x9E3779B9L) & 0xFFFFFFFFL)
+    ds.foreach { d =>
+      val (x, y) = hilbertD2xy(d)
+      assert(graft.expressions.HilbertOps.xy2d(x, y) == d,
+        s"xy2d(d2xy($d)) != $d")
+    }
+  }
+
+  test("hilbert locality: consecutive indexes are edge-adjacent cells") {
+    // the property Morton lacks (it jumps at power-of-two boundaries)
+    var (px, py) = hilbertD2xy(0L)
+    (1L to 5000L).foreach { d =>
+      val (x, y) = hilbertD2xy(d)
+      assert(math.abs(x - px) + math.abs(y - py) == 1L,
+        s"d=$d: (${px},${py}) -> ($x,$y) is not an edge step")
+      px = x; py = y
+    }
+  }
+
+  test("q_layout_hilbert buckets are index-consistent") {
+    val rows = Layout.qLayoutHilbert(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, hmin, hmax) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(hmin >> 26 == b && hmax >> 26 == b, "bucket boundary violated")
+    }
+  }
+
   test("q_layout_zorder buckets are interleave-consistent") {
     val rows = Layout.qLayoutZorder(spark, sf("sf0.001")).collect()
     assert(rows.nonEmpty)
