@@ -291,7 +291,34 @@ object StreamingQ {
               col("last.value").as("last_value"))
       .orderBy("user_id")
 
+  /** CDC -> SCD TYPE-2 HISTORY — the third face of the changelog
+    * family: where upsert keeps only the latest state and resolved
+    * additionally honors tombstones, SCD2 keeps EVERY version with its
+    * validity interval [valid_from, valid_to) — the
+    * dimension-with-history table every warehouse joins facts against
+    * "as of" a point in time. valid_to is the NEXT change's event time
+    * for the same key (lead over the (tsu, event_id) total order —
+    * exact-ts ties are broken by event_id exactly like the upsert
+    * face), NULL while current. The per-key window shuffles each row
+    * once, keyed by user — unavoidable and right: SCD2 materializes
+    * every version by definition, and the partitionBy distributes
+    * keys; no global sort anywhere. */
+  def qStreamCdcScd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tsu").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"),
+              col("event_id"), col("event_type"), col("value"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              col("value"), col("tsu").as("valid_from_us"),
+              lead(col("tsu"), 1).over(w).as("valid_to_us"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .orderBy("user_id", "valid_from_us", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_cdc_scd2" -> (qStreamCdcScd2 _),
     "q_stream_cdc_resolved" -> (qStreamCdcResolved _),
     "q_stream_cdc_upsert" -> (qStreamCdcUpsert _),
     "q_stream_topk" -> (qStreamTopk _),
@@ -330,6 +357,15 @@ object StreamingQ {
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
+    "q_stream_cdc_scd2" ->
+      """SELECT user_id, event_id, event_type, value,
+        |  epoch_us(ts) AS valid_from_us,
+        |  LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS valid_to_us,
+        |  LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events
+        |ORDER BY user_id, valid_from_us, event_id""".stripMargin,
     "q_stream_cdc_upsert" ->
       """SELECT user_id, epoch_us(ts) AS last_tsu, event_id AS last_event_id,
         |  event_type AS last_type, value AS last_value

@@ -322,6 +322,33 @@ class StreamingSpec extends SparkSpec {
       s"late stale row for an expired key must not emit: $key1Emits")
   }
 
+  test("SCD2 history partitions each key's timeline and agrees with the upsert face") {
+    val dir = sf("sf0.001")
+    val scd = graft.queries.StreamingQ.qStreamCdcScd2(spark, dir).collect()
+    // exactly one current row per key, intervals chain with no gap:
+    // each version's valid_to equals the next version's valid_from
+    val byKey = scd.groupBy(_.getLong(0))
+    byKey.foreach { case (k, rows) =>
+      val cur = rows.filter(_.getBoolean(6))
+      assert(cur.length == 1, s"user $k has ${cur.length} current rows")
+      val sorted = rows.sortBy(r => (r.getLong(4), r.getLong(1)))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(5) && a.getLong(5) == b.getLong(4),
+            s"user $k: interval chain broken at ${a.getLong(4)}")
+        case _ =>
+      }
+      assert(sorted.last.isNullAt(5), s"user $k: last version not open-ended")
+    }
+    // the is_current slice IS the upsert face's state table
+    val upsert = graft.queries.StreamingQ.qStreamCdcUpsert(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val currents = scd.filter(_.getBoolean(6))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(currents === upsert,
+      "SCD2 current rows diverge from the upsert compaction")
+  }
+
   test("stateful dedup collapses duplicate event ids in-stream") {
     val s = spark
     import s.implicits._
