@@ -370,13 +370,37 @@ object Ivf {
     * graft_sqdist12 / exact-decimal-mean quantization points, the 4
     * LUT doubles add in fixed subspace order, so the unrolled
     * per-subspace Lloyd oracle matches bit-for-bit. */
+  /** PQ codebook fingerprint — bump on any trainer/layout change so a
+    * persisted codebook table can never serve stale centroids. */
+  private val pqVersion = "pq-m4s16k16-lloyd3-v1"
+
+  /** Train-once/serve-many PQ codebooks (the same ArtifactStore
+    * lifecycle as the IVF index, BPE vocab, and sketch tables): the
+    * 64-row (sub, cid, cvec) table is content-keyed on the embeddings
+    * file + trainer fingerprint and atomically published; every PQ
+    * query serves from it without retraining. Training is
+    * bit-deterministic (exact-decimal means), so serving the stored
+    * table is value-identical to in-query training — which is what
+    * keeps the unrolled-Lloyd oracles valid against the stored path
+    * (the same argument as q_sim_ann_ivf_indexed vs _learned). */
+  private[queries] def ensurePqCodebooks(s: SparkSession, dir: String,
+                                         m: Int = 4, sub: Int = 16): String =
+    ArtifactStore.ensure(ArtifactStore.cachePath("pq",
+      ArtifactStore.contentKey(s"$dir/embeddings.parquet", pqVersion))) {
+      tmp =>
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+        pqCodebooks(e, m, sub, k = 16).coalesce(1)
+          .write.mode("overwrite").parquet(s"$tmp/codebooks")
+    }
+
   /** The ADC LUT packed into ONE broadcastable row: per-subspace
     * sorted (cid, cvec, qd) arrays, qd = exact subspace distance from
     * the query. 16 codes/subspace: 8 left ADC recall@10 at 4/10 on the
     * fixture; 16 reaches 7/10 (PqSpec) at still 4 B/vector. */
-  private def pqLutPacked(e: DataFrame, q0: DataFrame,
+  private def pqLutPacked(cb: DataFrame, q0: DataFrame,
                           m: Int, sub: Int): DataFrame = {
-    val lut = pqCodebooks(e, m, sub, k = 16).crossJoin(broadcast(q0))
+    val lut = cb.crossJoin(broadcast(q0))
       .select(col("sub"), col("cid"), col("cvec"),
         expr(s"graft_sqdist12(slice(qemb, sub * $sub + 1, $sub), cvec)")
           .as("qd"))
@@ -423,8 +447,8 @@ object Ivf {
     val m = 4; val sub = 16
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
-    val packed = pqLutPacked(e, q0, m, sub)
-    pqRerank(e, q0, pqAdcTop(e, packed, m, sub, 64))
+    val cb = s.read.parquet(s"${ensurePqCodebooks(s, dir)}/codebooks")
+    pqRerank(e, q0, pqAdcTop(e, pqLutPacked(cb, q0, m, sub), m, sub, 64))
   }
 
   /** The COMPOSED FAISS-style IVFADC pipeline — all three stages of a
@@ -445,15 +469,19 @@ object Ivf {
     graft.expressions.VectorOps.register(s)
     graft.expressions.VecSum6.register(s)
     val m = 4; val sub = 16
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
-    val cent = Llm.ivfLearnedCentroids(e)
-    val members = Llm.ivfAssign(e, cent)
-      .join(broadcast(Llm.ivfQueryCells(q0, cent, 2)),
-        col("cid") === col("qcid"))
+    val q0 = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qemb"))
+    // coarse stage off the SAVED IVF index: nprobe cell ids collected
+    // (2 longs — the sanctioned bounded-collect shape) make the lists
+    // read a static partition prune, same as probeSaved
+    val p = ensureIndex(s, dir)
+    val qcids = Llm.ivfQueryCells(q0, loadCentroids(s, p), 2)
+      .collect().map(_.getLong(0))
+    val members = loadLists(s, p).filter(col("cid").isin(qcids: _*))
       .select("vec_id", "embedding")
-    val packed = pqLutPacked(e, q0, m, sub)
-    pqRerank(e, q0, pqAdcTop(members, packed, m, sub, 32))
+    val cb = s.read.parquet(s"${ensurePqCodebooks(s, dir)}/codebooks")
+    pqRerank(members, q0,
+      pqAdcTop(members, pqLutPacked(cb, q0, m, sub), m, sub, 32))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
