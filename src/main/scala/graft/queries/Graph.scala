@@ -205,12 +205,88 @@ object Graph {
       .orderBy("d1", "d2")
   }
 
+  /** Community detection by synchronous LABEL PROPAGATION (Raghavan
+    * et al. 2007), 3 fixed iterations over the same deterministic
+    * delta graph as [[qGraphTriangles]]: every node starts as its own
+    * label; each round it adopts the most frequent label among its
+    * NEIGHBORS, ties broken toward the smallest label — the (count
+    * DESC, label ASC) total order both engines state, which is what
+    * makes a fixed-iteration LPA hash-exact (classic LPA randomizes
+    * tie-breaks; determinism here is a semantic choice, not a
+    * shortcut). Per iteration: one edge-vs-label equi-join + two hash
+    * aggs — the same one-shuffle-per-round discipline as the CC and
+    * PageRank loops, per-round state through Lineage.truncate. The
+    * argmax rides a single max(struct(cnt, -lab)) aggregate — no
+    * per-node window sort. Output: per surviving label, community
+    * size and node range. */
+  def qGraphCommunities(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
+      .localCheckpoint(true)
+    val cand = ids.select(col("id").as("x"),
+      explode(array(Seq(1, 2, 3, 5, 8).map(d => col("id") + d): _*)).as("y"))
+    val e0 = cand.join(ids.select(col("id").as("y")), Seq("y"))
+      .select(col("x"), col("y"))
+    val sym = e0.unionByName(e0.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint(true)
+    var lab = ids.select(col("id"), col("id").as("lab"))
+    for (_ <- 1 to 3) {
+      val pick = sym.join(lab, col("y") === col("id"))
+        .groupBy(col("x"), col("lab")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("x").as("nid"))
+        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("nid"), (-col("m.nl")).as("newlab"))
+      lab = graft.Lineage.truncate(
+        lab.join(pick, col("id") === col("nid"), "left")
+          .select(col("id"), coalesce(col("newlab"), col("lab")).as("lab")))
+    }
+    lab.groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+           min(col("id")).as("min_node"), max(col("id")).as("max_node"))
+      .orderBy("community")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_communities" -> (qGraphCommunities _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_graph_triangles" -> (qGraphTriangles _),
   )
 
+  /** 3 unrolled LPA rounds: nl{t} = neighbor-label counts, pick{t} =
+    * (count DESC, label ASC) argmax per node, l{t} = adopted labels
+    * (nodes with no neighbors keep theirs). MATERIALIZED on every
+    * multiply-referenced CTE (the 10x scale-safety rule). */
+  private lazy val communitiesSql: String = {
+    val rounds = (1 to 3).map { t =>
+      s"""nl$t AS (
+         |  SELECT e.x AS id, l.lab, COUNT(*) AS cnt
+         |  FROM edges e JOIN l${t - 1} l ON l.id = e.y
+         |  GROUP BY e.x, l.lab),
+         |pick$t AS (
+         |  SELECT id, lab FROM (
+         |    SELECT id, lab,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, lab ASC) AS rn
+         |    FROM nl$t) WHERE rn = 1),
+         |l$t AS MATERIALIZED (
+         |  SELECT p.id, COALESCE(k.lab, p.lab) AS lab
+         |  FROM l${t - 1} p LEFT JOIN pick$t k ON k.id = p.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ids AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+       |cand AS (
+       |  SELECT a.id AS x, a.id + d AS y
+       |  FROM ids a, (VALUES (1), (2), (3), (5), (8)) AS dd(d)),
+       |e0 AS MATERIALIZED (
+       |  SELECT x, y FROM cand JOIN ids b ON b.id = cand.y),
+       |edges AS MATERIALIZED (
+       |  SELECT x, y FROM e0 UNION ALL SELECT y AS x, x AS y FROM e0),
+       |l0 AS MATERIALIZED (SELECT id, id AS lab FROM ids),
+       |$rounds
+       |SELECT lab AS community, COUNT(*) AS n_members,
+       |  MIN(id) AS min_node, MAX(id) AS max_node
+       |FROM l3 GROUP BY lab ORDER BY community""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_graph_communities" -> communitiesSql,
     "q_graph_pagerank" -> {
       def iter(prev: String, n: Int): String =
         s"""c$n AS (

@@ -55,6 +55,34 @@ class GraphSpec extends SparkSpec {
     (rank, iters)
   }
 
+  test("label propagation equals a driver brute force and is deterministic") {
+    def run() = Graph.qGraphCommunities(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = run()
+    // brute force: 3 synchronous rounds, argmax by (count desc, label asc)
+    val ids = graft.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val deltas = Seq(1L, 2L, 3L, 5L, 8L)
+    val nbrs = ids.map { a =>
+      a -> (deltas.map(a + _).filter(ids) ++ deltas.map(a - _).filter(ids))
+    }.toMap
+    var lab = ids.map(a => a -> a).toMap
+    for (_ <- 1 to 3) {
+      lab = ids.map { a =>
+        val nl = nbrs(a).map(lab)
+        if (nl.isEmpty) a -> lab(a)
+        else a -> nl.groupBy(identity).view.mapValues(_.size).toSeq
+          .minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val want = lab.groupBy(_._2).map { case (c, m) =>
+      val ns = m.keys
+      (c, ns.size.toLong, ns.min, ns.max)
+    }.toSeq.sortBy(_._1)
+    assert(got.toSeq === want)
+    assert(run().toSeq === got.toSeq, "LPA is not deterministic")
+  }
+
   test("converged pagerank: iteration count adapts to mixing speed; exact vs reference") {
     val s = spark
     import s.implicits._
