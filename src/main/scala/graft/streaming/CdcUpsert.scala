@@ -78,6 +78,64 @@ object CdcUpsert {
     * re-emitted on change, which is Update-mode semantics. */
   val outputMode: OutputMode = OutputMode.Update
 
+  /** A CLOSED SCD2 version: its validity ended at `validToUs` when the
+    * key's next version arrived. */
+  final case class Scd2(userId: Long, eventId: Long, eventType: String,
+                        value: Double, validFromUs: Long, validToUs: Long)
+
+  /** Streaming SCD TYPE-2 — the stateful face of
+    * queries/StreamingQ.qStreamCdcScd2: per key, the OPEN version
+    * lives in state; when a newer change arrives (same (tsUs, eventId)
+    * total order as every CDC face), the open version is CLOSED with
+    * valid_to = the newcomer's event time and EMITTED — append-mode
+    * output, because a closed interval is immutable. The open
+    * (is_current) version is exactly the upsert state and stays in the
+    * store until superseded; a production sink reads currents from the
+    * state snapshot, history from the append stream. Rows at or behind
+    * the open version's (tsUs, eventId) are dropped — the same
+    * stale-row rule as [[latestState]]; a batch recomputation (the
+    * oracle-checked window face) is the repair path for
+    * beyond-watermark stragglers, the standard lambda compromise.
+    * State is one open version per live key, GC'd by the same
+    * EventTimeTimeout discipline. */
+  def scd2State(changes: Dataset[Change],
+                delay: String = "10 minutes",
+                retentionMs: Long = 30 * 60 * 1000L): Dataset[Scd2] = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[Change],
+               state: GroupState[Latest]): Iterator[Scd2] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val closed = scala.collection.mutable.ArrayBuffer.empty[Scd2]
+        var cur = state.getOption.orNull
+        // in-batch arrivals replay in event-time order so intra-batch
+        // version chains close exactly like the batch face's lead()
+        rows.toSeq.sortBy(c => (tsUs(c.ts), c.eventId)).foreach { c =>
+          val t = tsUs(c.ts)
+          if (cur == null) {
+            cur = Latest(userId, t, c.eventId, c.eventType, c.value)
+          } else if (t > cur.tsUs ||
+                     (t == cur.tsUs && c.eventId > cur.eventId)) {
+            closed += Scd2(userId, cur.eventId, cur.eventType, cur.value,
+                           cur.tsUs, t)
+            cur = Latest(userId, t, c.eventId, c.eventType, c.value)
+          }
+        }
+        state.update(cur)
+        state.setTimeoutTimestamp(cur.tsUs / 1000 + retentionMs)
+        closed.iterator
+      }
+    }
+
+    changes
+      .withWatermark("ts", delay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** `deleted` marks a key whose latest change is a tombstone — the
     * downstream MERGE turns it into a DELETE instead of an UPSERT. */
   final case class Resolved(userId: Long, tsUs: Long, eventId: Long,

@@ -206,6 +206,50 @@ class StreamingSpec extends SparkSpec {
     assert(batch === Map(1L -> 12L, 2L -> 21L))
   }
 
+  test("streaming SCD2 closes versions exactly like the batch lead() face") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[CdcUpsert.Change]
+    val q = CdcUpsert.scd2State(mem.toDS())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode(OutputMode.Append()).start()
+
+    // user 1: three versions — one chain closes INSIDE a micro-batch
+    // (ts 0 -> 10 in batch 2's replay order), one across batches;
+    // user 2: single version stays open (never emitted)
+    mem.addData(CdcUpsert.Change(1L, ts(0), 10L, "view", 1.0),
+                CdcUpsert.Change(2L, ts(5), 20L, "view", 5.0))
+    q.processAllAvailable()
+    mem.addData(CdcUpsert.Change(1L, ts(10), 11L, "click", 2.0),
+                CdcUpsert.Change(1L, ts(30), 12L, "purchase", 9.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val closed = s.table("scd2_out").as[CdcUpsert.Scd2].collect()
+      .sortBy(v => (v.userId, v.validFromUs))
+    // batch face over the same rows: the closed slice is every version
+    // with a non-null valid_to
+    val batch = Seq(
+      (1L, ts(0), 10L, "view", 1.0), (2L, ts(5), 20L, "view", 5.0),
+      (1L, ts(10), 11L, "click", 2.0), (1L, ts(30), 12L, "purchase", 9.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    batch.createOrReplaceTempView("scd2_batch_rows")
+    val want = s.sql(
+      """SELECT user_id AS userId, event_id AS eventId,
+        |  event_type AS eventType, value,
+        |  unix_micros(ts) AS validFromUs,
+        |  LEAD(unix_micros(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY unix_micros(ts), event_id) AS validToUs
+        |FROM scd2_batch_rows""".stripMargin)
+      .filter($"validToUs".isNotNull)
+      .as[CdcUpsert.Scd2].collect().sortBy(v => (v.userId, v.validFromUs))
+    assert(closed.toSeq === want.toSeq,
+      s"streamed closed versions diverge from the batch lead() face")
+    assert(closed.length === 2 && closed.forall(_.userId == 1L),
+      "user 2's open version must not be emitted in append mode")
+  }
+
   test("CDC tombstones delete keys and block stale resurrection") {
     val s = spark
     import s.implicits._
