@@ -393,6 +393,50 @@ class StreamingSpec extends SparkSpec {
       "SCD2 current rows diverge from the upsert compaction")
   }
 
+  test("CDC state runs on the RocksDB state store with identical results") {
+    // the scalable production provider: state lives off-heap/on-disk in
+    // RocksDB instead of the HDFS-backed in-memory map — the difference
+    // between O(heap) and O(disk) live keys at 100 TB. Same stateful
+    // logic must produce identical results under either provider.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[CdcUpsert.Change]
+      val q = CdcUpsert.latestState(mem.toDS())
+        .writeStream.format("memory").queryName("cdc_rocks")
+        .outputMode(CdcUpsert.outputMode).start()
+      mem.addData(CdcUpsert.Change(1L, ts(0), 10L, "view", 1.0),
+                  CdcUpsert.Change(2L, ts(5), 20L, "view", 5.0))
+      q.processAllAvailable()
+      mem.addData(CdcUpsert.Change(1L, ts(30), 12L, "purchase", 9.0),
+                  CdcUpsert.Change(1L, ts(10), 11L, "click", 2.0))
+      q.processAllAvailable()
+      // the provider actually engaged (not a silent fallback): RocksDB
+      // publishes its own custom state metrics
+      val ops = q.lastProgress.stateOperators
+      assert(ops.nonEmpty)
+      val metricKeys = ops.head.customMetrics.keySet()
+      assert(metricKeys.toString.toLowerCase.contains("rocksdb"),
+        s"state store is not RocksDB-backed: $metricKeys")
+      q.stop()
+      val cur = s.table("cdc_rocks").as[CdcUpsert.Latest].collect()
+        .groupBy(_.userId)
+        .map { case (u, rows) => u -> rows.maxBy(r => (r.tsUs, r.eventId)) }
+      assert(cur(1L).eventId === 12L && cur(2L).eventId === 20L,
+        s"RocksDB-backed state diverged: $cur")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }
+  }
+
   test("stateful dedup collapses duplicate event ids in-stream") {
     val s = spark
     import s.implicits._
