@@ -147,7 +147,7 @@ object ShingleOps {
     * testdata maxes at ~553 chars / ~99 tokens). Longer or non-BMP
     * corpora need the oracle constants raised; the kernels themselves
     * need no change. */
-  private def cgramSet(text: String, n: Int): java.util.HashSet[String] = {
+  private[expressions] def cgramSet(text: String, n: Int): java.util.HashSet[String] = {
     val hi = text.length - n + 1
     val set = new java.util.HashSet[String](math.max(16, hi * 2))
     var i = 0

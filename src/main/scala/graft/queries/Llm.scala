@@ -430,6 +430,89 @@ object Llm {
       .orderBy("eval_id")
   }
 
+  /** Version tag folded into the Bloom sidecar's content key: bump on
+    * any change to the gram size, hash family, sizing rule, or wire
+    * format — a stale sidecar must never serve a new serve kernel. */
+  private val bloomVersion = "bloom-cgram4-k4-v1"
+
+  /** Build-once Bloom sidecar over the eval suite's distinct
+    * char-4-grams (eval = doc_id % 5 == 0, the same split every
+    * contamination face uses). Sized at ~16 bits per n-gram with 4
+    * hashes (FPR ~= 0.24%), minimum 64 Kbit; published content-keyed
+    * and atomically via [[graft.ArtifactStore]] so a corpus rewrite
+    * can never serve stale bits. The driver collects only DISTINCT bit
+    * positions — bounded by eval-suite n-grams, which stay fixed-size
+    * no matter how large the train corpus grows. */
+  private[queries] def ensureEvalBloom(s: SparkSession, dir: String): String = {
+    graft.expressions.ShingleOps.register(s)
+    graft.expressions.BloomOps.register(s)
+    val path = graft.ArtifactStore.cachePath("bloom",
+      graft.ArtifactStore.contentKey(s"$dir/documents.parquet", bloomVersion))
+    graft.ArtifactStore.ensure(path) { tmp =>
+      val eval0 = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+      val est = eval0.agg(sum(expr("graft_cgram_count(text, 4)")))
+        .collect()(0).getLong(0).max(1L)
+      val mBits = java.lang.Long.highestOneBit(
+        math.max(1L << 16, est * 16) * 2 - 1)
+      val positions = eval0
+        .select(explode(expr(
+          s"graft_bloom_positions(text, 4, 4, CAST($mBits AS BIGINT))")).as("pos"))
+        .distinct().collect().map(_.getLong(0))
+      val words = new Array[Long](((mBits + 63) / 64).toInt)
+      positions.foreach(p => words((p >>> 6).toInt) |= 1L << (p & 63))
+      graft.expressions.BloomOps.write(s"$tmp/bloom.bin", 4, mBits, words)
+    }
+    s"$path/bloom.bin"
+  }
+
+  /** Bloom-gated decontamination, reported train-side: which TRAIN
+    * docs carry eval-set content (the rows a curation pipeline drops
+    * or tags before training). Same candidate blocking + exact
+    * char-4-gram Jaccard >= 0.5 confirm as [[qTextContamination]], but
+    * the train scan first tests its own n-grams against the eval
+    * Bloom sidecar and keeps only docs with hits*3 >= ct. The gate is
+    * LOSSLESS: J(e,t) >= 0.5 implies 3*nc >= ce+ct >= ct, and the
+    * Bloom never undercounts (hits >= nc), so every true pair
+    * survives; false positives only admit candidates the exact
+    * confirm kills. The oracle therefore states plain exact
+    * semantics. At 100 TB: the sidecar is a few MB of bits loaded
+    * once per executor, the gate runs inside the scan's codegen
+    * stage, and only gated docs' signatures enter the shuffle.
+    * Honest caveat: on the SYNTHETIC testdata the eval slice's 4-gram
+    * union saturates the tiny shared vocabulary, so the gate keeps
+    * ~everything there (BloomSpec proves the prune on a
+    * divergent-vocabulary fixture instead — the real-corpus regime,
+    * where eval suites are a sliver of the crawl's n-gram space). */
+  def qTextContaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val bloomFile = ensureEvalBloom(s, dir)
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("train_id"), col("text").as("text_t"),
+              expr("graft_minhash_sig(text)").getField("mh0").as("nh0"),
+              expr("graft_cgram_count(text, 4)").as("ct"),
+              expr(s"graft_bloom_hits(text, 4, '$bloomFile')").as("hits"))
+      .filter(col("hits") * 3 >= col("ct"))
+    val eval0 = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("eval_id"),
+              expr("graft_minhash_sig(text)").getField("mh0").as("mh0"),
+              col("text").as("text_e"),
+              expr("graft_cgram_count(text, 4)").as("ce"))
+    eval0.join(train, col("mh0") === col("nh0"))
+      .select(col("eval_id"), col("train_id"),
+              expr("graft_cgram_common(text_e, text_t, 4)").as("nc"),
+              col("ce"), col("ct"))
+      .select(col("eval_id"), col("train_id"),
+              (col("nc").cast("double") / (col("ce") + col("ct") - col("nc")))
+                .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n_eval_hits"),
+           min(col("eval_id")).as("first_eval"),
+           max(col("jaccard")).as("max_jaccard"))
+      .orderBy("train_id")
+  }
+
   /** Incremental corpus update — the production dedup shape: a NEW
     * batch of documents (doc_id % 7 == 3, ~14%) is checked against the
     * standing corpus INDEX (everything else), and EVERY new doc gets a
@@ -1017,6 +1100,7 @@ object Llm {
     "q_text_quality" -> (qTextQuality _),
     "q_text_normalize" -> (qTextNormalize _),
     "q_text_contamination" -> (qTextContamination _),
+    "q_text_contamination_bloom" -> (qTextContaminationBloom _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_text_tokens_bpe" -> (qTextTokensBpe _),
     "q_sim_cosine_topk" -> (qSimCosineTopk _),
@@ -1413,6 +1497,40 @@ object Llm {
         |  MIN(train_id) AS first_source, MAX(jaccard) AS max_jaccard
         |FROM pairs WHERE jaccard >= 0.5
         |GROUP BY eval_id ORDER BY eval_id""".stripMargin,
+    // Bloom gate is lossless (no false negatives, threshold-implied
+    // hit bound), so the oracle is the exact pipeline grouped train-side.
+    "q_text_contamination_bloom" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CONCAT_WS(' ', tk[i], tk[i + 1], tk[i + 2]) AS token
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+        |       GENERATE_SERIES(1, 512) AS g(i)
+        |  WHERE i <= GREATEST(LEN(tk) - 2, 1)),
+        |sig AS (
+        |  SELECT doc_id, MIN(SUBSTRING(MD5(token), 1, 8)) AS mh0
+        |  FROM (SELECT DISTINCT doc_id, token FROM sh) GROUP BY doc_id),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, SUBSTRING(text, i, 4) AS gr
+        |  FROM documents, GENERATE_SERIES(1, 2048) AS g(i)
+        |  WHERE i <= LENGTH(text) - 3),
+        |cg AS (SELECT doc_id, COUNT(*) AS c FROM grams GROUP BY doc_id),
+        |common AS (
+        |  SELECT e.doc_id AS eval_id, t.doc_id AS train_id, COUNT(*) AS nc
+        |  FROM sig e
+        |  JOIN sig t ON e.mh0 = t.mh0 AND e.doc_id % 5 = 0 AND t.doc_id % 5 <> 0
+        |  JOIN grams ga ON ga.doc_id = e.doc_id
+        |  JOIN grams gb ON gb.doc_id = t.doc_id AND ga.gr = gb.gr
+        |  GROUP BY e.doc_id, t.doc_id),
+        |pairs AS (
+        |  SELECT eval_id, train_id,
+        |    CAST(nc AS DOUBLE) / (ce.c + ct.c - nc) AS jaccard
+        |  FROM common
+        |  JOIN cg ce ON ce.doc_id = eval_id
+        |  JOIN cg ct ON ct.doc_id = train_id)
+        |SELECT train_id, COUNT(*) AS n_eval_hits,
+        |  MIN(eval_id) AS first_eval, MAX(jaccard) AS max_jaccard
+        |FROM pairs WHERE jaccard >= 0.5
+        |GROUP BY train_id ORDER BY train_id""".stripMargin,
     "q_text_tokens_bpe" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS sum_tok,
