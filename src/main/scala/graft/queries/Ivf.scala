@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_list, count, expr, lit, sort_array, struct}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_list, count, expr, greatest, lit, max, sort_array, sqrt, struct}
 import graft.{ArtifactStore, Tables}
 
 /** IVF index PERSISTENCE — the train-once / probe-many lifecycle of a
@@ -75,6 +75,11 @@ object Ivf {
       .write.partitionBy("cid").mode("overwrite").parquet(s"$path/lists")
     e.withColumn("pbucket", expr(s"(vec_id div 4) % $passageBuckets"))
       .write.partitionBy("pbucket").mode("overwrite").parquet(s"$path/members")
+    // Per-cell max member->centroid distance (quantized metric): the
+    // triangle-inequality bound radius search prunes cells with.
+    Llm.ivfAssignDist(e, cent)
+      .groupBy("cid").agg(max(col("dist2")).as("maxd2"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cellstats")
     val s = cent.sparkSession
     import s.implicits._
     Seq((k, iters, passageBuckets, trainerVersion))
@@ -118,11 +123,17 @@ object Ivf {
     s.read.parquet(s"$path/members")
       .withColumn("pbucket", col("pbucket").cast("long"))
 
+  /** Load the per-cell stats of an index written by [[save]] —
+    * (cid, maxd2) with maxd2 the largest member->centroid distance in
+    * the quantized graft_sqdist12 metric. */
+  def loadCellStats(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"$path/cellstats")
+
   /** Trainer fingerprint folded into the cache key: bump whenever the
     * training algorithm, its parameters (Lloyd iters, seed rule,
     * kernel scale), or the INDEX LAYOUT changes — a persisted index
     * must never silently serve stale centroids or an old format. */
-  private val trainerVersion = "lloyd3-seed8-sqdistq6-v3-members128"
+  private val trainerVersion = "lloyd3-seed8-sqdistq6-v4-members128-cellstats"
 
   /** Deterministic per-corpus index location: content-keyed (full file
     * bytes of the embeddings table + trainer fingerprint + k), so
@@ -168,6 +179,70 @@ object Ivf {
     * q_sim_ann_ivf_learned. */
   def qSimAnnIvfIndexed(s: SparkSession, dir: String): DataFrame =
     probeSaved(s, dir, nprobe = 1)
+
+  /** Radius (squared, quantized metric) for the range-search contract
+    * query: between the corpus' ~0.1th and ~5th distance percentiles,
+    * so the result set is a sliver of the all-pairs space. */
+  private val rangeR2 = 1.45
+
+  /** Quantization slack of the graft_sqdist12 metric: each of the 64
+    * squared-difference terms rounds HALF_UP at scale 6 (<= 5e-7), so
+    * the quantized d2 sits within +-3.2e-5 of true squared Euclidean.
+    * The prune bound absorbs this so it can never cut a true result. */
+  private val rangeQd = 64 * 0.5e-6
+
+  /** Cells that can possibly hold a vector within sqrt(r2) of any
+    * query vector, by triangle inequality on the TRUE Euclidean
+    * metric with the quantization slack folded in on every side:
+    * a member x with quantized d2(q,x) <= r2 has true
+    * d(q,x) <= sqrt(r2+qd); its cell c has true
+    * d(x,c) <= sqrt(maxd2_c+qd); so d(q,c) <= the sum, and the
+    * quantized cell distance is at most that squared plus qd. Cells
+    * failing the bound provably hold no result — the prune is
+    * lossless, so the contract query stays oracle-exact. */
+  private[queries] def rangeSurvivingCells(s: SparkSession, p: String,
+                                           qs: DataFrame,
+                                           r2: Double): Array[Long] =
+    loadCentroids(s, p).join(loadCellStats(s, p), "cid")
+      .crossJoin(broadcast(qs.select(col("qemb"))))
+      .select(col("cid"), expr("graft_sqdist12(qemb, cvec)").as("qc"),
+              col("maxd2"))
+      .filter(sqrt(greatest(col("qc") - rangeQd, lit(0.0))) <=
+        lit(math.sqrt(r2 + rangeQd)) + sqrt(col("maxd2") + rangeQd) + lit(1e-9))
+      .select("cid").distinct().collect().map(_.getLong(0)).sorted
+
+  /** RANGE SEARCH off the saved IVF index: every corpus vector within
+    * squared distance `rangeR2` of each query vector (vec_id 0-2),
+    * self-pairs excluded — the "all neighbors within a threshold"
+    * twin of the top-k probes (the radius face of FAISS
+    * range_search). The per-cell max radius stored in `cellstats/`
+    * gives a lossless triangle-inequality prune: only cells whose
+    * centroid could sit close enough are scanned (a static partition
+    * prune on the inverted lists), and the exact kernel filter
+    * decides membership, so the DuckDB oracle is plain brute force.
+    * Honest caveat: the SYNTHETIC embeddings are near-uniform on the
+    * sphere — all pairwise distances concentrate around the median,
+    * so no cell prunes THERE (the isin lists every cell);
+    * RangeSearchSpec proves the prune on a clustered fixture, the
+    * geometry real embedding spaces have. At 100 TB: the bound runs
+    * on k centroid rows, the lists scan reads only surviving cells'
+    * files, and the kernel filter runs inside the scan's codegen
+    * stage — no shuffle touches the corpus. */
+  def qSimRangeSearch(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.VectorOps.register(s)
+    graft.expressions.VecSum6.register(s)
+    val p = ensureIndex(s, dir)
+    val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val surv = rangeSurvivingCells(s, p, qs, rangeR2)
+    loadLists(s, p).filter(col("cid").isin(surv: _*))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+              expr("graft_sqdist12(embedding, qemb)").as("dist2"))
+      .filter(col("dist2") <= rangeR2)
+      .orderBy("qid", "vec_id")
+  }
 
   /** Multi-probe (nprobe=2) on the saved index — the standard IVF
     * recall knob: search the query's TWO nearest cells instead of one.
@@ -488,6 +563,7 @@ object Ivf {
     "q_sim_ann_pq" -> (qSimAnnPq _),
     "q_sim_ann_ivfpq" -> (qSimAnnIvfPq _),
     "q_sim_ann_ivf_indexed" -> (qSimAnnIvfIndexed _),
+    "q_sim_range_search" -> (qSimRangeSearch _),
     "q_sim_ann_ivf_probe2" -> (qSimAnnIvfProbe2 _),
     "q_sim_ann_ivf_batch" -> (qSimAnnIvfBatch _),
     "q_sim_ann_ivf_append" -> (qSimAnnIvfAppend _),
@@ -499,6 +575,22 @@ object Ivf {
     "q_sim_ann_pq" -> Llm.pqAdcSql,
     "q_sim_ann_ivfpq" -> Llm.ivfPqSql,
     "q_sim_ann_ivf_indexed" -> Llm.ivfLearnedSql,
+    // The cell prune is lossless (triangle inequality + quantization
+    // slack), so the oracle is brute-force exact radius search.
+    "q_sim_range_search" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qe
+        |  FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |d AS (
+        |  SELECT qid, e.vec_id AS vec_id,
+        |    CAST(SUM(CAST((CAST(qe[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+        |      * (CAST(qe[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+        |      AS DECIMAL(18,6))) AS DOUBLE) AS dist2
+        |  FROM q JOIN embeddings e ON e.vec_id <> qid,
+        |       GENERATE_SERIES(1, 64) AS g(i)
+        |  GROUP BY qid, e.vec_id)
+        |SELECT qid, vec_id, dist2 FROM d
+        |WHERE dist2 <= 1.45 ORDER BY qid, vec_id""".stripMargin,
     "q_sim_ann_ivf_probe2" -> Llm.ivfProbe2Sql,
     "q_sim_ann_ivf_batch" -> Llm.ivfBatchSql,
     "q_sim_ann_ivf_append" -> Llm.ivfAppendSql,
