@@ -280,7 +280,53 @@ object Bdf {
       .orderBy("l_partkey", "l_suppkey")
   }
 
+  /** A11/Macau §3.2: COLD-START prediction through the FULL engine —
+    * the one capability a relational kernel cannot fake: entities
+    * never observed in training are scored from side information
+    * alone, via the link matrix the Gibbs sampler learned. The
+    * relation is real testdata (embeddings' first 16 coords as a
+    * (vec_id, coord) matrix, coords 17-20 as the side features);
+    * vec_ids 80-99 are held out entirely and factored by
+    * [[graft.bdf.Macau.coldStartFactors]] (u_new = mu + beta^T x),
+    * then scored against every coord column by the shared predict
+    * rule. Deterministic end-to-end (counter-based RNG, fixed seed,
+    * exact-decimal sums inside Gibbs), so the driver's rows-only check
+    * is backed by ColdstartQuerySpec's run-twice equality; Oracle=NO
+    * because SQL cannot express the Gibbs chain (the same reason the
+    * engine exists). GibbsSpec separately proves cold-start QUALITY on
+    * a fixture with real side-info signal — the synthetic embeddings
+    * here are noise, which exercises the machinery, not the model. */
+  def qBdfColdstart(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+    val cells = e.filter(col("vec_id") < 80)
+      .select(col("vec_id").as("row"),
+              posexplode(expr("slice(embedding, 1, 16)")).as(Seq("cpos", "v")))
+      .select(col("row"), col("cpos").cast("long").as("colk"),
+              col("v").cast("double").as("v"))
+    val side = e.select(col("vec_id").as("id"),
+      expr("transform(slice(embedding, 17, 4), x -> CAST(x AS DOUBLE))")
+        .as("features"))
+    val rd0 = graft.bdf.RelationData.fromDF(cells, Seq("row", "colk"), "v")
+    val rd = rd0.copy(entities = rd0.entities.updated("row",
+      rd0.entities("row").copy(side = Some(side.filter(col("id") < 80)))))
+    val split = graft.bdf.Macau.assignToTest(rd, 0.1)
+    val res = graft.bdf.Macau.macau(s, split.train, split.test,
+      graft.bdf.Gibbs.Options(numLatent = 4, burnin = 3, samples = 3,
+        alpha = 20.0, seed = 12L))
+    val coldU = graft.bdf.Macau.coldStartFactors(s, res, "row",
+      side.filter(col("id") >= 80))
+    val predCells = e.filter(col("vec_id") >= 80)
+      .select(col("vec_id").as("row"))
+      .crossJoin(s.range(16).select(col("id").as("colk")))
+    graft.bdf.Macau.predict(s, res.factors + ("row" -> coldU),
+        predCells, Seq("row", "colk"))
+      .select(col("row"), col("colk"), col("pred"))
+      .orderBy("row", "colk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bdf_coldstart" -> (qBdfColdstart _),
     "q_bdf_credible" -> (qBdfCredible _),
     "q_bdf_topn_recommend" -> (qBdfTopnRecommend _),
     "q_bdf_relation_index" -> (qBdfRelationIndex _),
