@@ -97,7 +97,13 @@ object Llm {
     * equal) — so recall can only improve. Each band join still shuffles
     * only the ~100-byte signatures. */
   def qDedupMinhashBanded(s: SparkSession, dir: String): DataFrame =
-    minhashPairs(s, dir, Seq(Seq(0, 1), Seq(2, 3)), 0.7)
+    // serves the content-keyed pair store (built on first touch of
+    // this corpus state) — the artifact IS this query's output, so the
+    // banded face and the cluster family share one pair computation;
+    // parquet drops ordering, so the contract ORDER BY is re-applied
+    bandedPairsStored(s, dir)
+      .select("da", "db", "n_common", "n_union", "jaccard")
+      .orderBy("da", "db")
 
   /** Shared MinHash-LSH core: block on `bands` (each a set of signature
     * hash indices that must ALL match — one join per band, union +
@@ -877,11 +883,13 @@ object Llm {
     * recomputes it end-to-end. */
   private[queries] def bandedPairsStored(s: SparkSession, dir: String): DataFrame = {
     val key = graft.ArtifactStore.contentKey(s"$dir/documents.parquet",
-      "banded-pairs-2x2-j07-v1")
+      "banded-pairs-2x2-j07-v2")
     val path = graft.ArtifactStore.cachePath("banded_pairs", key)
     graft.ArtifactStore.ensure(path) { tmp =>
+      // v2 stores the FULL verified-pair row (counts + jaccard), so
+      // the banded contract query can serve from the same artifact the
+      // cluster family reads — one pair computation per corpus state.
       minhashPairs(s, dir, Seq(Seq(0, 1), Seq(2, 3)), 0.7)
-        .select(col("da"), col("db"))
         .write.mode("overwrite").parquet(s"$tmp/pairs")
     }
     s.read.parquet(s"$path/pairs")
