@@ -439,7 +439,68 @@ object Aggs {
       .orderBy("user_id")
   }
 
+  /** Mergeable HEAVY-HITTER rollup — the frequency third of the
+    * sketch-store family (HLL = distinct counts, histogram =
+    * quantiles, Misra-Gries = frequencies): one k=192 MG candidate
+    * summary per event DAY (the corpus spans 30 days) persisted once
+    * as a tiny parquet artifact, then global heavy hitters served
+    * from the sketch table + one candidate-gated recount. The serve
+    * is EXACT and the oracle plain SQL because the union of daily
+    * survivor lists is a lossless candidate set for the global 1/125
+    * threshold: a key absent from EVERY daily sketch has per-day
+    * frequency <= n_d/193 (the MG deficit bound), so its total is
+    * <= N/193 < N/125 — it cannot be a global heavy hitter (Agarwal
+    * et al. PODS'12 mergeable-summaries argument, instantiated as
+    * partitioned sketches instead of a combine tree). Output is the
+    * TIMELINE of each global heavy hitter (exact per-day counts +
+    * total), the drill-down the one-pass [[qAggHeavyHitters]] face
+    * doesn't give.
+    *
+    * 100 TB story: this is the INCREMENTAL maintenance shape — a new
+    * day appends ONE <=192-entry sketch row (scanning only that
+    * day's partition); serving re-merges survivor lists (days x
+    * 192 longs, driver-trivial) and recounts with a pushed IN filter.
+    * The one-pass face rescans all history per query; the rollup
+    * never rescans closed days to build. Fixture note: same as
+    * [[qAggHeavyHitters]] — ~uniform synthetic traffic yields 9
+    * heavy users at sf0.01 and (correctly) none at sf0.1/10x; both
+    * engines agree at every scale. */
+  def qAggHeavyHittersRollup(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.MisraGries.register(s)
+    val key = graft.ArtifactStore.contentKey(s"$dir/events.parquet",
+      "mg-daily-k192-v1")
+    val path = graft.ArtifactStore.cachePath("mg_daily", key)
+    graft.ArtifactStore.ensure(path) { tmp =>
+      Tables.events(s, dir)
+        .select(expr(
+            "CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS BIGINT)")
+            .as("ymd"),
+          col("user_id"))
+        .groupBy("ymd")
+        .agg(expr("graft_misra_gries(user_id, 192)").as("cand"),
+             count(lit(1)).as("n"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/sketch")
+    }
+    val row = s.read.parquet(s"$path/sketch")
+      .agg(expr("array_distinct(flatten(collect_list(cand)))").as("cs"),
+           sum(col("n")).as("nt")).head()
+    val cand = row.getSeq[Long](0)
+    val nTot = row.getLong(1)
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      expr("CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS BIGINT)")
+        .as("ymd"))
+    val hh = ev.filter(col("user_id").isInCollection(cand))
+      .groupBy("user_id").agg(count(lit(1)).as("n_total"))
+      .filter(col("n_total") * 125L > lit(nTot))
+    ev.join(hh.withColumnRenamed("user_id", "hid"),
+        col("user_id") === col("hid"))
+      .groupBy("user_id", "ymd")
+      .agg(count(lit(1)).as("n_day"), max(col("n_total")).as("n_total"))
+      .orderBy("user_id", "ymd")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_heavy_hitters_rollup" -> (qAggHeavyHittersRollup _),
     "q_agg_heavy_hitters" -> (qAggHeavyHitters _),
     "q_agg_quantile_persisted" -> (qAggQuantilePersisted _),
     "q_agg_hll_persisted" -> (qAggHllPersisted _),
@@ -473,6 +534,20 @@ object Aggs {
         |GROUP BY user_id
         |HAVING COUNT(*) * 125 > (SELECT COUNT(*) FROM events)
         |ORDER BY user_id""".stripMargin,
+    // the daily-sketch candidate union is lossless for the global
+    // threshold (MG deficit bound), so the oracle is exact SQL
+    "q_agg_heavy_hitters_rollup" ->
+      """WITH hh AS (
+        |  SELECT user_id, COUNT(*) AS n_total
+        |  FROM events
+        |  GROUP BY user_id
+        |  HAVING COUNT(*) * 125 > (SELECT COUNT(*) FROM events))
+        |SELECT e.user_id,
+        |  CAST(year(e.ts) * 10000 + month(e.ts) * 100 + day(e.ts) AS BIGINT)
+        |    AS ymd,
+        |  COUNT(*) AS n_day, MAX(h.n_total) AS n_total
+        |FROM events e JOIN hh h ON e.user_id = h.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_agg_weighted_median" ->
       """WITH hist AS (
         |  SELECT l_returnflag, CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty,

@@ -15,8 +15,16 @@ class KernelsSpec extends SparkSpec {
     Kernels.all.foreach { case (id, _, _) =>
       assert(reg.functionExists(id), s"${id.funcName} not registered")
     }
+    // graft_bloom_hits reads a sidecar file — give it a real tiny one
+    val bloomFile = java.nio.file.Files
+      .createTempDirectory("kernels_bloom").toString + "/bloom.bin"
+    BloomOps.write(bloomFile, 4, 64L, Array(0L))
     // one smoke call per kernel, through the SQL parser
     val calls = Map(
+      "graft_bloom_positions" ->
+        "SELECT graft_bloom_positions('abcdef', 4, 4, 64L)",
+      "graft_bloom_hits" ->
+        s"SELECT graft_bloom_hits('abcdef', 4, '$bloomFile')",
       "graft_dot6" -> "SELECT graft_dot6(array(1.0D, 2.0D), array(3.0D, 4.0D))",
       "graft_sqdist12" ->
         "SELECT graft_sqdist12(array(1.0D, 0.0D), array(0.0D, 1.0D))",

@@ -149,4 +149,45 @@ class SketchSpec extends SparkSpec {
     }
     assert(a === b)
   }
+
+  test("heavy-hitter rollup serves the exact global timeline from daily sketches") {
+    val dir = sf("sf0.01")
+    val got = Aggs.qAggHeavyHittersRollup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty, "no heavy hitters at sf0.01 — spec is vacuous")
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      expr("CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS BIGINT)")
+        .as("ymd"))
+    val nTot = ev.count()
+    val hh = ev.groupBy("user_id").agg(count(lit(1)).as("n_total"))
+      .filter(col("n_total") * 125L > lit(nTot))
+    val want = ev.join(hh.withColumnRenamed("user_id", "hid"),
+        col("user_id") === col("hid"))
+      .groupBy("user_id", "ymd")
+      .agg(count(lit(1)).as("n_day"), max(col("n_total")).as("n_total"))
+      .orderBy("user_id", "ymd").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("daily MG survivor union contains every exact global heavy hitter") {
+    graft.expressions.MisraGries.register(spark)
+    val dir = sf("sf0.01")
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      expr("CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS BIGINT)")
+        .as("ymd"))
+    val daily = ev.groupBy("ymd")
+      .agg(expr("graft_misra_gries(user_id, 192)").as("cand"))
+    val candUnion = daily
+      .agg(expr("array_distinct(flatten(collect_list(cand)))"))
+      .head().getSeq[Long](0).toSet
+    assert(daily.count() > 1, "single-day corpus — merge property untested")
+    val nTot = ev.count()
+    val exactHH = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") * 125L > lit(nTot))
+      .collect().map(_.getLong(0)).toSet
+    assert(exactHH.nonEmpty)
+    assert(exactHH.subsetOf(candUnion),
+      s"lossless-candidate violation: ${exactHH -- candUnion} missing from sketch union")
+  }
 }
