@@ -245,7 +245,53 @@ object Graph {
       .orderBy("community")
   }
 
+  /** Multi-source BFS hop distances — the FRONTIER-EXPANSION loop that
+    * completes the iterative-graph family (CC = fixpoint labels,
+    * PageRank = weighted walk, LPA = label argmax, BFS = reachability
+    * with distance): seeds are every 97th doc_id (dist 0), and each of
+    * 4 rounds expands the frontier one hop over the deterministic
+    * delta graph (i ↔ i±d, d ∈ {1,2,3,5,8}), settling every
+    * NEWLY-reached node at the round number — first visit IS the
+    * minimum hop count, the invariant BFS gives for free and
+    * GraphSpec re-proves against a driver brute force.
+    *
+    * Per round: one edge-vs-frontier equi-join + distinct + one
+    * anti-join against the settled set — the visited-set discipline
+    * that makes distributed BFS linear in REACHED EDGES instead of
+    * enumerating paths (a path-exploding recursive join is the
+    * classic 100 TB graph killer). State is (node, dist) for reached
+    * nodes only; the frontier re-derives from the checkpointed
+    * settled set, so each round is one shuffle and lineage stays
+    * flat (Lineage.truncate, same as the CC/LPA loops). Unreached
+    * nodes are absent from the output by definition — the hop budget
+    * (4) bounds work on ANY graph, the property that makes this the
+    * production shape for "within-k-hops" features. */
+  def qGraphBfs(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
+      .localCheckpoint(true)
+    val cand = ids.select(col("id").as("x"),
+      explode(array(Seq(1, 2, 3, 5, 8).map(d => col("id") + d): _*)).as("y"))
+    val e0 = cand.join(ids.select(col("id").as("y")), Seq("y"))
+      .select(col("x"), col("y"))
+    val edges = e0.unionByName(e0.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint(true)
+    var settled = ids.filter(col("id") % 97 === 0)
+      .select(col("id").as("node"), lit(0L).as("dist"))
+    for (r <- 1 to 4) {
+      val frontier = settled.filter(col("dist") === (r - 1).toLong)
+        .select(col("node"))
+      val next = edges.join(frontier, col("x") === col("node"))
+        .select(col("y").as("node")).distinct()
+        .join(settled.select(col("node").as("sn")),
+              col("node") === col("sn"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("dist"))
+      settled = graft.Lineage.truncate(settled.unionByName(next))
+    }
+    settled.orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_bfs" -> (qGraphBfs _),
     "q_graph_communities" -> (qGraphCommunities _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_graph_triangles" -> (qGraphTriangles _),
@@ -285,7 +331,38 @@ object Graph {
        |FROM l3 GROUP BY lab ORDER BY community""".stripMargin
   }
 
+  /** 4 unrolled BFS rounds: f{k} = nodes one hop from the (k-1)
+    * frontier not yet settled, s{k} = accumulated (node, dist).
+    * MATERIALIZED on every multiply-referenced CTE (10x rule). */
+  private lazy val bfsSql: String = {
+    val rounds = (1 to 4).map { k =>
+      s"""f$k AS MATERIALIZED (
+         |  SELECT DISTINCT e.y AS node
+         |  FROM edges e JOIN s${k - 1} s ON s.node = e.x
+         |  WHERE s.dist = ${k - 1}
+         |    AND e.y NOT IN (SELECT node FROM s${k - 1})),
+         |s$k AS MATERIALIZED (
+         |  SELECT node, dist FROM s${k - 1}
+         |  UNION ALL
+         |  SELECT node, CAST($k AS BIGINT) AS dist FROM f$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ids AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+       |cand AS (
+       |  SELECT a.id AS x, a.id + d AS y
+       |  FROM ids a, (VALUES (1), (2), (3), (5), (8)) AS dd(d)),
+       |e0 AS MATERIALIZED (
+       |  SELECT x, y FROM cand JOIN ids b ON b.id = cand.y),
+       |edges AS MATERIALIZED (
+       |  SELECT x, y FROM e0 UNION ALL SELECT y AS x, x AS y FROM e0),
+       |s0 AS MATERIALIZED (
+       |  SELECT id AS node, CAST(0 AS BIGINT) AS dist FROM ids
+       |  WHERE id % 97 = 0),
+       |$rounds
+       |SELECT node, dist FROM s4 ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_graph_bfs" -> bfsSql,
     "q_graph_communities" -> communitiesSql,
     "q_graph_pagerank" -> {
       def iter(prev: String, n: Int): String =

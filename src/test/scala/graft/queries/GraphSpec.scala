@@ -144,6 +144,34 @@ class GraphSpec extends SparkSpec {
     assert(rows.map(_._2).sum <= n * 1000000L, "mass created")
   }
 
+  test("bfs: frontier expansion equals a driver brute force (min hop) and is deterministic") {
+    def run() = Graph.qGraphBfs(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = run()
+    assert(got.nonEmpty, "no reached nodes — spec is vacuous")
+    // brute force: textbook BFS over the same delta graph from the
+    // same seed set, capped at 4 hops
+    val ids = graft.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val deltas = Seq(1L, 2L, 3L, 5L, 8L)
+    val nbrs = ids.map { a =>
+      a -> (deltas.map(a + _).filter(ids) ++ deltas.map(a - _).filter(ids))
+    }.toMap
+    var dist = ids.filter(_ % 97 == 0).map(_ -> 0L).toMap
+    var frontier = dist.keySet
+    for (r <- 1L to 4L) {
+      val next = frontier.flatMap(nbrs).diff(dist.keySet)
+      dist = dist ++ next.map(_ -> r)
+      frontier = next
+    }
+    val want = dist.toSeq.sorted
+    assert(got.toSeq === want)
+    // non-degenerate: multiple hop levels actually occur
+    assert(got.map(_._2).distinct.sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L),
+      s"hop levels missing: ${got.map(_._2).distinct.sorted.mkString(",")}")
+    assert(run().toSeq === got.toSeq, "bfs is not deterministic")
+  }
+
   test("pagerank: damping floor, bounded mass loss, deterministic") {
     val rows = Graph.qGraphPagerank(spark, sf("sf0.001")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
