@@ -429,7 +429,44 @@ object Curate {
       .orderBy("source", "doc_id", "copy_id")
   }
 
+  /** Per-domain document cap — the crawl-curation step that stops a
+    * handful of mega-hosts from dominating the training mixture
+    * (RefinedWeb/FineWeb-style "top-N documents per host"): each doc
+    * is assigned its host (synthesized with a realistic hub/tail
+    * SKEW — 7 hub hosts holding ~1/5 of the corpus, thousands of
+    * ~32-doc tail sites), ranked within its host by (n_chars DESC,
+    * doc_id ASC), and only the top 8 survive; every kept row also
+    * carries the host's pre-cap population so dropped mass is
+    * accountable (n_host_total - 8).
+    *
+    * 100 TB story: the rank<=K filter is REWRITTEN by
+    * [[graft.plans.TopKPerKey]] into two bounded-heap levels — map
+    * side keeps at most K rows per host BEFORE the shuffle, so a hub
+    * host ships 8 rows, not its millions — exactly the skew this
+    * fixture builds; a window sort would instead sort every hub
+    * partition end-to-end. The per-host population table is post-agg
+    * tiny and AQE picks the broadcast join. */
+  def qMixDomainCap(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.TopKPerKey.register(s)
+    val hostExpr = expr(
+      "CASE WHEN pmod(doc_id, 5) = 0 THEN concat('hub-', pmod(doc_id, 7)) " +
+      "ELSE concat('site-', doc_id div 40) END")
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), hostExpr.as("host"))
+    val caps = d.groupBy("host").agg(count(lit(1)).as("n_host_total"))
+    val w = Window.partitionBy("host")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    d.select(col("host"), col("doc_id"), col("n_chars"),
+             row_number().over(w).as("rk"))
+      .filter(col("rk") <= 8)
+      .join(caps, "host")
+      .select(col("host"), col("doc_id"), col("n_chars"), col("rk"),
+              col("n_host_total"))
+      .orderBy("host", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_domain_cap" -> (qMixDomainCap _),
     "q_mix_epoch_upsample" -> (qMixEpochUpsample _),
     "q_corpus_shuffle" -> (qCorpusShuffle _),
     "q_sample_weighted" -> (qSampleWeighted _),
@@ -448,6 +485,23 @@ object Curate {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mix_domain_cap" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'hub-' || (doc_id % 7)
+        |         ELSE 'site-' || (doc_id // 40) END AS host
+        |  FROM documents),
+        |caps AS (SELECT host, COUNT(*) AS n_host_total FROM d GROUP BY host),
+        |ranked AS (
+        |  SELECT host, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY host
+        |                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM d)
+        |SELECT r.host, r.doc_id, r.n_chars, CAST(r.rk AS INT) AS rk,
+        |  c.n_host_total
+        |FROM ranked r JOIN caps c ON c.host = r.host
+        |WHERE r.rk <= 8
+        |ORDER BY r.host, r.rk""".stripMargin,
     "q_mix_epoch_upsample" ->
       s"""WITH per AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS m
          |  FROM documents GROUP BY source),

@@ -18,6 +18,21 @@ class TopKSpec extends SparkSpec {
     assert(!p.contains("Window"), s"WindowExec survived the rewrite:\n$p")
   }
 
+  test("q_mix_domain_cap plans as TopKPerKey and caps the hub hosts") {
+    val df = graft.queries.Curate.qMixDomainCap(spark, sf("sf0.001"))
+    val rows = df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), s"custom operator not planned:\n$p")
+    assert(!p.contains("Window"), s"WindowExec survived the rewrite:\n$p")
+    // the cap holds per host, and the hub hosts genuinely exercised it
+    val perHost = rows.groupBy(_.getString(0))
+    assert(perHost.values.forall(_.length <= 8), "a host kept > 8 docs")
+    val hubs = rows.filter(_.getString(0).startsWith("hub-"))
+    assert(hubs.nonEmpty, "no hub hosts in the fixture")
+    assert(hubs.forall(_.getLong(4) > 8),
+      "hub hosts not over-cap — the skew fixture lost its point")
+  }
+
   test("TopKPerKey equals the rank() window formulation row-for-row") {
     TopKPerKey.register(spark)
     val o = graft.Tables.orders(spark, sf("sf0.001"))
