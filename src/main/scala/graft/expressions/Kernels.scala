@@ -26,7 +26,8 @@ object Kernels {
     VectorOps.registrations ++ ShingleOps.registrations ++
       TextRep.registrations ++ VecSum6.registrations ++
       RollingFingerprint.registrations ++ MisraGries.registrations ++
-      HilbertOps.registrations ++ BloomOps.registrations
+      HilbertOps.registrations ++ BloomOps.registrations ++
+      BitmapOps.registrations
 
   def registerAll(spark: SparkSession, rs: Seq[Registration]): Unit =
     rs.foreach { case (id, info, builder) =>

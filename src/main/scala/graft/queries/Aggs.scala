@@ -499,7 +499,51 @@ object Aggs {
       .orderBy("user_id", "ymd")
   }
 
+  /** Month-over-month customer RETENTION from exact bitmap sketches —
+    * the intersection query the HLL store cannot answer: one
+    * fixed-domain bitmap per order month (bit = custkey, domain =
+    * the dense customer key range read off the customer table), then
+    * for every consecutive month pair the active counts AND the
+    * exact retained count via bitwise AND
+    * ([[graft.expressions.BitmapOps]] — the Druid/ClickHouse
+    * groupBitmap pattern). HLL unions are lossless but HLL has no
+    * intersection; inclusion-exclusion compounds error per pair.
+    * Bitmaps keep the whole cohort matrix exact.
+    *
+    * 100 TB story: a month's state is domain/8 bytes REGARDLESS of
+    * row count (12.5 MB at 100M customers); merge = bitwise OR, so
+    * partials combine map-side and the shuffle carries one bitmap
+    * per partition per month — never a row per distinct key. The
+    * month-pair join runs over the ~80-row post-agg sketch table.
+    * Keys outside the declared domain THROW (visible failure, not a
+    * dropped bit); non-dense key spaces dictionary-encode first —
+    * here custkeys are already dense, and the base/domain pre-read
+    * is a two-scalar metadata pass on the dimension table. */
+  def qAggBitmapRetention(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.BitmapOps.register(s)
+    val r = Tables.customer(s, dir)
+      .agg(min(col("c_custkey")), max(col("c_custkey"))).head()
+    val base = r.getLong(0)
+    val domain = (r.getLong(1) - base + 1L).toInt
+    val bm = Tables.orders(s, dir)
+      .select(expr("CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)")
+                .as("ym"),
+              (col("o_custkey") - base).as("k"))
+      .groupBy("ym")
+      .agg(expr(s"graft_bitmap_agg(k, $domain)").as("bmp"))
+    val nxt = expr("CASE WHEN ym % 100 = 12 THEN ym + 89 ELSE ym + 1 END")
+    bm.select(col("ym"), nxt.as("nym"), col("bmp"))
+      .join(bm.select(col("ym").as("bym"), col("bmp").as("bbmp")),
+            col("nym") === col("bym"))
+      .select(col("ym"),
+        expr("graft_bitmap_card(bmp)").as("n_active"),
+        expr("graft_bitmap_card(bbmp)").as("n_active_next"),
+        expr("graft_bitmap_and_card(bmp, bbmp)").as("n_retained"))
+      .orderBy("ym")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_bitmap_retention" -> (qAggBitmapRetention _),
     "q_agg_heavy_hitters_rollup" -> (qAggHeavyHittersRollup _),
     "q_agg_heavy_hitters" -> (qAggHeavyHitters _),
     "q_agg_quantile_persisted" -> (qAggQuantilePersisted _),
@@ -534,6 +578,27 @@ object Aggs {
         |GROUP BY user_id
         |HAVING COUNT(*) * 125 > (SELECT COUNT(*) FROM events)
         |ORDER BY user_id""".stripMargin,
+    // bitmap AND is exact, so the oracle is the plain distinct
+    // self-join the sketch replaces
+    "q_agg_bitmap_retention" ->
+      """WITH cm AS MATERIALIZED (
+        |  SELECT DISTINCT
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        |    o_custkey AS k
+        |  FROM orders),
+        |act AS MATERIALIZED (SELECT ym, COUNT(*) AS n FROM cm GROUP BY ym),
+        |ret AS (
+        |  SELECT a.ym, COUNT(*) AS n_retained
+        |  FROM cm a JOIN cm b ON b.k = a.k
+        |   AND b.ym = CASE WHEN a.ym % 100 = 12 THEN a.ym + 89 ELSE a.ym + 1 END
+        |  GROUP BY a.ym)
+        |SELECT a.ym, a.n AS n_active, b.n AS n_active_next,
+        |  COALESCE(r.n_retained, 0) AS n_retained
+        |FROM act a
+        |JOIN act b
+        |  ON b.ym = CASE WHEN a.ym % 100 = 12 THEN a.ym + 89 ELSE a.ym + 1 END
+        |LEFT JOIN ret r ON r.ym = a.ym
+        |ORDER BY a.ym""".stripMargin,
     // the daily-sketch candidate union is lossless for the global
     // threshold (MG deficit bound), so the oracle is exact SQL
     "q_agg_heavy_hitters_rollup" ->

@@ -41,7 +41,13 @@ class KernelsSpec extends SparkSpec {
         "SELECT graft_vecsum6(e) FROM (SELECT array(1.0D, 2.0D) AS e)",
       "graft_misra_gries" ->
         "SELECT graft_misra_gries(k, 4) FROM (SELECT explode(array(1L, 1L, 2L)) AS k)",
-      "graft_hilbert16" -> "SELECT graft_hilbert16(3L, 4L)")
+      "graft_hilbert16" -> "SELECT graft_hilbert16(3L, 4L)",
+      "graft_bitmap_agg" ->
+        "SELECT graft_bitmap_agg(k, 16) FROM (SELECT explode(array(1L, 5L, 5L)) AS k)",
+      "graft_bitmap_card" ->
+        "SELECT graft_bitmap_card(graft_bitmap_agg(k, 16)) FROM (SELECT explode(array(1L, 5L, 5L)) AS k)",
+      "graft_bitmap_and_card" ->
+        "SELECT graft_bitmap_and_card(graft_bitmap_agg(k, 16), graft_bitmap_agg(k, 16)) FROM (SELECT explode(array(1L, 5L)) AS k)")
     val missing = Kernels.all.map(_._1.funcName).toSet -- calls.keySet
     assert(missing.isEmpty, s"no smoke call for: $missing")
     calls.foreach { case (name, sql) =>

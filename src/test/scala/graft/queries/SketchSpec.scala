@@ -170,6 +170,46 @@ class SketchSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("bitmap sketch: retention non-vacuous, partitioning-invariant, out-of-domain throws") {
+    graft.expressions.BitmapOps.register(spark)
+    val dir = sf("sf0.01")
+    val got = Aggs.qAggBitmapRetention(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length > 10, s"too few month pairs: ${got.length}")
+    // non-vacuous: retention is a real intersection somewhere — neither
+    // empty nor the whole active set
+    assert(got.exists(r => r._4 > 0 && r._4 < r._2),
+      "retention never strictly between 0 and n_active — fixture degenerate")
+    // AND-card is bounded by both operands everywhere
+    got.foreach { case (ym, a, b, ret) =>
+      assert(ret <= math.min(a, b), s"month $ym: retained $ret > min($a, $b)")
+    }
+    // the bitmap BYTES are partitioning-invariant (OR is commutative,
+    // associative, idempotent) — the merge-order independence HLL only
+    // gives approximately
+    val o = graft.Tables.orders(spark, dir)
+      .select(expr(
+          "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)")
+          .as("ym"),
+        col("o_custkey").as("k"))
+    def bytesOf(parts: Int) = o.repartition(parts)
+      .groupBy("ym").agg(expr("graft_bitmap_agg(k, 20000)").as("b"))
+      .orderBy("ym").collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
+    assert(bytesOf(1).toSeq === bytesOf(13).toSeq,
+      "bitmap bytes differ across partitionings")
+    // an out-of-domain key fails loudly, never drops a bit
+    val thrown = intercept[Throwable] {
+      spark.sql(
+        "SELECT graft_bitmap_agg(k, 4) FROM (SELECT 9L AS k)").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(thrown).exists(_.contains("outside domain")),
+      s"wrong failure: ${messages(thrown).mkString(" | ")}")
+  }
+
   test("daily MG survivor union contains every exact global heavy hitter") {
     graft.expressions.MisraGries.register(spark)
     val dir = sf("sf0.01")
