@@ -96,6 +96,34 @@ object StreamingQ {
       .orderBy("pid")
   }
 
+  /** LEFT OUTER interval join — the attribution face [[qStreamJoin]]
+    * can't give: EVERY purchase appears, view-less ones with
+    * n_views = 0 and last_view_tsu = -1. In Structured Streaming this
+    * is the semantics that needs watermarks on BOTH sides: an
+    * unmatched purchase can only emit its NULL row once the view-side
+    * watermark proves no in-interval view can still arrive
+    * (StreamingSpec pins that emission order on a MemoryStream).
+    * Batch face = plain left join + count of the MATCHED column, so
+    * the oracle is exact SQL; the interval bound keeps stream state
+    * finite (10 minutes per user), the property that makes the join
+    * runnable forever at 100 TB/day. */
+  def qStreamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), unix_micros(col("ts")).as("vts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("pid"),
+              unix_micros(col("ts")).as("pts"))
+    purchases.join(views,
+        col("pu") === col("vu") &&
+        col("vts") < col("pts") && col("vts") >= col("pts") - lit(600000000L),
+        "left")
+      .groupBy(col("pid"))
+      .agg(count(col("vu")).as("n_views"),
+           coalesce(max(col("vts")), lit(-1L)).as("last_view_tsu"))
+      .orderBy("pid")
+  }
+
   /** Funnel conversion over the event stream: per user, first `view`
     * then first `purchase` strictly after it; one summary row with
     * viewer count, converted count, and the exact summed conversion
@@ -332,6 +360,7 @@ object StreamingQ {
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_late_watermark" -> (qStreamLateWatermark _),
     "q_stream_join" -> (qStreamJoin _),
+    "q_stream_join_outer" -> (qStreamJoinOuter _),
   )
 
   private val esSql = "CAST(FLOOR(EPOCH(ts)) AS BIGINT)"
@@ -478,6 +507,16 @@ object StreamingQ {
         | AND p.event_type = 'purchase' AND v.event_type = 'view'
         | AND epoch_us(v.ts) < epoch_us(p.ts)
         | AND epoch_us(v.ts) >= epoch_us(p.ts) - 600000000
+        |GROUP BY p.event_id ORDER BY pid""".stripMargin,
+    "q_stream_join_outer" ->
+      """SELECT p.event_id AS pid, COUNT(v.user_id) AS n_views,
+        |  COALESCE(MAX(epoch_us(v.ts)), -1) AS last_view_tsu
+        |FROM events p LEFT JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND v.event_type = 'view'
+        | AND epoch_us(v.ts) < epoch_us(p.ts)
+        | AND epoch_us(v.ts) >= epoch_us(p.ts) - 600000000
+        |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id ORDER BY pid""".stripMargin,
   )
 }

@@ -162,6 +162,39 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((100L, 10L), (100L, 11L)), s"unexpected pairs: $got")
   }
 
+  test("LEFT OUTER stream-stream join emits the null row only after the watermark passes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val vMem = MemoryStream[(Long, Timestamp, Long)]
+    val pMem = MemoryStream[(Long, Timestamp, Long)]
+    val v = vMem.toDF.toDF("vu", "vts", "vid").withWatermark("vts", "10 minutes")
+    val p = pMem.toDF.toDF("pu", "pts", "pid").withWatermark("pts", "10 minutes")
+    val joined = p.join(v,
+      $"pu" === $"vu" && $"vts" < $"pts" &&
+        $"vts" >= $"pts" - expr("INTERVAL 10 MINUTES"), "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ssjoin_outer_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // purchase 100 has an in-interval view; purchase 101 has none
+      vMem.addData((1L, ts(12), 10L))
+      pMem.addData((1L, ts(15), 100L), (2L, ts(16), 101L))
+      q.processAllAvailable()
+      def snap() = s.table("ssjoin_outer_out").select($"pid", $"vid").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      val first = snap()
+      assert(first === Set((100L, 10L)),
+        s"matched row must emit immediately, unmatched must be HELD: $first")
+      // advance both watermarks far past purchase 101's interval: only
+      // now can the engine prove no matching view is still in flight
+      vMem.addData((3L, ts(60), 11L))
+      pMem.addData((3L, ts(60), 102L))
+      q.processAllAvailable()
+      assert(snap().contains((101L, -1L)),
+        s"unmatched purchase never emitted its outer row: ${snap()}")
+    } finally q.stop()
+  }
+
   test("CDC upsert: streamed last-writer-wins state matches the batch face") {
     val s = spark
     import s.implicits._
