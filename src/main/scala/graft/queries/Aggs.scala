@@ -531,6 +531,11 @@ object Aggs {
               (col("o_custkey") - base).as("k"))
       .groupBy("ym")
       .agg(expr(s"graft_bitmap_agg(k, $domain)").as("bmp"))
+      // the ~80-row sketch table feeds BOTH sides of the month-pair
+      // self-join — materialize it once or the orders scan+agg runs
+      // twice (localCheckpoint: ContextCleaner-reclaimed, same
+      // discipline as the graph loops)
+      .localCheckpoint(true)
     val nxt = expr("CASE WHEN ym % 100 = 12 THEN ym + 89 ELSE ym + 1 END")
     bm.select(col("ym"), nxt.as("nym"), col("bmp"))
       .join(bm.select(col("ym").as("bym"), col("bmp").as("bbmp")),
