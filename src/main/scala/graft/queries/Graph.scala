@@ -290,7 +290,48 @@ object Graph {
     settled.orderBy("node")
   }
 
+  /** Bounded single-source-set SHORTEST PATHS (weighted) — the
+    * MIN-PLUS RELAXATION loop next to [[qGraphBfs]]'s unweighted
+    * frontier: edge weight = its delta d (so the cheapest route
+    * between ids 0 and 8 is one 8-edge, but hop-minimal BFS and
+    * weight-minimal SSSP genuinely disagree on intermediate ids —
+    * GraphSpec proves the brute-force parity where they differ), 4
+    * Bellman-Ford rounds from the same %97 seed set. Unlike BFS, a
+    * settled node CAN improve in a later round (more hops, less
+    * weight), so the loop is relax-and-min, not expand-and-freeze:
+    * each round one edges⨝dist equi-join + one min() hash agg — the
+    * min-plus semiring matrix-vector product, one shuffle per round,
+    * state = (node, best) for reached nodes only, no path
+    * enumeration. Bounded rounds (=max path EDGES considered) keep
+    * the work budget fixed on any graph — the iterate-to-fixpoint
+    * face would reuse the ConnectedComponents observation-metric
+    * stopping discipline. */
+  def qGraphSssp(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
+      .localCheckpoint(true)
+    val cand = ids.select(col("id").as("x"),
+      explode(array(Seq(1, 2, 3, 5, 8).map(d =>
+        struct((col("id") + d).as("y"), lit(d.toLong).as("w"))): _*)).as("e"))
+      .select(col("x"), col("e.y").as("y"), col("e.w").as("w"))
+    val e0 = cand.join(ids.select(col("id").as("y")), Seq("y"))
+      .select(col("x"), col("y"), col("w"))
+    val edges = e0.unionByName(
+        e0.select(col("y").as("x"), col("x").as("y"), col("w")))
+      .localCheckpoint(true)
+    var dist = ids.filter(col("id") % 97 === 0)
+      .select(col("id").as("node"), lit(0L).as("best"))
+    for (_ <- 1 to 4) {
+      val relaxed = edges.join(dist, col("x") === col("node"))
+        .select(col("y").as("node"), (col("best") + col("w")).as("best"))
+      dist = graft.Lineage.truncate(
+        dist.unionByName(relaxed)
+          .groupBy("node").agg(min(col("best")).as("best")))
+    }
+    dist.orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_sssp" -> (qGraphSssp _),
     "q_graph_bfs" -> (qGraphBfs _),
     "q_graph_communities" -> (qGraphCommunities _),
     "q_graph_pagerank" -> (qGraphPagerank _),
@@ -361,7 +402,37 @@ object Graph {
        |SELECT node, dist FROM s4 ORDER BY node""".stripMargin
   }
 
+  /** 4 unrolled Bellman-Ford rounds: d{k} = min over (keep prior
+    * best, any 1-edge relaxation of round k-1). MATERIALIZED on every
+    * multiply-referenced CTE (10x rule). */
+  private lazy val ssspSql: String = {
+    val rounds = (1 to 4).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT node, MIN(best) AS best FROM (
+         |    SELECT node, best FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.y AS node, d.best + e.w AS best
+         |    FROM edges e JOIN d${k - 1} d ON d.node = e.x)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ids AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+       |cand AS (
+       |  SELECT a.id AS x, a.id + d AS y, CAST(d AS BIGINT) AS w
+       |  FROM ids a, (VALUES (1), (2), (3), (5), (8)) AS dd(d)),
+       |e0 AS MATERIALIZED (
+       |  SELECT x, y, w FROM cand JOIN ids b ON b.id = cand.y),
+       |edges AS MATERIALIZED (
+       |  SELECT x, y, w FROM e0
+       |  UNION ALL SELECT y AS x, x AS y, w FROM e0),
+       |d0 AS MATERIALIZED (
+       |  SELECT id AS node, CAST(0 AS BIGINT) AS best FROM ids
+       |  WHERE id % 97 = 0),
+       |$rounds
+       |SELECT node, best FROM d4 ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_graph_sssp" -> ssspSql,
     "q_graph_bfs" -> bfsSql,
     "q_graph_communities" -> communitiesSql,
     "q_graph_pagerank" -> {

@@ -172,6 +172,39 @@ class GraphSpec extends SparkSpec {
     assert(run().toSeq === got.toSeq, "bfs is not deterministic")
   }
 
+  test("sssp: 4-round min-plus relaxation equals brute force; weights disagree with hops") {
+    def run() = Graph.qGraphSssp(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = run()
+    assert(got.nonEmpty)
+    // brute force: Bellman-Ford limited to paths of <= 4 edges
+    val ids = graft.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val deltas = Seq(1L, 2L, 3L, 5L, 8L)
+    val nbrs = ids.map { a =>
+      a -> (deltas.map(d => (a + d, d)).filter(e => ids(e._1)) ++
+            deltas.map(d => (a - d, d)).filter(e => ids(e._1)))
+    }.toMap
+    var dist = ids.filter(_ % 97 == 0).map(_ -> 0L).toMap
+    for (_ <- 1 to 4) {
+      val relaxed = dist.toSeq.flatMap { case (n, b) =>
+        nbrs(n).map { case (m, w) => m -> (b + w) }
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, bs) => n -> bs.map(_._2).min }
+    }
+    assert(got.toSeq === dist.toSeq.sorted)
+    // the weighted answer is NOT the hop count: some node reached in 1
+    // hop still carries weight > 1 (e.g. a seed's 8-delta neighbor),
+    // and some node's best weight beats its greedy single-delta cost
+    val bfs = Graph.qGraphBfs(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val wmap = got.toMap
+    assert(wmap.exists { case (n, w) => bfs.get(n).exists(h => w > h) },
+      "weights never exceed hops — the weighted semantics is vacuous here")
+    assert(run().toSeq === got.toSeq, "sssp is not deterministic")
+  }
+
   test("pagerank: damping floor, bounded mass loss, deterministic") {
     val rows = Graph.qGraphPagerank(spark, sf("sf0.001")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
