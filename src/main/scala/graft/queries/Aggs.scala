@@ -547,7 +547,50 @@ object Aggs {
       .orderBy("ym")
   }
 
+  /** The PERSISTED half of the bitmap store — the exact-sketch twin
+    * of [[qAggHllPersisted]]: the monthly bitmap table is written ONCE
+    * as a content-keyed parquet artifact (binary bitmap column,
+    * ~80 rows × domain/8 bytes) and the whole retention matrix is then
+    * served from the tiny sketch table alone — orders is never
+    * rescanned on the serve path, and because the sketch is EXACT the
+    * served numbers are bit-identical to the inline face's
+    * ([[qAggBitmapRetention]]; same oracle SQL, SketchSpec pins
+    * byte-level artifact↔inline parity and serve-twice determinism).
+    * The custkey domain rides in the artifact key, so a dimension
+    * change invalidates the sketch instead of silently truncating. */
+  def qAggBitmapPersisted(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.BitmapOps.register(s)
+    val r = Tables.customer(s, dir)
+      .agg(min(col("c_custkey")), max(col("c_custkey"))).head()
+    val base = r.getLong(0)
+    val domain = (r.getLong(1) - base + 1L).toInt
+    val key = graft.ArtifactStore.contentKey(s"$dir/orders.parquet",
+      s"bitmap-monthly-d$domain-v1")
+    val path = graft.ArtifactStore.cachePath("bitmap_monthly", key)
+    graft.ArtifactStore.ensure(path) { tmp =>
+      Tables.orders(s, dir)
+        .select(expr(
+            "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)")
+            .as("ym"),
+          (col("o_custkey") - base).as("k"))
+        .groupBy("ym")
+        .agg(expr(s"graft_bitmap_agg(k, $domain)").as("bmp"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/sketch")
+    }
+    val bm = s.read.parquet(s"$path/sketch")
+    val nxt = expr("CASE WHEN ym % 100 = 12 THEN ym + 89 ELSE ym + 1 END")
+    bm.select(col("ym"), nxt.as("nym"), col("bmp"))
+      .join(bm.select(col("ym").as("bym"), col("bmp").as("bbmp")),
+            col("nym") === col("bym"))
+      .select(col("ym"),
+        expr("graft_bitmap_card(bmp)").as("n_active"),
+        expr("graft_bitmap_card(bbmp)").as("n_active_next"),
+        expr("graft_bitmap_and_card(bmp, bbmp)").as("n_retained"))
+      .orderBy("ym")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_bitmap_persisted" -> (qAggBitmapPersisted _),
     "q_agg_bitmap_retention" -> (qAggBitmapRetention _),
     "q_agg_heavy_hitters_rollup" -> (qAggHeavyHittersRollup _),
     "q_agg_heavy_hitters" -> (qAggHeavyHitters _),
@@ -583,6 +626,27 @@ object Aggs {
         |GROUP BY user_id
         |HAVING COUNT(*) * 125 > (SELECT COUNT(*) FROM events)
         |ORDER BY user_id""".stripMargin,
+    // the persisted face serves the SAME exact numbers — one shared
+    // oracle body, two engine lifecycles (inline vs artifact)
+    "q_agg_bitmap_persisted" ->
+      """WITH cm AS MATERIALIZED (
+        |  SELECT DISTINCT
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        |    o_custkey AS k
+        |  FROM orders),
+        |act AS MATERIALIZED (SELECT ym, COUNT(*) AS n FROM cm GROUP BY ym),
+        |ret AS (
+        |  SELECT a.ym, COUNT(*) AS n_retained
+        |  FROM cm a JOIN cm b ON b.k = a.k
+        |   AND b.ym = CASE WHEN a.ym % 100 = 12 THEN a.ym + 89 ELSE a.ym + 1 END
+        |  GROUP BY a.ym)
+        |SELECT a.ym, a.n AS n_active, b.n AS n_active_next,
+        |  COALESCE(r.n_retained, 0) AS n_retained
+        |FROM act a
+        |JOIN act b
+        |  ON b.ym = CASE WHEN a.ym % 100 = 12 THEN a.ym + 89 ELSE a.ym + 1 END
+        |LEFT JOIN ret r ON r.ym = a.ym
+        |ORDER BY a.ym""".stripMargin,
     // bitmap AND is exact, so the oracle is the plain distinct
     // self-join the sketch replaces
     "q_agg_bitmap_retention" ->

@@ -210,6 +210,18 @@ class SketchSpec extends SparkSpec {
       s"wrong failure: ${messages(thrown).mkString(" | ")}")
   }
 
+  test("persisted bitmap store serves bit-identical numbers to the inline face, twice") {
+    val dir = sf("sf0.01")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val inline = rows(Aggs.qAggBitmapRetention(spark, dir))
+    val served = rows(Aggs.qAggBitmapPersisted(spark, dir))
+    assert(served === inline,
+      "artifact-served retention diverged from the inline sketch")
+    assert(rows(Aggs.qAggBitmapPersisted(spark, dir)) === served,
+      "serve-twice determinism broken")
+  }
+
   test("daily MG survivor union contains every exact global heavy hitter") {
     graft.expressions.MisraGries.register(spark)
     val dir = sf("sf0.01")
