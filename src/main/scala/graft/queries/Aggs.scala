@@ -486,16 +486,24 @@ object Aggs {
            sum(col("n")).as("nt")).head()
     val cand = row.getSeq[Long](0)
     val nTot = row.getLong(1)
-    val ev = Tables.events(s, dir).select(col("user_id"),
-      expr("CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS BIGINT)")
-        .as("ymd"))
-    val hh = ev.filter(col("user_id").isInCollection(cand))
-      .groupBy("user_id").agg(count(lit(1)).as("n_total"))
+    // ONE pushed-IN scan of events feeds both the threshold test and
+    // the timeline: per-(candidate, day) counts roll up to per-
+    // candidate totals in a second tiny agg (<=192 users x 30 days
+    // rows), so serving never reads the fact table twice
+    val byDay = Tables.events(s, dir)
+      .filter(col("user_id").isInCollection(cand))
+      .select(col("user_id"),
+        expr("CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS BIGINT)")
+          .as("ymd"))
+      .groupBy("user_id", "ymd").agg(count(lit(1)).as("n_day"))
+      // tiny (<=192 users x 30 days) but feeds two consumers —
+      // materialize or the pushed-IN fact scan runs twice anyway
+      .localCheckpoint(true)
+    val hh = byDay.groupBy("user_id").agg(sum(col("n_day")).as("n_total"))
       .filter(col("n_total") * 125L > lit(nTot))
-    ev.join(hh.withColumnRenamed("user_id", "hid"),
+    byDay.join(hh.withColumnRenamed("user_id", "hid"),
         col("user_id") === col("hid"))
-      .groupBy("user_id", "ymd")
-      .agg(count(lit(1)).as("n_day"), max(col("n_total")).as("n_total"))
+      .select(col("user_id"), col("ymd"), col("n_day"), col("n_total"))
       .orderBy("user_id", "ymd")
   }
 
