@@ -330,7 +330,48 @@ object Graph {
     dist.orderBy("node")
   }
 
+  /** Bounded k-CORE PEELING (k=8, 3 rounds) — the node-REMOVAL loop
+    * completing the iterative-graph set (frontier = BFS, relax = SSSP,
+    * label = LPA/CC, walk = PageRank, peel = k-core): each round drops
+    * every node whose degree IN THE SURVIVING SUBGRAPH is below k, so
+    * removals cascade — a node that had degree 10 yesterday dies today
+    * because its peeled neighbors no longer count (GraphSpec proves
+    * the cascade is real on this graph and pins brute-force parity).
+    * Output = round-3 survivors with the degree that justified their
+    * survival.
+    *
+    * Per round: two semi-shaped equi-joins (edge endpoints against the
+    * survivor set) + one count agg — ids only on the wire, one
+    * survivor set per round through Lineage.truncate. Bounded rounds
+    * fix the work budget; the fixpoint face would reuse the CC
+    * observation-metric stopping discipline (peel until no node
+    * drops). This is the standard graph-cleaning pass before dense
+    * community analysis at scale. */
+  def qGraphKcore(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
+      .localCheckpoint(true)
+    val cand = ids.select(col("id").as("x"),
+      explode(array(Seq(1, 2, 3, 5, 8).map(d => col("id") + d): _*)).as("y"))
+    val e0 = cand.join(ids.select(col("id").as("y")), Seq("y"))
+      .select(col("x"), col("y"))
+    val edges = e0.unionByName(e0.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint(true)
+    var surv = ids.select(col("id").as("node"))
+    var deg: DataFrame = null
+    for (_ <- 1 to 3) {
+      deg = graft.Lineage.truncate(
+        edges
+          .join(surv.select(col("node").as("x")), Seq("x"))
+          .join(surv.select(col("node").as("y")), Seq("y"))
+          .groupBy(col("x").as("node")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= 8))
+      surv = deg.select(col("node"))
+    }
+    deg.orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_kcore" -> (qGraphKcore _),
     "q_graph_sssp" -> (qGraphSssp _),
     "q_graph_bfs" -> (qGraphBfs _),
     "q_graph_communities" -> (qGraphCommunities _),
@@ -431,7 +472,33 @@ object Graph {
        |SELECT node, best FROM d4 ORDER BY node""".stripMargin
   }
 
+  /** 3 unrolled peel rounds: d{k} = surviving-subgraph degrees,
+    * s{k} = nodes with deg >= 8. MATERIALIZED per the 10x rule. */
+  private lazy val kcoreSql: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT e.x AS node, COUNT(*) AS deg
+         |  FROM edges e
+         |  JOIN s${k - 1} a ON a.node = e.x
+         |  JOIN s${k - 1} b ON b.node = e.y
+         |  GROUP BY e.x),
+         |s$k AS MATERIALIZED (SELECT node FROM d$k WHERE deg >= 8)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ids AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+       |cand AS (
+       |  SELECT a.id AS x, a.id + d AS y
+       |  FROM ids a, (VALUES (1), (2), (3), (5), (8)) AS dd(d)),
+       |e0 AS MATERIALIZED (
+       |  SELECT x, y FROM cand JOIN ids b ON b.id = cand.y),
+       |edges AS MATERIALIZED (
+       |  SELECT x, y FROM e0 UNION ALL SELECT y AS x, x AS y FROM e0),
+       |s0 AS MATERIALIZED (SELECT id AS node FROM ids),
+       |$rounds
+       |SELECT node, deg FROM d3 WHERE deg >= 8 ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_graph_kcore" -> kcoreSql,
     "q_graph_sssp" -> ssspSql,
     "q_graph_bfs" -> bfsSql,
     "q_graph_communities" -> communitiesSql,

@@ -205,6 +205,36 @@ class GraphSpec extends SparkSpec {
     assert(run().toSeq === got.toSeq, "sssp is not deterministic")
   }
 
+  test("kcore: 3-round peel equals brute force and the cascade is real") {
+    def run() = Graph.qGraphKcore(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = run()
+    assert(got.nonEmpty)
+    // brute force: 3 synchronous peels of deg<8 nodes
+    val ids = graft.Tables.documents(spark, sf("sf0.001"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val deltas = Seq(1L, 2L, 3L, 5L, 8L)
+    def degrees(surv: Set[Long]): Map[Long, Int] =
+      surv.iterator.map { a =>
+        a -> (deltas.map(a + _) ++ deltas.map(a - _))
+          .count(n => ids(n) && surv(n))
+      }.toMap
+    var surv = ids
+    var deg = Map.empty[Long, Int]
+    val sizes = (1 to 3).map { _ =>
+      deg = degrees(surv).filter(_._2 >= 8)
+      surv = deg.keySet
+      surv.size
+    }
+    val want = deg.toSeq.map { case (n, d) => (n, d.toLong) }.sorted
+    assert(got.toSeq === want)
+    // cascading: every round removes someone new (a one-round filter
+    // would make rounds 2-3 dead code)
+    assert(sizes(0) < ids.size && sizes(1) < sizes(0) && sizes(2) < sizes(1),
+      s"peel did not cascade: ${ids.size} -> ${sizes.mkString(" -> ")}")
+    assert(run().toSeq === got.toSeq, "kcore is not deterministic")
+  }
+
   test("pagerank: damping floor, bounded mass loss, deterministic") {
     val rows = Graph.qGraphPagerank(spark, sf("sf0.001")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
