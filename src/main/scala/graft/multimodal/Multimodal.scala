@@ -384,6 +384,26 @@ object Multimodal {
            "thumb", "decoded")
   }
 
+  /** Perceptual hash (average-hash) per image item — the pixel-space
+    * signature that catches re-encoded/renamed duplicate images exact
+    * byte hashing misses: 64-bit hash over the [[resizeStage]] 8×8
+    * luminance thumb (bit k set iff cell k exceeds the integer-floor
+    * cell mean). Pure integer arithmetic end-to-end, so the hash is
+    * bit-stable across partitionings; identical pixels ⇒ identical
+    * hash regardless of container bytes (MultimodalSpec pins a
+    * png-vs-reencoded-png fixture through the REAL ImageIO path).
+    * The hash math rides Spark higher-order functions over the thumb
+    * array — post-decode, one narrow pass, no shuffle. */
+  def phashStage(spark: SparkSession, media: DataFrame): DataFrame =
+    resizeStage(spark, media, 8, 8)
+      .withColumn("m",
+        expr("aggregate(thumb, 0L, (a, x) -> a + x) div 64"))
+      .select(col("doc_id"), col("format"),
+        expr("aggregate(zip_with(thumb, sequence(0, 63), " +
+             "(c, i) -> IF(c > m, shiftleft(1L, CAST(i AS INT)), 0L)), " +
+             "0L, (a, x) -> a + x)").as("ahash"),
+        col("decoded"))
+
   /** Frame sampling — the "every k-th frame" stage of a video curation
     * pipeline. Real ISO-BMFF bytes enumerate their mdat payload boxes
     * (the same walk as [[VideoCodec]]) and emit up to `maxFrames`

@@ -1087,7 +1087,39 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Image DEDUP in PIXEL space — the multimodal face of the dedup
+    * family: 64-bit average-hash per image item
+    * ([[graft.multimodal.Multimodal.phashStage]]: bit k = thumb cell k
+    * above the integer cell mean), then hash-equality groups of >= 2 —
+    * catches re-encoded/renamed duplicate images whose container
+    * BYTES differ but pixels agree, which `q_dedup_exact`'s byte md5
+    * cannot see (MultimodalSpec proves exactly that on a
+    * png-vs-reencoded fixture through the real ImageIO path). The
+    * group step is the same hash-agg blocking as exact dedup: 8-byte
+    * signatures on the wire, never pixels. Output is the full
+    * SIGNATURE TABLE (one row per distinct hash with its population
+    * and doc range — the artifact a dedup pass persists); the
+    * duplicate groups are the n_items >= 2 slice, which the synthetic
+    * corpus only populates from sf0.1 up (smaller factors carry
+    * near-dup texts, not byte-identical ones). Rows-only check
+    * (ImageIO / stub decode is not SQL-expressible); determinism,
+    * real dup grouping at sf0.1, and the
+    * stub-parity-with-byte-identity property are pinned in
+    * MultimodalSpec. */
+  def qMmPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.withMediaColumns(Tables.documents(s, dir))
+      .filter(col("format") === "jpg" || col("format") === "png")
+    Multimodal.phashStage(s, media)
+      .groupBy("ahash")
+      .agg(count(lit(1)).as("n_items"),
+           min(col("doc_id")).as("min_doc"),
+           max(col("doc_id")).as("max_doc"))
+      .orderBy("ahash", "min_doc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_phash_dedup" -> (qMmPhashDedup _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_frame_sample" -> (qMmFrameSample _),
     "q_mm_audio_envelope" -> (qMmAudioEnvelope _),

@@ -147,6 +147,66 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("phash groups pixel-identical images across DIFFERENT container bytes") {
+    val s = spark
+    import s.implicits._
+    // same 16x16 pixel pattern encoded as png AND bmp: different bytes
+    // (different containers), identical pixels -> byte-hash dedup
+    // misses it, phash must catch it; the shifted pattern must not
+    val png = imageBytes("png", 16, 16)
+    val bmp = imageBytes("bmp", 16, 16)
+    assert(!java.util.Arrays.equals(png, bmp),
+      "fixture broken: containers produced identical bytes")
+    val other = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        img.setRGB(x, y, ((15 - x) * 37 + y * 101) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq((0L, png, "png"), (1L, bmp, "png"), (2L, other, "png"))
+      .toDF("doc_id", "content", "format")
+    val out = Multimodal.phashStage(spark, df).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(out.forall(_._3), s"a fixture image fell to the stub path: ${out.mkString(",")}")
+    assert(out(0)._2 === out(1)._2,
+      "pixel-identical images hashed differently across containers")
+    assert(out(0)._2 !== out(2)._2,
+      "distinct patterns collided — the hash is degenerate")
+  }
+
+  test("phash dedup is deterministic and groups byte-identical items at sf0.1") {
+    def run(dir: String) = graft.queries.Llm.qMmPhashDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val small = run(sf("sf0.001"))
+    assert(small.nonEmpty, "empty signature table at sf0.001")
+    assert(small.toSeq === run(sf("sf0.001")).toSeq, "phash dedup not deterministic")
+    // the real corpus's byte-identical image pairs (sf0.1 is the
+    // smallest factor that has them) MUST land in one group: the stub
+    // thumb is a pure function of bytes — the pixel analog of exact
+    // dedup's md5 grouping
+    val dir01 = sf("sf0.1")
+    val groups = run(dir01)
+    val dupGroups = groups.filter(_._2 >= 2)
+    assert(dupGroups.nonEmpty, "no duplicate-image groups at sf0.1 — fixture claim broken")
+    val m = Multimodal.withMediaColumns(
+      graft.Tables.documents(spark, dir01))
+    val byteDups = m.filter(col("format") === "jpg" || col("format") === "png")
+      .groupBy(md5(col("content")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"))
+      .filter(col("n") >= 2).collect()
+    assert(byteDups.nonEmpty, "no byte-identical image pairs at sf0.1")
+    // every byte-dup group's population is contained in some phash
+    // group at least as large
+    byteDups.foreach { r =>
+      assert(dupGroups.exists(g => g._2 >= r.getLong(1) &&
+               g._3 <= r.getLong(2) && g._4 >= r.getLong(2)),
+        s"byte-identical group at doc ${r.getLong(2)} missing from phash groups")
+    }
+  }
+
   test("resize box-samples a real png to exact integer luminance cells") {
     val s = spark
     import s.implicits._
