@@ -67,13 +67,53 @@ object Scans {
     }.reduce(_ unionByName _).orderBy("col_name")
   }
 
+  /** JSONL round trip — the interchange format LLM corpora actually
+    * ship in: documents is written ONCE as JSON-lines (content-keyed
+    * artifact), read back with an EXPLICIT schema (no inference scan —
+    * at 100 TB schema inference is a full extra pass), and summarized
+    * per (lang, source) with content-sensitive aggregates (row count,
+    * char sum, min/max md5 of the text). The oracle aggregates the
+    * ORIGINAL parquet, so a hash match proves the write→read cycle
+    * preserved every byte of every document — the JSON escaping edge
+    * cases (quotes, unicode, control chars in crawl text) are exactly
+    * what this gate exercises. JSONL files split by line, so the
+    * read parallelizes like any text source. */
+  def qScanJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val key = graft.ArtifactStore.contentKey(s"$dir/documents.parquet",
+      "docs-jsonl-v1")
+    val path = graft.ArtifactStore.cachePath("docs_jsonl", key)
+    graft.ArtifactStore.ensure(path) { tmp =>
+      Tables.documents(s, dir).write.mode("overwrite").json(s"$tmp/data")
+    }
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+              "n_chars BIGINT")
+      .json(s"$path/data")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"),
+           min(md5(encode(col("text"), "UTF-8"))).as("min_md5"),
+           max(md5(encode(col("text"), "UTF-8"))).as("max_md5"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_jsonl_roundtrip" -> (qScanJsonlRoundtrip _),
     "q_scan_project" -> (qScanProject _),
     "q_scan_filter_prune" -> (qScanFilterPrune _),
     "q_scan_profile" -> (qScanProfile _),
   )
 
   val oracle: Map[String, String] = Map(
+    // the oracle reads the ORIGINAL parquet: a hash match proves the
+    // engine's jsonl write->read cycle preserved every document byte
+    "q_scan_jsonl_roundtrip" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  SUM(n_chars) AS sum_chars,
+        |  MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
