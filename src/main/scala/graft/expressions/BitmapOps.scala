@@ -64,10 +64,18 @@ object BitmapOps {
       }),
     (FunctionIdentifier("graft_bitmap_card"),
       new ExpressionInfo(classOf[BitmapCard].getName, "graft_bitmap_card"),
-      (children: Seq[Expression]) => BitmapCard(children.head)),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "graft_bitmap_card(bmp): expects exactly 1 argument")
+        BitmapCard(children.head)
+      }),
     (FunctionIdentifier("graft_bitmap_and_card"),
       new ExpressionInfo(classOf[BitmapAndCard].getName, "graft_bitmap_and_card"),
-      (children: Seq[Expression]) => BitmapAndCard(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_bitmap_and_card(a, b): expects exactly 2 arguments")
+        BitmapAndCard(children(0), children(1))
+      }))
 
   def register(spark: SparkSession): Unit =
     Kernels.registerAll(spark, registrations)

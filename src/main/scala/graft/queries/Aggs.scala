@@ -544,6 +544,34 @@ object Aggs {
       // twice (localCheckpoint: ContextCleaner-reclaimed, same
       // discipline as the graph loops)
       .localCheckpoint(true)
+    retentionFromSketch(bm)
+  }
+
+  private val bitmapRetentionSql: String =
+    """WITH cm AS MATERIALIZED (
+      |  SELECT DISTINCT
+      |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+      |    o_custkey AS k
+      |  FROM orders),
+      |act AS MATERIALIZED (SELECT ym, COUNT(*) AS n FROM cm GROUP BY ym),
+      |ret AS (
+      |  SELECT a.ym, COUNT(*) AS n_retained
+      |  FROM cm a JOIN cm b ON b.k = a.k
+      |   AND b.ym = CASE WHEN a.ym % 100 = 12 THEN a.ym + 89 ELSE a.ym + 1 END
+      |  GROUP BY a.ym)
+      |SELECT a.ym, a.n AS n_active, b.n AS n_active_next,
+      |  COALESCE(r.n_retained, 0) AS n_retained
+      |FROM act a
+      |JOIN act b
+      |  ON b.ym = CASE WHEN a.ym % 100 = 12 THEN a.ym + 89 ELSE a.ym + 1 END
+      |LEFT JOIN ret r ON r.ym = a.ym
+      |ORDER BY a.ym""".stripMargin
+
+  /** The month-pair serve over a (ym, bmp) bitmap sketch table —
+    * shared verbatim by the inline and persisted faces so the
+    * "bit-identical twins" contract SketchSpec pins can never drift
+    * in one place only. */
+  private def retentionFromSketch(bm: DataFrame): DataFrame = {
     val nxt = expr("CASE WHEN ym % 100 = 12 THEN ym + 89 ELSE ym + 1 END")
     bm.select(col("ym"), nxt.as("nym"), col("bmp"))
       .join(bm.select(col("ym").as("bym"), col("bmp").as("bbmp")),
@@ -585,16 +613,7 @@ object Aggs {
         .agg(expr(s"graft_bitmap_agg(k, $domain)").as("bmp"))
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/sketch")
     }
-    val bm = s.read.parquet(s"$path/sketch")
-    val nxt = expr("CASE WHEN ym % 100 = 12 THEN ym + 89 ELSE ym + 1 END")
-    bm.select(col("ym"), nxt.as("nym"), col("bmp"))
-      .join(bm.select(col("ym").as("bym"), col("bmp").as("bbmp")),
-            col("nym") === col("bym"))
-      .select(col("ym"),
-        expr("graft_bitmap_card(bmp)").as("n_active"),
-        expr("graft_bitmap_card(bbmp)").as("n_active_next"),
-        expr("graft_bitmap_and_card(bmp, bbmp)").as("n_retained"))
-      .orderBy("ym")
+    retentionFromSketch(s.read.parquet(s"$path/sketch"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -634,48 +653,11 @@ object Aggs {
         |GROUP BY user_id
         |HAVING COUNT(*) * 125 > (SELECT COUNT(*) FROM events)
         |ORDER BY user_id""".stripMargin,
-    // the persisted face serves the SAME exact numbers — one shared
-    // oracle body, two engine lifecycles (inline vs artifact)
-    "q_agg_bitmap_persisted" ->
-      """WITH cm AS MATERIALIZED (
-        |  SELECT DISTINCT
-        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
-        |    o_custkey AS k
-        |  FROM orders),
-        |act AS MATERIALIZED (SELECT ym, COUNT(*) AS n FROM cm GROUP BY ym),
-        |ret AS (
-        |  SELECT a.ym, COUNT(*) AS n_retained
-        |  FROM cm a JOIN cm b ON b.k = a.k
-        |   AND b.ym = CASE WHEN a.ym % 100 = 12 THEN a.ym + 89 ELSE a.ym + 1 END
-        |  GROUP BY a.ym)
-        |SELECT a.ym, a.n AS n_active, b.n AS n_active_next,
-        |  COALESCE(r.n_retained, 0) AS n_retained
-        |FROM act a
-        |JOIN act b
-        |  ON b.ym = CASE WHEN a.ym % 100 = 12 THEN a.ym + 89 ELSE a.ym + 1 END
-        |LEFT JOIN ret r ON r.ym = a.ym
-        |ORDER BY a.ym""".stripMargin,
-    // bitmap AND is exact, so the oracle is the plain distinct
-    // self-join the sketch replaces
-    "q_agg_bitmap_retention" ->
-      """WITH cm AS MATERIALIZED (
-        |  SELECT DISTINCT
-        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
-        |    o_custkey AS k
-        |  FROM orders),
-        |act AS MATERIALIZED (SELECT ym, COUNT(*) AS n FROM cm GROUP BY ym),
-        |ret AS (
-        |  SELECT a.ym, COUNT(*) AS n_retained
-        |  FROM cm a JOIN cm b ON b.k = a.k
-        |   AND b.ym = CASE WHEN a.ym % 100 = 12 THEN a.ym + 89 ELSE a.ym + 1 END
-        |  GROUP BY a.ym)
-        |SELECT a.ym, a.n AS n_active, b.n AS n_active_next,
-        |  COALESCE(r.n_retained, 0) AS n_retained
-        |FROM act a
-        |JOIN act b
-        |  ON b.ym = CASE WHEN a.ym % 100 = 12 THEN a.ym + 89 ELSE a.ym + 1 END
-        |LEFT JOIN ret r ON r.ym = a.ym
-        |ORDER BY a.ym""".stripMargin,
+    // bitmap AND is exact, so ONE oracle body — the plain distinct
+    // self-join the sketch replaces — serves both engine lifecycles
+    // (inline and artifact), mirroring the shared retentionFromSketch
+    "q_agg_bitmap_persisted" -> bitmapRetentionSql,
+    "q_agg_bitmap_retention" -> bitmapRetentionSql,
     // the daily-sketch candidate union is lossless for the global
     // threshold (MG deficit bound), so the oracle is exact SQL
     "q_agg_heavy_hitters_rollup" ->

@@ -445,7 +445,12 @@ object Curate {
     * host ships 8 rows, not its millions — exactly the skew this
     * fixture builds; a window sort would instead sort every hub
     * partition end-to-end. The per-host population table is post-agg
-    * tiny and AQE picks the broadcast join. */
+    * tiny and AQE picks the broadcast join. The narrow (doc_id,
+    * n_chars, host) projection is deliberately scanned TWICE (caps +
+    * rank) rather than checkpointed: materializing a corpus-sized
+    * frame trades a cheap pruned re-scan for cluster memory/disk —
+    * the wrong trade at 100 TB (only the TINY post-agg tables get the
+    * checkpoint discipline elsewhere in this repo). */
   def qMixDomainCap(s: SparkSession, dir: String): DataFrame = {
     graft.plans.TopKPerKey.register(s)
     val hostExpr = expr(

@@ -220,14 +220,7 @@ object Graph {
     * per-node window sort. Output: per surviving label, community
     * size and node range. */
   def qGraphCommunities(s: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
-      .localCheckpoint(true)
-    val cand = ids.select(col("id").as("x"),
-      explode(array(Seq(1, 2, 3, 5, 8).map(d => col("id") + d): _*)).as("y"))
-    val e0 = cand.join(ids.select(col("id").as("y")), Seq("y"))
-      .select(col("x"), col("y"))
-    val sym = e0.unionByName(e0.select(col("y").as("x"), col("x").as("y")))
-      .localCheckpoint(true)
+    val (ids, sym) = deltaGraph(s, dir)
     var lab = ids.select(col("id"), col("id").as("lab"))
     for (_ <- 1 to 3) {
       val pick = sym.join(lab, col("y") === col("id"))
@@ -244,6 +237,39 @@ object Graph {
            min(col("id")).as("min_node"), max(col("id")).as("max_node"))
       .orderBy("community")
   }
+
+  /** The deterministic DELTA GRAPH on doc_ids shared by the
+    * communities / BFS / SSSP / k-core loops: (checkpointed ids,
+    * checkpointed SYMMETRIC edge list) for i ↔ i±d, d ∈ {1,2,3,5,8},
+    * both endpoints membership-joined. SSSP derives its edge weight as
+    * abs(x−y) — on this graph that IS the generating delta. (Triangles
+    * keeps its own low→high oriented construction: orientation is the
+    * point of that operator.) One definition site so the delta set
+    * can never desynchronize across the loop family; the oracle twins
+    * share [[deltaEdgesSql]] the same way. */
+  private def deltaGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
+      .localCheckpoint(true)
+    val cand = ids.select(col("id").as("x"),
+      explode(array(Seq(1, 2, 3, 5, 8).map(d => col("id") + d): _*)).as("y"))
+    val e0 = cand.join(ids.select(col("id").as("y")), Seq("y"))
+      .select(col("x"), col("y"))
+    val edges = e0.unionByName(e0.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint(true)
+    (ids, edges)
+  }
+
+  /** The oracle-side prologue of [[deltaGraph]]: ids + symmetric
+    * edges as MATERIALIZED CTEs (10x rule). */
+  private val deltaEdgesSql: String =
+    """ids AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+      |cand AS (
+      |  SELECT a.id AS x, a.id + d AS y
+      |  FROM ids a, (VALUES (1), (2), (3), (5), (8)) AS dd(d)),
+      |e0 AS MATERIALIZED (
+      |  SELECT x, y FROM cand JOIN ids b ON b.id = cand.y),
+      |edges AS MATERIALIZED (
+      |  SELECT x, y FROM e0 UNION ALL SELECT y AS x, x AS y FROM e0)""".stripMargin
 
   /** Multi-source BFS hop distances — the FRONTIER-EXPANSION loop that
     * completes the iterative-graph family (CC = fixpoint labels,
@@ -267,14 +293,7 @@ object Graph {
     * (4) bounds work on ANY graph, the property that makes this the
     * production shape for "within-k-hops" features. */
   def qGraphBfs(s: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
-      .localCheckpoint(true)
-    val cand = ids.select(col("id").as("x"),
-      explode(array(Seq(1, 2, 3, 5, 8).map(d => col("id") + d): _*)).as("y"))
-    val e0 = cand.join(ids.select(col("id").as("y")), Seq("y"))
-      .select(col("x"), col("y"))
-    val edges = e0.unionByName(e0.select(col("y").as("x"), col("x").as("y")))
-      .localCheckpoint(true)
+    val (ids, edges) = deltaGraph(s, dir)
     var settled = ids.filter(col("id") % 97 === 0)
       .select(col("id").as("node"), lit(0L).as("dist"))
     for (r <- 1 to 4) {
@@ -307,17 +326,9 @@ object Graph {
     * face would reuse the ConnectedComponents observation-metric
     * stopping discipline. */
   def qGraphSssp(s: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
-      .localCheckpoint(true)
-    val cand = ids.select(col("id").as("x"),
-      explode(array(Seq(1, 2, 3, 5, 8).map(d =>
-        struct((col("id") + d).as("y"), lit(d.toLong).as("w"))): _*)).as("e"))
-      .select(col("x"), col("e.y").as("y"), col("e.w").as("w"))
-    val e0 = cand.join(ids.select(col("id").as("y")), Seq("y"))
-      .select(col("x"), col("y"), col("w"))
-    val edges = e0.unionByName(
-        e0.select(col("y").as("x"), col("x").as("y"), col("w")))
-      .localCheckpoint(true)
+    val (ids, sym) = deltaGraph(s, dir)
+    // on the delta graph the generating delta IS abs(x - y)
+    val edges = sym.select(col("x"), col("y"), abs(col("x") - col("y")).as("w"))
     var dist = ids.filter(col("id") % 97 === 0)
       .select(col("id").as("node"), lit(0L).as("best"))
     for (_ <- 1 to 4) {
@@ -348,14 +359,7 @@ object Graph {
     * drops). This is the standard graph-cleaning pass before dense
     * community analysis at scale. */
   def qGraphKcore(s: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.documents(s, dir).select(col("doc_id").as("id"))
-      .localCheckpoint(true)
-    val cand = ids.select(col("id").as("x"),
-      explode(array(Seq(1, 2, 3, 5, 8).map(d => col("id") + d): _*)).as("y"))
-    val e0 = cand.join(ids.select(col("id").as("y")), Seq("y"))
-      .select(col("x"), col("y"))
-    val edges = e0.unionByName(e0.select(col("y").as("x"), col("x").as("y")))
-      .localCheckpoint(true)
+    val (ids, edges) = deltaGraph(s, dir)
     var surv = ids.select(col("id").as("node"))
     var deg: DataFrame = null
     for (_ <- 1 to 3) {
@@ -398,14 +402,7 @@ object Graph {
          |  SELECT p.id, COALESCE(k.lab, p.lab) AS lab
          |  FROM l${t - 1} p LEFT JOIN pick$t k ON k.id = p.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ids AS MATERIALIZED (SELECT doc_id AS id FROM documents),
-       |cand AS (
-       |  SELECT a.id AS x, a.id + d AS y
-       |  FROM ids a, (VALUES (1), (2), (3), (5), (8)) AS dd(d)),
-       |e0 AS MATERIALIZED (
-       |  SELECT x, y FROM cand JOIN ids b ON b.id = cand.y),
-       |edges AS MATERIALIZED (
-       |  SELECT x, y FROM e0 UNION ALL SELECT y AS x, x AS y FROM e0),
+    s"""WITH $deltaEdgesSql,
        |l0 AS MATERIALIZED (SELECT id, id AS lab FROM ids),
        |$rounds
        |SELECT lab AS community, COUNT(*) AS n_members,
@@ -428,14 +425,7 @@ object Graph {
          |  UNION ALL
          |  SELECT node, CAST($k AS BIGINT) AS dist FROM f$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ids AS MATERIALIZED (SELECT doc_id AS id FROM documents),
-       |cand AS (
-       |  SELECT a.id AS x, a.id + d AS y
-       |  FROM ids a, (VALUES (1), (2), (3), (5), (8)) AS dd(d)),
-       |e0 AS MATERIALIZED (
-       |  SELECT x, y FROM cand JOIN ids b ON b.id = cand.y),
-       |edges AS MATERIALIZED (
-       |  SELECT x, y FROM e0 UNION ALL SELECT y AS x, x AS y FROM e0),
+    s"""WITH $deltaEdgesSql,
        |s0 AS MATERIALIZED (
        |  SELECT id AS node, CAST(0 AS BIGINT) AS dist FROM ids
        |  WHERE id % 97 = 0),
@@ -452,19 +442,11 @@ object Graph {
          |  SELECT node, MIN(best) AS best FROM (
          |    SELECT node, best FROM d${k - 1}
          |    UNION ALL
-         |    SELECT e.y AS node, d.best + e.w AS best
+         |    SELECT e.y AS node, d.best + ABS(e.x - e.y) AS best
          |    FROM edges e JOIN d${k - 1} d ON d.node = e.x)
          |  GROUP BY node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ids AS MATERIALIZED (SELECT doc_id AS id FROM documents),
-       |cand AS (
-       |  SELECT a.id AS x, a.id + d AS y, CAST(d AS BIGINT) AS w
-       |  FROM ids a, (VALUES (1), (2), (3), (5), (8)) AS dd(d)),
-       |e0 AS MATERIALIZED (
-       |  SELECT x, y, w FROM cand JOIN ids b ON b.id = cand.y),
-       |edges AS MATERIALIZED (
-       |  SELECT x, y, w FROM e0
-       |  UNION ALL SELECT y AS x, x AS y, w FROM e0),
+    s"""WITH $deltaEdgesSql,
        |d0 AS MATERIALIZED (
        |  SELECT id AS node, CAST(0 AS BIGINT) AS best FROM ids
        |  WHERE id % 97 = 0),
@@ -484,14 +466,7 @@ object Graph {
          |  GROUP BY e.x),
          |s$k AS MATERIALIZED (SELECT node FROM d$k WHERE deg >= 8)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ids AS MATERIALIZED (SELECT doc_id AS id FROM documents),
-       |cand AS (
-       |  SELECT a.id AS x, a.id + d AS y
-       |  FROM ids a, (VALUES (1), (2), (3), (5), (8)) AS dd(d)),
-       |e0 AS MATERIALIZED (
-       |  SELECT x, y FROM cand JOIN ids b ON b.id = cand.y),
-       |edges AS MATERIALIZED (
-       |  SELECT x, y FROM e0 UNION ALL SELECT y AS x, x AS y FROM e0),
+    s"""WITH $deltaEdgesSql,
        |s0 AS MATERIALIZED (SELECT id AS node FROM ids),
        |$rounds
        |SELECT node, deg FROM d3 WHERE deg >= 8 ORDER BY node""".stripMargin

@@ -193,17 +193,23 @@ class MultimodalSpec extends SparkSpec {
     assert(dupGroups.nonEmpty, "no duplicate-image groups at sf0.1 — fixture claim broken")
     val m = Multimodal.withMediaColumns(
       graft.Tables.documents(spark, dir01))
-    val byteDups = m.filter(col("format") === "jpg" || col("format") === "png")
+    val imgs = m.filter(col("format") === "jpg" || col("format") === "png")
+    val byteDups = imgs
       .groupBy(md5(col("content")).as("h"))
-      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"))
+      .agg(count(lit(1)).as("n"), collect_list(col("doc_id")).as("docs"))
       .filter(col("n") >= 2).collect()
+      .map(_.getSeq[Long](2))
     assert(byteDups.nonEmpty, "no byte-identical image pairs at sf0.1")
-    // every byte-dup group's population is contained in some phash
-    // group at least as large
-    byteDups.foreach { r =>
-      assert(dupGroups.exists(g => g._2 >= r.getLong(1) &&
-               g._3 <= r.getLong(2) && g._4 >= r.getLong(2)),
-        s"byte-identical group at doc ${r.getLong(2)} missing from phash groups")
+    // byte-identical members must carry the SAME ahash — asserted on
+    // the actual per-doc hashes, not group containment (a giant
+    // unrelated group could satisfy a containment check vacuously)
+    val hashOf = Multimodal.phashStage(spark, imgs)
+      .select(col("doc_id"), col("ahash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byteDups.foreach { docs =>
+      val hs = docs.map(hashOf).distinct
+      assert(hs.size == 1,
+        s"byte-identical docs $docs hashed differently: $hs")
     }
   }
 
