@@ -1118,7 +1118,38 @@ object Llm {
       .orderBy("ahash", "min_doc")
   }
 
+  /** Audio DEDUP in SIGNAL space — the audio twin of
+    * [[qMmPhashDedup]]: items group on their exact loudness-envelope
+    * signature (the 16 integer bins of
+    * [[graft.multimodal.Multimodal.audioEnvelope]], plus channel
+    * count and sample rate), so two WAVs whose CONTAINER bytes differ
+    * (extra metadata chunks, different chunk padding) but whose PCM
+    * agrees land in one group — byte-md5 dedup can't see that, and
+    * MultimodalSpec proves it on a real RIFF fixture with an injected
+    * LIST chunk. The signature is exact integer output of the
+    * envelope parse, so grouping is bit-stable; the emitted key is a
+    * 64-bit fingerprint of the signature (what a production pass
+    * persists), groups ship ~70 B signatures, never PCM. Rows-only
+    * check (RIFF/stub parse is not SQL-expressible); fixture +
+    * determinism pinned in MultimodalSpec. */
+  def qMmAudioDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.withMediaColumns(Tables.documents(s, dir))
+      .filter(col("format") === "wav")
+    Multimodal.audioEnvelope(s, media)
+      .groupBy(col("channels"), col("sample_rate"), col("envelope"))
+      .agg(count(lit(1)).as("n_items"),
+           min(col("doc_id")).as("min_doc"),
+           max(col("doc_id")).as("max_doc"))
+      .select(
+        xxhash64(col("channels"), col("sample_rate"),
+                 col("envelope").cast("string")).as("sig"),
+        col("n_items"), col("min_doc"), col("max_doc"))
+      .orderBy("sig", "min_doc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_audio_dedup" -> (qMmAudioDedup _),
     "q_mm_phash_dedup" -> (qMmPhashDedup _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_frame_sample" -> (qMmFrameSample _),

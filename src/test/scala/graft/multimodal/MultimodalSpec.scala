@@ -213,6 +213,53 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio dedup groups identical PCM across DIFFERENT container bytes") {
+    val s = spark
+    import s.implicits._
+    // same PCM, two containers: plain RIFF vs one with an injected
+    // LIST metadata chunk before data — different bytes, same signal
+    val plain = wavBytes(8000, 1, 4000)
+    val withList = {
+      val meta = "INFO-the-same-audio".getBytes("US-ASCII")
+      val pad = meta.length & 1
+      val bb = java.nio.ByteBuffer.allocate(plain.length + 8 + meta.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(plain, 0, 36) // RIFF..WAVE + fmt chunk
+      bb.put("LIST".getBytes("US-ASCII")).putInt(meta.length).put(meta)
+      if (pad == 1) bb.put(0.toByte)
+      bb.put(plain, 36, plain.length - 36) // the data chunk
+      val out = bb.array()
+      // patch the RIFF size field to the new payload length
+      val szBB = java.nio.ByteBuffer.wrap(out)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      szBB.putInt(4, out.length - 8)
+      out
+    }
+    assert(!java.util.Arrays.equals(plain, withList))
+    val other = wavBytes(8000, 1, 4001) // different PCM stream
+    val df = Seq((0L, plain, "wav"), (1L, withList, "wav"), (2L, other, "wav"))
+      .toDF("doc_id", "content", "format")
+    val env = Multimodal.audioEnvelope(spark, df).orderBy("doc_id").collect()
+    assert(env.forall(_.getAs[Boolean]("decoded")),
+      "a fixture wav fell to the stub path")
+    val sigs = env.map(r => (r.getAs[Int]("channels"), r.getAs[Int]("sample_rate"),
+      r.getAs[Seq[Int]]("envelope")))
+    assert(sigs(0) === sigs(1),
+      "identical PCM signed differently across containers")
+    assert(sigs(0) !== sigs(2), "distinct PCM collided — signature degenerate")
+  }
+
+  test("audio dedup query is deterministic and covers every wav item") {
+    def run() = graft.queries.Llm.qMmAudioDedup(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = run()
+    assert(got.nonEmpty)
+    assert(got.toSeq === run().toSeq, "audio dedup not deterministic")
+    val nWav = media.filter(col("format") === "wav").count()
+    assert(got.map(_._2).sum === nWav,
+      "signature groups do not partition the wav corpus")
+  }
+
   test("resize box-samples a real png to exact integer luminance cells") {
     val s = spark
     import s.implicits._
