@@ -56,7 +56,8 @@ object Aggs {
     s.sql(s"""
       SELECT COALESCE(l_returnflag, 'ALL') AS rf,
              COALESCE(l_linestatus, 'ALL') AS ls,
-             GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+             CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                  AS BIGINT) AS gid,
              COUNT(*) AS n,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
       FROM gs_lineitem

@@ -61,7 +61,8 @@ object Bdf {
     val a = e.select(col("vec_id"), col("pos").as("i"), col("x").as("xi"))
     val b = e.select(col("vec_id").as("vid2"), col("pos").as("j"), col("x").as("xj"))
     a.join(b, col("vec_id") === col("vid2") && col("i") <= col("j"))
-      .groupBy((col("i") + 1).as("gi"), (col("j") + 1).as("gj"))
+      .groupBy((col("i") + 1).cast("long").as("gi"),
+               (col("j") + 1).cast("long").as("gj"))
       .agg(sum(decf(col("xi")) * decf(col("xj"))).cast("double").as("g"))
       .orderBy("gi", "gj")
   }

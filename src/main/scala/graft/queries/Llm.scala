@@ -1004,7 +1004,7 @@ object Llm {
     val w = Window.partitionBy("qid")
       .orderBy(col("dist2").asc, col("vec_id").asc)
     dist.select(col("qid"), col("vec_id"), col("dist2"),
-                row_number().over(w).as("rn"))
+                row_number().over(w).cast("long").as("rn"))
       .filter(col("rn") <= 3)
       .orderBy("qid", "rn")
   }

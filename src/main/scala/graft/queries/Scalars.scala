@@ -62,7 +62,7 @@ object Scalars {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .filter(col("pos") < 8)
-      .groupBy((col("pos") + 1).as("dim"))
+      .groupBy((col("pos") + 1).cast("long").as("dim"))
       .agg(count(lit(1)).as("n"),
            sum(decf(col("x"))).cast("double").as("sum_x"),
            min(col("x")).as("min_x"),

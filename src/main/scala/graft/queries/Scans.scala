@@ -109,7 +109,7 @@ object Scans {
     // engine's jsonl write->read cycle preserved every document byte
     "q_scan_jsonl_roundtrip" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
-        |  SUM(n_chars) AS sum_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
         |FROM documents
         |GROUP BY lang, source

@@ -20,8 +20,8 @@ object Windows {
     val wRn = Window.partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-             rank().over(wRank).as("rnk"),
-             row_number().over(wRn).as("rn"))
+             rank().over(wRank).cast("long").as("rnk"),
+             row_number().over(wRn).cast("long").as("rn"))
       .filter(col("rn") <= 3)
       .orderBy("o_custkey", "rn")
   }
@@ -90,8 +90,8 @@ object Windows {
     c.join(pre, col("c_acctbal") === col("pv_bal"))
       .crossJoin(broadcast(tot))
       .select(col("c_custkey"), col("c_acctbal"),
-              quartile.cast("int").as("quartile"),
-              (col("d_before") + 1).cast("int").as("dr"),
+              quartile.cast("long").as("quartile"),
+              (col("d_before") + 1).cast("long").as("dr"),
               when(col("ntot") > 1,
                    col("n_before").cast("double")
                      / (col("ntot") - 1).cast("double"))
@@ -121,6 +121,10 @@ object Windows {
     o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
              row_number().over(w).as("rn"))
       .filter(col("rn") <= 2)
+      // cast AFTER the filter so the Filter+Window pair keeps the exact
+      // shape the TopKPerKey rule rewrites; BIGINT matches the oracle
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+              col("rn").cast("long").as("rn"))
       .orderBy("o_custkey", "rn")
   }
 
