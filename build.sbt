@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line as JSON; sbt's trailing
+// "[success] Total time ..." line otherwise lands after graft.Bench's
+// marker line and breaks the parse (BENCH_r12 "parsed": null).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// ... and sbt's LoggedOutput would prefix the forked JVM's stdout with
+// "[info] ", which equally breaks a last-line JSON parse. Pass the
+// forked process's stdout/stderr through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -80,7 +80,16 @@ object Bench {
                     .takeWhile(_ != '\n').take(200)
                 false
             }
-          ((System.nanoTime() - t0) / 1e9, ok)
+          val dt = (System.nanoTime() - t0) / 1e9
+          // untimed: drop this rep's localCheckpoint RDD blocks so the
+          // 191-query session doesn't accumulate cached loop state —
+          // round-12's q_graph_pagerank benched 4.75 s in-session vs
+          // 1.6-1.8 s solo (BenchOne) purely from that pressure. No
+          // query reuses cached RDDs across calls (artifacts are
+          // on-disk, content-keyed).
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          (dt, ok)
         }
         repTimes(name) = timed.map(_._1)
         val clean = timed.filter(_._2).map(_._1).sorted

@@ -33,6 +33,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // iterative queries leave localCheckpoint RDD blocks cached for
+      // the session's lifetime; across ~200 queries that pressure slows
+      // every later query (round-12 q_graph_pagerank triage). Nothing
+      // carries cached state ACROSS queries (artifacts live on disk).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

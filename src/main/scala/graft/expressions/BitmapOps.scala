@@ -59,8 +59,14 @@ object BitmapOps {
         require(children.length == 2,
           "graft_bitmap_agg(key, domain): expects exactly 2 arguments")
         require(children(1).foldable, "graft_bitmap_agg: domain must be a literal")
-        val domain = children(1).eval().asInstanceOf[Number].intValue()
-        BitmapAgg(Cast(children.head, LongType), domain)
+        // evaluate as Long first: Number.intValue() would silently wrap
+        // a >2^31 domain to a smaller positive one, and valid keys would
+        // then fail with a misleading "outside domain" error
+        val domainL = children(1).eval().asInstanceOf[Number].longValue()
+        require(domainL >= 1L && domainL <= Int.MaxValue.toLong,
+          s"graft_bitmap_agg: domain $domainL outside [1, ${Int.MaxValue}] " +
+            "— dictionary-encode keys to a dense int range first")
+        BitmapAgg(Cast(children.head, LongType), domainL.toInt)
       }),
     (FunctionIdentifier("graft_bitmap_card"),
       new ExpressionInfo(classOf[BitmapCard].getName, "graft_bitmap_card"),

@@ -5,7 +5,6 @@ import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.channels.FileChannel
 import java.nio.file.StandardOpenOption
 import java.security.MessageDigest
-import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, QuaternaryExpression, TernaryExpression}
@@ -51,7 +50,18 @@ object BloomOps {
 
   final case class Loaded(numHashes: Int, mBits: Long, words: Array[Long])
 
-  private val cache = new ConcurrentHashMap[String, Loaded]()
+  /** Per-JVM sidecar cache, LRU-bounded: artifacts are content-keyed,
+    * so every corpus rewrite mints a NEW path — an unbounded path-keyed
+    * map would pin every superseded bitmap in executor memory for the
+    * session's lifetime. 8 sidecars comfortably covers concurrent
+    * queries while letting stale ones be collected. */
+  private val MaxCached = 8
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Loaded](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Loaded]): Boolean =
+        size() > MaxCached
+    })
 
   private val mdLocal: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
@@ -74,6 +84,11 @@ object BloomOps {
     cache.computeIfAbsent(file, { f =>
       val ch = FileChannel.open(new File(f).toPath, StandardOpenOption.READ)
       try {
+        // .toInt on a >=2 GiB file would go negative and die opaquely
+        // inside allocate; fail with the contract error instead
+        require(ch.size() <= Int.MaxValue,
+          s"bloom sidecar too large to load: ${ch.size()} bytes in $f " +
+            s"(limit ${Int.MaxValue}) — shard the eval suite's filter")
         val buf = ByteBuffer.allocate(ch.size().toInt).order(ByteOrder.BIG_ENDIAN)
         while (buf.hasRemaining && ch.read(buf) >= 0) {}
         buf.flip()
@@ -150,14 +165,22 @@ object BloomOps {
   val registrations: Seq[Kernels.Registration] = Seq(
     (FunctionIdentifier("graft_bloom_positions"),
       new ExpressionInfo(classOf[BloomGramPositions].getName, "graft_bloom_positions"),
-      (children: Seq[Expression]) => BloomGramPositions(
-        Cast(children(0), StringType), Cast(children(1), IntegerType),
-        Cast(children(2), IntegerType), Cast(children(3), LongType))),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "graft_bloom_positions(text, n, numHashes, mBits): expects exactly 4 arguments")
+        BloomGramPositions(
+          Cast(children(0), StringType), Cast(children(1), IntegerType),
+          Cast(children(2), IntegerType), Cast(children(3), LongType))
+      }),
     (FunctionIdentifier("graft_bloom_hits"),
       new ExpressionInfo(classOf[BloomGramHits].getName, "graft_bloom_hits"),
-      (children: Seq[Expression]) => BloomGramHits(
-        Cast(children(0), StringType), Cast(children(1), IntegerType),
-        Cast(children(2), StringType))))
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_bloom_hits(text, n, path): expects exactly 3 arguments")
+        BloomGramHits(
+          Cast(children(0), StringType), Cast(children(1), IntegerType),
+          Cast(children(2), StringType))
+      }))
 
   def register(spark: SparkSession): Unit =
     Kernels.registerAll(spark, registrations)

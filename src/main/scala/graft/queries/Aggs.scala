@@ -528,12 +528,23 @@ object Aggs {
     * dropped bit); non-dense key spaces dictionary-encode first —
     * here custkeys are already dense, and the base/domain pre-read
     * is a two-scalar metadata pass on the dimension table. */
-  def qAggBitmapRetention(s: SparkSession, dir: String): DataFrame = {
-    graft.expressions.BitmapOps.register(s)
+  /** (base, width) of the dense custkey domain, guarded: a key range
+    * wider than Int.MaxValue must fail loudly here, not wrap in .toInt
+    * and then surface as a misleading "key outside domain" error. */
+  private def custkeyDomain(s: SparkSession, dir: String): (Long, Int) = {
     val r = Tables.customer(s, dir)
       .agg(min(col("c_custkey")), max(col("c_custkey"))).head()
     val base = r.getLong(0)
-    val domain = (r.getLong(1) - base + 1L).toInt
+    val width = r.getLong(1) - base + 1L
+    require(width >= 1L && width <= Int.MaxValue.toLong,
+      s"bitmap retention: custkey range width $width exceeds the bitmap " +
+        "domain limit (Int.MaxValue) — dictionary-encode keys first")
+    (base, width.toInt)
+  }
+
+  def qAggBitmapRetention(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.BitmapOps.register(s)
+    val (base, domain) = custkeyDomain(s, dir)
     val bm = Tables.orders(s, dir)
       .select(expr("CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)")
                 .as("ym"),
@@ -597,10 +608,7 @@ object Aggs {
     * change invalidates the sketch instead of silently truncating. */
   def qAggBitmapPersisted(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.BitmapOps.register(s)
-    val r = Tables.customer(s, dir)
-      .agg(min(col("c_custkey")), max(col("c_custkey"))).head()
-    val base = r.getLong(0)
-    val domain = (r.getLong(1) - base + 1L).toInt
+    val (base, domain) = custkeyDomain(s, dir)
     val key = graft.ArtifactStore.contentKey(s"$dir/orders.parquet",
       s"bitmap-monthly-d$domain-v1")
     val path = graft.ArtifactStore.cachePath("bitmap_monthly", key)

@@ -1110,12 +1110,15 @@ object Llm {
     import graft.multimodal.Multimodal
     val media = Multimodal.withMediaColumns(Tables.documents(s, dir))
       .filter(col("format") === "jpg" || col("format") === "png")
+    // decoded partitions the signature space: a stub-fallback hash that
+    // happens to collide with a real phash must NOT merge into a pixel
+    // duplicate group (the two hashes mean different things)
     Multimodal.phashStage(s, media)
-      .groupBy("ahash")
+      .groupBy("ahash", "decoded")
       .agg(count(lit(1)).as("n_items"),
            min(col("doc_id")).as("min_doc"),
            max(col("doc_id")).as("max_doc"))
-      .orderBy("ahash", "min_doc")
+      .orderBy("ahash", "decoded", "min_doc")
   }
 
   /** Audio DEDUP in SIGNAL space — the audio twin of
@@ -1136,16 +1139,19 @@ object Llm {
     import graft.multimodal.Multimodal
     val media = Multimodal.withMediaColumns(Tables.documents(s, dir))
       .filter(col("format") === "wav")
+    // same decode-path partitioning as qMmPhashDedup: a stub-fallback
+    // envelope must not group with a real PCM envelope
     Multimodal.audioEnvelope(s, media)
-      .groupBy(col("channels"), col("sample_rate"), col("envelope"))
+      .groupBy(col("channels"), col("sample_rate"), col("envelope"),
+               col("decoded"))
       .agg(count(lit(1)).as("n_items"),
            min(col("doc_id")).as("min_doc"),
            max(col("doc_id")).as("max_doc"))
       .select(
         xxhash64(col("channels"), col("sample_rate"),
                  col("envelope").cast("string")).as("sig"),
-        col("n_items"), col("min_doc"), col("max_doc"))
-      .orderBy("sig", "min_doc")
+        col("decoded"), col("n_items"), col("min_doc"), col("max_doc"))
+      .orderBy("sig", "decoded", "min_doc")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

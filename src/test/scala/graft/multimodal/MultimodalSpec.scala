@@ -179,7 +179,9 @@ class MultimodalSpec extends SparkSpec {
 
   test("phash dedup is deterministic and groups byte-identical items at sf0.1") {
     def run(dir: String) = graft.queries.Llm.qMmPhashDedup(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .collect().map(r => (r.getAs[Long]("ahash"), r.getAs[Long]("n_items"),
+        r.getAs[Long]("min_doc"), r.getAs[Long]("max_doc"),
+        r.getAs[Boolean]("decoded")))
     val small = run(sf("sf0.001"))
     assert(small.nonEmpty, "empty signature table at sf0.001")
     assert(small.toSeq === run(sf("sf0.001")).toSeq, "phash dedup not deterministic")
@@ -251,7 +253,9 @@ class MultimodalSpec extends SparkSpec {
 
   test("audio dedup query is deterministic and covers every wav item") {
     def run() = graft.queries.Llm.qMmAudioDedup(spark, sf("sf0.001"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .collect().map(r => (r.getAs[Long]("sig"), r.getAs[Long]("n_items"),
+        r.getAs[Long]("min_doc"), r.getAs[Long]("max_doc"),
+        r.getAs[Boolean]("decoded")))
     val got = run()
     assert(got.nonEmpty)
     assert(got.toSeq === run().toSeq, "audio dedup not deterministic")
