@@ -400,6 +400,66 @@ object Aggs {
       .orderBy("ym", "pct")
   }
 
+  /** DATA-DEPENDENT quantile store — the KLL twin of
+    * [[qAggQuantilePersisted]] for when the value domain is unknown or
+    * heavy-tailed. The equi-width histogram needs a global min/max
+    * pass to fix bin edges and its error is one bin WIDTH — a skewed
+    * distribution packs most mass into a few bins and the tail
+    * percentiles blur. KLL (Karnin-Lang-Liberty FOCS'16; the Apache
+    * DataSketches implementation Spark already ships) needs NO domain
+    * pass, keeps O(k log n) state, and guarantees a NORMALIZED-RANK
+    * error (~1.65% at k=200) independent of the distribution: the
+    * served estimate is an actual data value whose exact rank is
+    * within eps of the requested one.
+    *
+    * Same build-once/serve-many lifecycle: one sketch per order month
+    * over exact cents (a few KB each), persisted content-keyed; the
+    * serve path reads the ~80-row sketch table, merges for the global
+    * row (`graft_kll_merge` — sketch bytes on the wire, never values),
+    * and answers p50/p90/p99 without rescanning orders. At 100 TB the
+    * per-day build is a map-side-combining agg whose shuffle carries
+    * O(k log n) bytes per (partition, group).
+    *
+    * No oracle (KLL sampling is not cross-engine); the substitute spec
+    * pins the rank-error bound vs exact order statistics per month AND
+    * for the merged global, plus serve-twice determinism from the
+    * published artifact. */
+  def qAggQuantileKll(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.KllOps.register(s)
+    val key = graft.ArtifactStore.contentKey(s"$dir/orders.parquet",
+      "kll-monthly-k200-v2")
+    val path = graft.ArtifactStore.cachePath("kll_monthly", key)
+    graft.ArtifactStore.ensure(path) { tmp =>
+      Tables.orders(s, dir)
+        .select(
+          expr("CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)")
+            .as("ym"),
+          expr("CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,6)) * 100, 0)" +
+            " AS BIGINT)").as("c"))
+        .groupBy("ym")
+        .agg(expr("graft_kll_agg(c, 200)").as("sk"),
+             count(lit(1)).as("n_orders"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/sketch")
+      // the MERGED-GLOBAL sketch is part of the artifact: KLL
+      // compaction flips coins, so merging at serve time would give a
+      // (bound-respecting but) different global estimate per serve —
+      // merge ONCE here and the serve path is a pure read
+      s.read.parquet(s"$tmp/sketch")
+        .agg(expr("graft_kll_merge(sk)").as("sk"),
+             sum(col("n_orders")).as("n_orders"))
+        .select(lit(0L).as("ym"), col("sk"), col("n_orders"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/global")
+    }
+    val monthly = s.read.parquet(s"$path/sketch")
+    monthly.select(col("ym"), col("sk"), col("n_orders"))
+      .unionByName(s.read.parquet(s"$path/global"))
+      .withColumn("pct", explode(array(lit(50L), lit(90L), lit(99L))))
+      .select(col("ym"), col("pct"), col("n_orders"),
+              expr("graft_kll_quantile(sk, CAST(pct AS DOUBLE) / 100.0)")
+                .as("est_cents"))
+      .orderBy("ym", "pct")
+  }
+
   /** EXACT heavy hitters by the two-pass bounded-state algorithm:
     * pass 1 is a [[graft.expressions.MisraGries]] summary (k=192
     * counters per partial, merged with the bound-preserving offset
@@ -631,6 +691,7 @@ object Aggs {
     "q_agg_heavy_hitters_rollup" -> (qAggHeavyHittersRollup _),
     "q_agg_heavy_hitters" -> (qAggHeavyHitters _),
     "q_agg_quantile_persisted" -> (qAggQuantilePersisted _),
+    "q_agg_quantile_kll" -> (qAggQuantileKll _),
     "q_agg_hll_persisted" -> (qAggHllPersisted _),
     "q_agg_hll_partitioned" -> (qAggHllPartitioned _),
     "q_agg_weighted_median" -> (qAggWeightedMedian _),

@@ -127,6 +127,43 @@ class SketchSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("kll quantile estimates respect the normalized-rank error bound per month and merged") {
+    val dir = sf("sf0.01")
+    val got = Aggs.qAggQuantileKll(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val cents = Tables.orders(spark, dir).select(
+        expr("CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)"),
+        expr("CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,6)) * 100, 0) AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byYm = cents.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap +
+      (0L -> cents.map(_._2).sorted)
+    assert(got.keySet.map(_._1) === byYm.keySet,
+      "kll store must serve every month plus the merged-global row 0")
+    // KLL k=200 single-sided normalized rank error is ~1.65% at 99%
+    // confidence; the merged row stacks two levels of compaction, so
+    // hold every estimate to a generous 2x bound — the point is the
+    // DISTRIBUTION-INDEPENDENT rank guarantee, not the constant
+    val eps = 2 * org.apache.datasketches.kll.KllSketch
+      .getNormalizedRankError(200, false)
+    got.foreach { case ((ym, pct), est) =>
+      val sorted = byYm(ym)
+      val n = sorted.length
+      // exact normalized rank of the served value (INCLUSIVE: the
+      // fraction of values <= est)
+      val rank = sorted.count(_ <= est).toDouble / n
+      assert(math.abs(rank - pct / 100.0) <= eps + 1.0 / n,
+        s"ym=$ym p$pct: served value $est has exact rank $rank, " +
+          s"off by more than eps=$eps")
+      // the estimate must be an actual data value, not an interpolation
+      assert(java.util.Arrays.binarySearch(sorted, est) >= 0,
+        s"ym=$ym p$pct: $est is not a value from the data")
+    }
+    // serve-twice determinism: the second call reads the same artifact
+    val again = Aggs.qAggQuantileKll(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(again === got, "kll store served differently twice")
+  }
+
   test("sketch output is invariant to input partitioning") {
     val dir = sf("sf0.001")
     val a = Aggs.qAggHllPartitioned(spark, dir).collect().map(_.toString).toSeq
