@@ -374,7 +374,145 @@ object Graph {
     deg.orderBy("node")
   }
 
+  /** k-core peeled to FIXPOINT — "peel until stable", the converged
+    * discipline next to [[qGraphKcore]]'s bounded 3 rounds (which
+    * silently leaves sub-k nodes whenever a removal cascade runs longer
+    * than the budget; GraphSpec exhibits a chain where bounded and
+    * fixpoint genuinely differ and pins driver brute-force parity).
+    * Peeling is MONOTONE (the survivor set only shrinks), so the
+    * fixpoint exists, is unique (the classic k-core), and an equal
+    * survivor COUNT across one round proves an equal SET — the observed
+    * metric that stops the loop. Same one-action-per-round discipline
+    * as [[pagerankConverged]] / ConnectedComponents.labels: the count
+    * rides the eager checkpoint's Observation, lineage through
+    * Lineage.truncate. `edges` must be the SYMMETRIC (x, y) list; the
+    * node set is its distinct sources.
+    *
+    * Oracle trick shared with [[lpaConverged]]: a peel round AT the
+    * fixpoint is a no-op, so an oracle that unrolls exactly `maxRounds`
+    * CTE rounds equals the engine whether the engine stopped early
+    * (remaining oracle rounds recompute the same set) or ran the full
+    * backstop (both did maxRounds) — the early stop is purely an
+    * optimization, never a semantic fork. GraphSpec pins the observed
+    * round count strictly below the backstop at the gate scales, so
+    * the face demonstrably CONVERGED rather than ran out of budget. */
+  private[queries] def kcorePeelConverged(edges: DataFrame, k: Long,
+                                          maxRounds: Int)
+      : (DataFrame, Int) = {
+    val inv = invocations.incrementAndGet()
+    var surv = edges.select(col("x").as("node")).distinct()
+    var deg: DataFrame = null
+    var prev = -1L // unknown until the first round's count settles
+    var iters = 0
+    var stable = false
+    while (!stable && iters < maxRounds) {
+      iters += 1
+      val obs = Observation(s"kcore_${inv}_round_$iters")
+      deg = graft.Lineage.truncate(
+        edges
+          .join(surv.select(col("node").as("x")), Seq("x"))
+          .join(surv.select(col("node").as("y")), Seq("y"))
+          .groupBy(col("x").as("node")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k)
+          .observe(obs, coalesce(count(lit(1)), lit(0L)).as("n_surv")))
+      val n = obs.get("n_surv").asInstanceOf[Long]
+      stable = n == prev
+      prev = n
+      surv = deg.select(col("node"))
+    }
+    (deg.orderBy("node"), iters)
+  }
+
+  /** The fixpoint 8-core of the bipartite customer↔supplier trading
+    * graph (same construction as [[qGraphPagerank]]) — the substrate
+    * whose heterogeneous real-data degrees give a NON-EMPTY core (the
+    * delta graph's uniform 1-D structure erodes to nothing under any
+    * k above its boundary degree, and its removal cascade runs O(N)
+    * rounds — unbounded rounds at scale is exactly what a fixpoint
+    * face must not cost; on this graph the peel stabilizes in 2-3
+    * observed rounds at every gate scale, against the backstop 8). */
+  def qGraphKcoreConverged(s: SparkSession, dir: String): DataFrame = {
+    val ed = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = ed.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(ed.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint(true)
+    kcorePeelConverged(edges, 8L, KcoreRounds)._1
+  }
+
+  /** Label propagation iterated until NO label changes (or the
+    * `maxRounds` backstop) — "propagate until stable" next to
+    * [[qGraphCommunities]]' bounded 3 rounds. Synchronous LPA with the
+    * deterministic (count DESC, label ASC) tie-break is NOT guaranteed
+    * to reach a fixpoint (two-cycles exist on bipartite-ish graphs),
+    * which is exactly why the stopping metric carries a backstop and
+    * why the no-op-after-stability oracle trick still gives an exact
+    * contract: stopped early ⇒ the oracle's remaining unrolled rounds
+    * recompute identical labels; never stable ⇒ both sides run the
+    * full `maxRounds`. The changed-label count is observed on the same
+    * eager checkpoint that truncates the round's lineage — one Spark
+    * job per round. Returns (labels ordered by id, rounds run). */
+  private[queries] def lpaConverged(ids: DataFrame, sym: DataFrame,
+                                    maxRounds: Int = LpaRounds)
+      : (DataFrame, Int) = {
+    val inv = invocations.incrementAndGet()
+    var lab = ids.select(col("id"), col("id").as("lab"))
+    var iters = 0
+    var changed = Long.MaxValue
+    while (changed > 0L && iters < maxRounds) {
+      iters += 1
+      val pick = sym.join(lab, col("y") === col("id"))
+        .groupBy(col("x"), col("lab")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("x").as("nid"))
+        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("nid"), (-col("m.nl")).as("newlab"))
+      val obs = Observation(s"lpa_${inv}_round_$iters")
+      val next = graft.Lineage.truncate(
+        lab.join(pick, col("id") === col("nid"), "left")
+          .select(col("id"), col("lab").as("lab0"),
+                  coalesce(col("newlab"), col("lab")).as("lab"))
+          .observe(obs, coalesce(sum(when(col("lab") =!= col("lab0"), 1L)
+                                       .otherwise(0L)), lit(0L)).as("n_changed"))
+          .select(col("id"), col("lab")))
+      changed = obs.get("n_changed").asInstanceOf[Long]
+      lab = next
+    }
+    (lab, iters)
+  }
+
+  /** LPA run to stability on the BLOCK-64 delta graph: the plain delta
+    * graph is one giant component whose min-winning labels walk at most
+    * 8 ids per round, so "propagate until stable" would cost O(N/8)
+    * rounds — linear rounds at scale is the failure mode, not a
+    * tuning issue. Restricting edges to same-(id div 64) blocks bounds
+    * every component's diameter by the block, so convergence is ~10
+    * rounds NO MATTER the corpus size (measured 10 at 500 and at 5000
+    * ids) — the bounded-component blocking a 100 TB "cluster within
+    * cohort" pass uses for exactly this reason. Output = one community
+    * row per surviving label, same shape as [[qGraphCommunities]]. */
+  def qGraphCommunitiesConverged(s: SparkSession, dir: String): DataFrame = {
+    val (ids, sym) = deltaGraph(s, dir)
+    val blocked = sym.filter(expr("x div 64 = y div 64")).localCheckpoint(true)
+    lpaConverged(ids, blocked)._1
+      .groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+           min(col("id")).as("min_node"), max(col("id")).as("max_node"))
+      .orderBy("community")
+  }
+
+  /** Backstop budgets — also the oracle unroll depths, so they are the
+    * CONTRACT's round bounds, not just engine knobs. Sized from the
+    * observed convergence on the synthetic corpus (the bipartite peel
+    * stabilizes in 2-3 rounds, block-64 LPA in 10, at every gate
+    * scale; GraphSpec pins observed < backstop) with headroom. */
+  private[queries] val KcoreRounds = 8
+  private[queries] val LpaRounds = 12
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_kcore_converged" -> (qGraphKcoreConverged _),
+    "q_graph_communities_converged" -> (qGraphCommunitiesConverged _),
     "q_graph_kcore" -> (qGraphKcore _),
     "q_graph_sssp" -> (qGraphSssp _),
     "q_graph_bfs" -> (qGraphBfs _),
@@ -383,15 +521,19 @@ object Graph {
     "q_graph_triangles" -> (qGraphTriangles _),
   )
 
-  /** 3 unrolled LPA rounds: nl{t} = neighbor-label counts, pick{t} =
+  /** N unrolled LPA rounds: nl{t} = neighbor-label counts, pick{t} =
     * (count DESC, label ASC) argmax per node, l{t} = adopted labels
     * (nodes with no neighbors keep theirs). MATERIALIZED on every
-    * multiply-referenced CTE (the 10x scale-safety rule). */
-  private lazy val communitiesSql: String = {
-    val rounds = (1 to 3).map { t =>
+    * multiply-referenced CTE (the 10x scale-safety rule). Shared by
+    * the bounded face (n=3) and the converged face (n=LpaRounds —
+    * exact because post-stability rounds are no-ops; see
+    * [[lpaConverged]]). */
+  private def communitiesSqlN(n: Int, edgeCte: String = "edges",
+                              extraCtes: String = ""): String = {
+    val rounds = (1 to n).map { t =>
       s"""nl$t AS (
          |  SELECT e.x AS id, l.lab, COUNT(*) AS cnt
-         |  FROM edges e JOIN l${t - 1} l ON l.id = e.y
+         |  FROM $edgeCte e JOIN l${t - 1} l ON l.id = e.y
          |  GROUP BY e.x, l.lab),
          |pick$t AS (
          |  SELECT id, lab FROM (
@@ -402,12 +544,47 @@ object Graph {
          |  SELECT p.id, COALESCE(k.lab, p.lab) AS lab
          |  FROM l${t - 1} p LEFT JOIN pick$t k ON k.id = p.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $deltaEdgesSql,
+    s"""WITH $deltaEdgesSql,$extraCtes
        |l0 AS MATERIALIZED (SELECT id, id AS lab FROM ids),
        |$rounds
        |SELECT lab AS community, COUNT(*) AS n_members,
        |  MIN(id) AS min_node, MAX(id) AS max_node
-       |FROM l3 GROUP BY lab ORDER BY community""".stripMargin
+       |FROM l$n GROUP BY lab ORDER BY community""".stripMargin
+  }
+  private lazy val communitiesSql: String = communitiesSqlN(3)
+
+  /** [[qGraphCommunitiesConverged]]'s oracle: LpaRounds unrolled LPA
+    * rounds over the block-64 edge subset — exact vs the engine's
+    * early-stopped loop because post-stability rounds are no-ops (and
+    * the backstop case runs the same count on both sides). */
+  private lazy val communitiesConvergedSql: String =
+    communitiesSqlN(LpaRounds, edgeCte = "bedges", extraCtes =
+      """
+        |bedges AS MATERIALIZED (
+        |  SELECT x, y FROM edges WHERE x // 64 = y // 64),""".stripMargin)
+
+  /** [[qGraphKcoreConverged]]'s oracle: KcoreRounds unrolled peel
+    * rounds over the bipartite customer↔supplier graph (k=8). */
+  private lazy val kcoreConvergedSql: String = {
+    val rounds = (1 to KcoreRounds).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT e.x AS node, COUNT(*) AS deg
+         |  FROM edges e
+         |  JOIN s${k - 1} a ON a.node = e.x
+         |  JOIN s${k - 1} b ON b.node = e.y
+         |  GROUP BY e.x),
+         |s$k AS MATERIALIZED (SELECT node FROM d$k WHERE deg >= 8)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS MATERIALIZED (
+       |  SELECT a AS x, b AS y FROM ed
+       |  UNION ALL SELECT b AS x, a AS y FROM ed),
+       |s0 AS MATERIALIZED (SELECT DISTINCT x AS node FROM edges),
+       |$rounds
+       |SELECT node, deg FROM d$KcoreRounds WHERE deg >= 8
+       |ORDER BY node""".stripMargin
   }
 
   /** 4 unrolled BFS rounds: f{k} = nodes one hop from the (k-1)
@@ -454,10 +631,13 @@ object Graph {
        |SELECT node, best FROM d4 ORDER BY node""".stripMargin
   }
 
-  /** 3 unrolled peel rounds: d{k} = surviving-subgraph degrees,
-    * s{k} = nodes with deg >= 8. MATERIALIZED per the 10x rule. */
-  private lazy val kcoreSql: String = {
-    val rounds = (1 to 3).map { k =>
+  /** N unrolled peel rounds: d{k} = surviving-subgraph degrees,
+    * s{k} = nodes with deg >= 8. MATERIALIZED per the 10x rule.
+    * Shared by the bounded face (n=3) and the converged face
+    * (n=KcoreRounds — exact because peel rounds at the fixpoint are
+    * no-ops; see [[kcoreConvergedRun]]). */
+  private def kcoreSqlN(n: Int): String = {
+    val rounds = (1 to n).map { k =>
       s"""d$k AS MATERIALIZED (
          |  SELECT e.x AS node, COUNT(*) AS deg
          |  FROM edges e
@@ -469,10 +649,13 @@ object Graph {
     s"""WITH $deltaEdgesSql,
        |s0 AS MATERIALIZED (SELECT id AS node FROM ids),
        |$rounds
-       |SELECT node, deg FROM d3 WHERE deg >= 8 ORDER BY node""".stripMargin
+       |SELECT node, deg FROM d$n WHERE deg >= 8 ORDER BY node""".stripMargin
   }
+  private lazy val kcoreSql: String = kcoreSqlN(3)
 
   val oracle: Map[String, String] = Map(
+    "q_graph_kcore_converged" -> kcoreConvergedSql,
+    "q_graph_communities_converged" -> communitiesConvergedSql,
     "q_graph_kcore" -> kcoreSql,
     "q_graph_sssp" -> ssspSql,
     "q_graph_bfs" -> bfsSql,

@@ -235,6 +235,118 @@ class GraphSpec extends SparkSpec {
     assert(run().toSeq === got.toSeq, "kcore is not deterministic")
   }
 
+  test("kcore converged: full cascade on a chain where the bounded face stops early") {
+    val s = spark
+    import s.implicits._
+    // path 0-1-...-11 with k=2: endpoints peel first, each removal
+    // exposes a new sub-k endpoint, and the TRUE 2-core is EMPTY — a
+    // 3-round bounded peel still holds the middle 6 nodes, so fixpoint
+    // and bounded face genuinely differ here
+    val n = 12
+    val e0 = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("x", "y")
+    val edges = e0.unionByName(e0.select($"y".as("x"), $"x".as("y")))
+    val (core, iters) = Graph.kcorePeelConverged(edges, 2L, maxRounds = 20)
+    assert(core.count() === 0L, "a path has no 2-core")
+    assert(iters >= 5 && iters < 20,
+      s"cascade should take ~n/2 rounds and stop before the backstop, ran $iters")
+    // driver brute force on the same chain, 3 bounded rounds -> non-empty
+    var surv = (0L until n.toLong).toSet
+    for (_ <- 1 to 3)
+      surv = surv.filter(a => Seq(a - 1, a + 1).count(b => b >= 0 && b < n && surv(b)) >= 2)
+    assert(surv.nonEmpty, "fixture broken: bounded peel should differ from fixpoint")
+  }
+
+  test("kcore converged: corpus fixpoint equals brute force, stops before backstop") {
+    def run() = Graph.qGraphKcoreConverged(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = run()
+    assert(got.nonEmpty, "the bipartite trading graph must keep an 8-core")
+    // driver brute force to the true fixpoint
+    val pairs = graft.Tables.orders(spark, sf("sf0.001"))
+      .join(graft.Tables.lineitem(spark, sf("sf0.001")),
+            org.apache.spark.sql.functions.expr("o_orderkey = l_orderkey"))
+      .selectExpr("o_custkey * 2 AS a", "l_suppkey * 2 + 1 AS b")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var surv = nbrs.keySet
+    var deg = Map.empty[Long, Int]
+    var stable = false
+    while (!stable) {
+      deg = surv.iterator.map(a => a -> nbrs(a).count(surv)).toMap
+        .filter(_._2 >= 8)
+      stable = deg.keySet == surv
+      surv = deg.keySet
+    }
+    assert(got.toSeq === deg.toSeq.map { case (a, d) => (a, d.toLong) }.sorted)
+    assert(run().toSeq === got.toSeq, "kcore converged not deterministic")
+  }
+
+  test("lpa converged: stabilizes past the bounded budget on a 64-block, equals brute force") {
+    val s = spark
+    import s.implicits._
+    // one 64-id delta-graph block (the converged corpus face's exact
+    // per-component shape): min-winning labels walk ~8 ids per round,
+    // so stability takes ~10 rounds — past the bounded face's 3 and
+    // short of the backstop 20, proving the stop fired on the metric.
+    // (A bare path is NOT usable here: synchronous min-tie LPA
+    // oscillates at path endpoints — labels 0 and 1 swap forever —
+    // which is precisely why the corpus face carries a backstop.)
+    val n = 64L
+    val deltas = Seq(1L, 2L, 3L, 5L, 8L)
+    val ids = (0L until n).toDF("id")
+    val e0 = (for { a <- 0L until n; d <- deltas if a + d < n }
+      yield (a, a + d)).toDF("x", "y")
+    val edges = e0.unionByName(e0.select($"y".as("x"), $"x".as("y")))
+    val (labDf, iters) = Graph.lpaConverged(ids, edges, maxRounds = 20)
+    val got = labDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver brute force to stability
+    val nbrs = (0L until n).map { a =>
+      a -> (deltas.map(a + _) ++ deltas.map(a - _)).filter(b => b >= 0 && b < n)
+    }.toMap
+    var lab = (0L until n).map(a => a -> a).toMap
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < 50) {
+      rounds += 1
+      val next = lab.keys.map { a =>
+        val nl = nbrs(a).map(lab)
+        if (nl.isEmpty) a -> lab(a)
+        else a -> nl.groupBy(identity).view.mapValues(_.size).toSeq
+          .minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+      stable = next == lab
+      lab = next
+    }
+    assert(got === lab)
+    assert(iters > 3 && iters < 20,
+      s"block stability should take ~10 rounds (>3, <backstop), ran $iters")
+    // the engine counts the final no-change round; the driver loop
+    // counts it too (stable set on the round AFTER the last change)
+    assert(iters === rounds, s"engine rounds $iters != brute-force rounds $rounds")
+  }
+
+  test("lpa converged: corpus face stops before the backstop and partitions the ids") {
+    val (ids, sym) = {
+      // same construction as the query: block-64 delta graph
+      val d = Graph.qGraphCommunitiesConverged(spark, sf("sf0.001"))
+      val rows = d.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      (rows, rows.map(_._2).sum)
+    }
+    val nIds = graft.Tables.documents(spark, sf("sf0.001")).count()
+    assert(sym === nIds, "communities must partition the id set")
+    assert(ids.length > 1, "block-64 LPA should yield one community per block")
+    // every community is confined to its 64-block: the min and max
+    // member share a block index
+    ids.foreach { case (c, _, lo, hi) =>
+      assert(lo / 64 === hi / 64, s"community $c spans blocks: [$lo, $hi]")
+    }
+    val again = Graph.qGraphCommunitiesConverged(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq === ids.toSeq, "lpa converged not deterministic")
+  }
+
   test("pagerank: damping floor, bounded mass loss, deterministic") {
     val rows = Graph.qGraphPagerank(spark, sf("sf0.001")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
