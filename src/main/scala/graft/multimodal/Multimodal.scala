@@ -573,6 +573,153 @@ object Multimodal {
     }
   }
 
+  /** Square-wave SPECTRUM — the frequency-domain stage the envelope
+    * can't substitute for: per time bin, the magnitudes of the PCM
+    * stream's correlation with square waves (Rademacher functions) of
+    * period 4/8/16/32 samples — the exact-integer cousin of per-bin
+    * Goertzel DFT magnitudes (a square-wave filter bank is the classic
+    * integer-only frequency probe; its fundamental tracks the DFT bin
+    * at the same period). All arithmetic is integer, like [[Envelope]].
+    *
+    * The emitted value is mag * 1024 div binEnergy — and that floor
+    * ratio is EXACTLY invariant under integer re-gain: scaling every
+    * sample by g scales mag and energy both by g, and
+    * floor((g*m*1024)/(g*e)) == floor((m*1024)/e). So two takes of the
+    * same audio at different volumes carry the SAME spectral signature
+    * while their loudness envelopes differ — the re-gain dup case
+    * envelope-keyed dedup misses by construction (MultimodalSpec pins
+    * exactly that pair, plus frequency selectivity on a pure tone). */
+  object Spectrum {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** Correlation window cap per time bin — bounds per-item work the
+      * way Envelope's stride does (striding would break square-wave
+      * phase alignment, so the spectrum caps the window instead). */
+    private val MaxWindow = 4096L
+
+    val Periods: Array[Int] = Array(4, 8, 16, 32)
+
+    /** (channels, sampleRate, flattened nTimeBins x Periods.length
+      * normalized magnitudes) through the real RIFF parse; None on
+      * malformed bytes (caller falls back to the stub). */
+    def spectrumOf(bytes: Array[Byte], nTimeBins: Int)
+        : Option[(Int, Int, Array[Int])] =
+      if (!(bytes.length > 44 &&
+            bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+            bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
+        None
+      else try {
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        var channels = 0; var sampleRate = 0
+        var bitsPerSample = 0; var dataOff = -1; var dataLen = 0
+        var off = 12
+        while (off + 8 <= bytes.length) {
+          val id = new String(bytes, off, 4, "US-ASCII")
+          val size = bb.getInt(off + 4)
+          if (size < 0) return None
+          if (id == "fmt " && off + 24 <= bytes.length) {
+            channels = bb.getShort(off + 10).toInt
+            sampleRate = bb.getInt(off + 12)
+            bitsPerSample = bb.getShort(off + 22).toInt
+          } else if (id == "data") {
+            dataOff = off + 8
+            dataLen = math.min(size.toLong, (bytes.length - dataOff).toLong).toInt
+          }
+          off += 8 + size + (size & 1)
+        }
+        if (channels <= 0 || dataOff < 0 || nTimeBins <= 0) None
+        else {
+          val bytesPerSample = math.max(1, bitsPerSample / 8)
+          val nSamples = dataLen / bytesPerSample
+          def sampleAt(s: Long): Int = {
+            val p = dataOff + (s * bytesPerSample).toInt
+            if (bitsPerSample == 16 && p + 1 < bytes.length) bb.getShort(p).toInt
+            else (bytes(p) & 0xff) - 128
+          }
+          val out = new Array[Int](nTimeBins * Periods.length)
+          var k = 0
+          while (k < nTimeBins) {
+            val s0 = k.toLong * nSamples / nTimeBins
+            val s1 = math.min((k + 1).toLong * nSamples / nTimeBins,
+                              s0 + MaxWindow)
+            var energy = 0L
+            val acc = new Array[Long](Periods.length)
+            var s = s0
+            while (s < s1) {
+              val v = sampleAt(s)
+              energy += math.abs(v)
+              var f = 0
+              while (f < Periods.length) {
+                val half = Periods(f) / 2
+                // Rademacher sign: +1 on even half-periods (phase
+                // anchored at the BIN start so the signature is a pure
+                // function of the bin's samples)
+                if ((((s - s0) / half) & 1L) == 0L) acc(f) += v
+                else acc(f) -= v
+                f += 1
+              }
+              s += 1
+            }
+            var f = 0
+            while (f < Periods.length) {
+              out(k * Periods.length + f) =
+                if (energy == 0L) 0
+                else (math.abs(acc(f)) * 1024L / energy).toInt
+              f += 1
+            }
+            k += 1
+          }
+          Some((channels, sampleRate, out))
+        }
+      } catch { case _: Exception => None }
+
+    /** Deterministic stub spectrum for non-audio bytes (same mixing
+      * discipline as [[Envelope.stubEnvelope]]; values in the
+      * normalized 0..1024 range). */
+    def stubSpectrum(bytes: Array[Byte], n: Int): Array[Int] = {
+      var h = 741103597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      Array.tabulate(n) { k =>
+        var z = h + k * 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        (((z ^ (z >>> 27)) & Long.MaxValue) % 1025L).toInt
+      }
+    }
+  }
+
+  /** The spectral stage as a partition-batched map, same shape as
+    * [[audioEnvelope]]: one row per media item with the flattened
+    * nTimeBins x 4-period normalized magnitudes and the decode-path
+    * flag. Runs where the bytes live — no shuffle, no driver loop;
+    * ~8+4*nTimeBins*4 B per item on the wire, never PCM. */
+  def audioSpectrum(spark: SparkSession, media: DataFrame,
+                    nTimeBins: Int = 8, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(nTimeBins > 0, "nTimeBins must be positive")
+    val nOut = nTimeBins * Spectrum.Periods.length
+    val ds: Dataset[(Long, Array[Byte], String)] =
+      media.select(col("doc_id").cast("long"), col("content"), col("format"))
+        .as[(Long, Array[Byte], String)]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes, fmt) =>
+          val real =
+            if (fmt == "wav") Spectrum.spectrumOf(bytes, nTimeBins) else None
+          real match {
+            case Some((ch, sr, spec)) =>
+              (id, fmt, ch, sr, nTimeBins, spec, true)
+            case None =>
+              val d = StubCodec.decode(bytes, fmt)
+              (id, fmt, d.channels, 0, nTimeBins,
+                Spectrum.stubSpectrum(bytes, nOut), false)
+          }
+        }
+      }
+    }.toDF("doc_id", "format", "channels", "sample_rate", "n_tbins",
+           "spectrum", "decoded")
+  }
+
   /** The audio-envelope stage as a partition-batched map: one typed
     * row per media item with stream properties and the exact-integer
     * loudness bins. `decoded` marks which path ran (real RIFF parse vs

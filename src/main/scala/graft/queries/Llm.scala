@@ -1087,6 +1087,33 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Audio SPECTRUM stage over the media columns — the frequency-
+    * domain signature next to [[qMmAudioEnvelope]]'s loudness bins:
+    * per wav item, 8 time bins x 4 square-wave (Rademacher) filter
+    * magnitudes, each normalized by the bin's energy with floor
+    * division so the signature is EXACTLY invariant under integer
+    * re-gain ([[graft.multimodal.Multimodal.Spectrum]]'s scaladoc
+    * derives the invariance; MultimodalSpec pins it on a x2-gain
+    * fixture whose envelope signature differs) — the re-gained-dup
+    * key envelope-based dedup can't provide. Output is a per-item
+    * signature row: a 64-bit fingerprint of the full spectrum plus
+    * schema-stable integer stats. Rows-only check (PCM arithmetic is
+    * not SQL-expressible); exactness pinned in MultimodalSpec. */
+  def qMmAudioSpectrum(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.withMediaColumns(Tables.documents(s, dir))
+      .filter(col("format") === "wav")
+    Multimodal.audioSpectrum(s, media)
+      .select(col("doc_id"), col("format"), col("channels"),
+              col("sample_rate"), col("n_tbins"),
+              xxhash64(col("channels"), col("sample_rate"),
+                       col("spectrum").cast("string")).as("spec_sig"),
+              expr("aggregate(spectrum, 0L, (a, x) -> a + x)").as("spec_sum"),
+              array_min(col("spectrum")).as("spec_min"),
+              array_max(col("spectrum")).as("spec_max"), col("decoded"))
+      .orderBy("doc_id")
+  }
+
   /** Image DEDUP in PIXEL space — the multimodal face of the dedup
     * family: 64-bit average-hash per image item
     * ([[graft.multimodal.Multimodal.phashStage]]: bit k = thumb cell k
@@ -1160,6 +1187,7 @@ object Llm {
     "q_mm_resize" -> (qMmResize _),
     "q_mm_frame_sample" -> (qMmFrameSample _),
     "q_mm_audio_envelope" -> (qMmAudioEnvelope _),
+    "q_mm_audio_spectrum" -> (qMmAudioSpectrum _),
     "q_mm_decode_stub" -> (qMmDecodeStub _),
     "q_text_tokenize" -> (qTextTokenize _),
     "q_text_stats" -> (qTextStats _),
