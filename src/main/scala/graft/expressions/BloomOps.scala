@@ -163,6 +163,19 @@ object BloomOps {
   }
 
   val registrations: Seq[Kernels.Registration] = Seq(
+    (FunctionIdentifier("graft_bloom_bits"),
+      new ExpressionInfo(classOf[BloomBitsAgg].getName, "graft_bloom_bits"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_bloom_bits(positions, mBits): expects exactly 2 arguments")
+        require(children(1).foldable, "graft_bloom_bits: mBits must be a literal")
+        val m = children(1).eval().asInstanceOf[Number].longValue()
+        // the full bitmap must byte-serialize through the agg buffer:
+        // cap at 2^31 BITS (256 MB sidecar) with an explicit error
+        require(m >= 1L && m <= (1L << 31),
+          s"graft_bloom_bits: mBits $m outside [1, 2^31] — shard the filter")
+        BloomBitsAgg(children.head, m)
+      }),
     (FunctionIdentifier("graft_bloom_positions"),
       new ExpressionInfo(classOf[BloomGramPositions].getName, "graft_bloom_positions"),
       (children: Seq[Expression]) => {
@@ -184,6 +197,71 @@ object BloomOps {
 
   def register(spark: SparkSession): Unit =
     Kernels.registerAll(spark, registrations)
+}
+
+/** expr("graft_bloom_bits(positions, mBits)") -> the FULL Bloom bitmap
+  * as binary packed big-endian longs, OR-merged executor-side — the
+  * distributed build face of the sidecar (the BitmapOps discipline
+  * applied to Bloom bit positions): each partial holds mBits/8 bytes
+  * of state no matter how many n-grams stream past, partials combine
+  * map-side, and the driver receives ONE bitmap instead of collecting
+  * distinct positions (whose count grows with the indexed set — the
+  * round-12 watch item). Null position arrays are ignored. */
+case class BloomBitsAgg(child: Expression, mBits: Long,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_bloom_bits"
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](((mBits + 63) / 64).toInt)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val arr = v.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      val p = arr.getLong(i)
+      require(p >= 0L && p < mBits,
+        s"graft_bloom_bits: position $p outside [0, $mBits)")
+      buf((p >>> 6).toInt) |= 1L << (p & 63)
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = serialize(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8).order(ByteOrder.BIG_ENDIAN)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    Array.fill(bytes.length / 8)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomBitsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomBitsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BloomBitsAgg =
+    copy(child = c.head)
 }
 
 /** expr("graft_bloom_positions(text, n, numHashes, mBits)") -> array<bigint>. */

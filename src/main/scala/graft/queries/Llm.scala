@@ -438,17 +438,24 @@ object Llm {
 
   /** Version tag folded into the Bloom sidecar's content key: bump on
     * any change to the gram size, hash family, sizing rule, or wire
-    * format — a stale sidecar must never serve a new serve kernel. */
-  private val bloomVersion = "bloom-cgram4-k4-v1"
+    * format — a stale sidecar must never serve a new serve kernel.
+    * v2 = distributed word-agg builder (bit-identical output to v1's
+    * driver-side build — BloomSpec pins the parity — bumped so the new
+    * builder demonstrably runs rather than serving a cached v1). */
+  private val bloomVersion = "bloom-cgram4-k4-v2"
 
   /** Build-once Bloom sidecar over the eval suite's distinct
     * char-4-grams (eval = doc_id % 5 == 0, the same split every
     * contamination face uses). Sized at ~16 bits per n-gram with 4
     * hashes (FPR ~= 0.24%), minimum 64 Kbit; published content-keyed
     * and atomically via [[graft.ArtifactStore]] so a corpus rewrite
-    * can never serve stale bits. The driver collects only DISTINCT bit
-    * positions — bounded by eval-suite n-grams, which stay fixed-size
-    * no matter how large the train corpus grows. */
+    * can never serve stale bits. The bitmap itself is OR-aggregated
+    * EXECUTOR-SIDE (`graft_bloom_bits`, the BitmapOps discipline): each
+    * partial carries mBits/8 bytes of state regardless of n-gram count,
+    * partials combine map-side, and the driver receives exactly ONE
+    * mBits/8-byte bitmap — never a position list whose size grows with
+    * the eval suite (the round-12 watch item: a 10 GB suite would have
+    * made the old distinct-positions collect a driver hazard). */
   private[queries] def ensureEvalBloom(s: SparkSession, dir: String): String = {
     graft.expressions.ShingleOps.register(s)
     graft.expressions.BloomOps.register(s)
@@ -460,12 +467,14 @@ object Llm {
         .collect()(0).getLong(0).max(1L)
       val mBits = java.lang.Long.highestOneBit(
         math.max(1L << 16, est * 16) * 2 - 1)
-      val positions = eval0
-        .select(explode(expr(
-          s"graft_bloom_positions(text, 4, 4, CAST($mBits AS BIGINT))")).as("pos"))
-        .distinct().collect().map(_.getLong(0))
-      val words = new Array[Long](((mBits + 63) / 64).toInt)
-      positions.foreach(p => words((p >>> 6).toInt) |= 1L << (p & 63))
+      val packed = eval0
+        .agg(expr(
+          s"graft_bloom_bits(graft_bloom_positions(text, 4, 4, " +
+            s"CAST($mBits AS BIGINT)), CAST($mBits AS BIGINT))").as("bits"))
+        .head().getAs[Array[Byte]](0)
+      val bb = java.nio.ByteBuffer.wrap(packed)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      val words = Array.fill(packed.length / 8)(bb.getLong())
       graft.expressions.BloomOps.write(s"$tmp/bloom.bin", 4, mBits, words)
     }
     s"$path/bloom.bin"

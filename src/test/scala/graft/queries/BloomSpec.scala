@@ -86,6 +86,36 @@ class BloomSpec extends SparkSpec {
     } finally f.delete()
   }
 
+  test("distributed word-agg build is bit-identical to a driver-side reference build") {
+    // the v2 builder aggregates the bitmap executor-side
+    // (graft_bloom_bits); the v1 shape collected distinct positions on
+    // the driver. Same positions set bits -> the sidecar words must be
+    // EXACTLY equal, under a partitioning that forces real partial
+    // merges.
+    graft.expressions.BloomOps.register(spark)
+    graft.expressions.ShingleOps.register(spark)
+    val eval0 = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
+      .repartition(13)
+    val mBits = 1L << 18
+    val packed = eval0
+      .agg(expr(s"graft_bloom_bits(graft_bloom_positions(text, 4, 4, " +
+        s"CAST($mBits AS BIGINT)), CAST($mBits AS BIGINT))").as("bits"))
+      .head().getAs[Array[Byte]](0)
+    val bb = java.nio.ByteBuffer.wrap(packed)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    val gotWords = Array.fill(packed.length / 8)(bb.getLong())
+    val positions = eval0
+      .select(explode(expr(
+        s"graft_bloom_positions(text, 4, 4, CAST($mBits AS BIGINT))")).as("pos"))
+      .distinct().collect().map(_.getLong(0))
+    val refWords = new Array[Long](((mBits + 63) / 64).toInt)
+    positions.foreach(p => refWords((p >>> 6).toInt) |= 1L << (p & 63))
+    assert(gotWords.length === refWords.length)
+    assert(gotWords.toSeq === refWords.toSeq,
+      "distributed bitmap differs from the reference driver build")
+    assert(gotWords.exists(_ != 0L), "empty bitmap — spec is vacuous")
+  }
+
   test("sidecar is built once: second ensure serves the published file") {
     val f1 = Llm.ensureEvalBloom(spark, dir)
     val m1 = new File(f1).lastModified()
