@@ -460,6 +460,52 @@ object Aggs {
       .orderBy("ym", "pct")
   }
 
+  /** APPROXIMATE set-operable retention — the theta-sketch face that
+    * completes the sketch matrix next to [[qAggBitmapRetention]]: the
+    * bitmap's intersections are exact but demand a DENSE integer key
+    * domain (dictionary-encode first at 100 TB); HLL unions are
+    * lossless but have no intersection operator at all. The theta
+    * sketch (Dasgupta et al.; Apache DataSketches) keeps a uniform
+    * hash sample below an adaptive θ, so per-month sketches of
+    * ARBITRARY keys union AND intersect with bounded relative error —
+    * the cohort/retention query on raw string or sparse keys where the
+    * bitmap's precondition fails. Same persisted build-once lifecycle
+    * and month-pair serve as the bitmap store; state is ≤ ~8·2^12
+    * bytes per month regardless of row count, and estimates are
+    * partitioning-invariant (the retained hash set is a pure function
+    * of the key set). Below 2^12 distinct keys/month the sketch runs
+    * in exact mode — SketchSpec pins the estimates against the exact
+    * bitmap face (equal there, ≤5%/≤10% bounds stated for the general
+    * regime) plus serve-twice determinism. No oracle (sketches are
+    * not cross-engine). */
+  def qAggThetaRetention(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.ThetaOps.register(s)
+    val key = graft.ArtifactStore.contentKey(s"$dir/orders.parquet",
+      "theta-monthly-lgk12-v1")
+    val path = graft.ArtifactStore.cachePath("theta_monthly", key)
+    graft.ArtifactStore.ensure(path) { tmp =>
+      Tables.orders(s, dir)
+        .select(expr(
+            "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)")
+            .as("ym"),
+          col("o_custkey").as("k"))
+        .groupBy("ym")
+        .agg(expr("graft_theta_agg(k, 12)").as("sk"),
+             count(lit(1)).as("n_orders"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/sketch")
+    }
+    val bm = s.read.parquet(s"$path/sketch")
+    val nxt = expr("CASE WHEN ym % 100 = 12 THEN ym + 89 ELSE ym + 1 END")
+    bm.select(col("ym"), nxt.as("nym"), col("sk"))
+      .join(bm.select(col("ym").as("bym"), col("sk").as("bsk")),
+            col("nym") === col("bym"))
+      .select(col("ym"),
+        expr("graft_theta_estimate(sk)").as("n_active_est"),
+        expr("graft_theta_estimate(bsk)").as("n_active_next_est"),
+        expr("graft_theta_intersect_estimate(sk, bsk)").as("n_retained_est"))
+      .orderBy("ym")
+  }
+
   /** EXACT heavy hitters by the two-pass bounded-state algorithm:
     * pass 1 is a [[graft.expressions.MisraGries]] summary (k=192
     * counters per partial, merged with the bound-preserving offset
@@ -692,6 +738,7 @@ object Aggs {
     "q_agg_heavy_hitters" -> (qAggHeavyHitters _),
     "q_agg_quantile_persisted" -> (qAggQuantilePersisted _),
     "q_agg_quantile_kll" -> (qAggQuantileKll _),
+    "q_agg_theta_retention" -> (qAggThetaRetention _),
     "q_agg_hll_persisted" -> (qAggHllPersisted _),
     "q_agg_hll_partitioned" -> (qAggHllPartitioned _),
     "q_agg_weighted_median" -> (qAggWeightedMedian _),

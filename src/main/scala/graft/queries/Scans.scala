@@ -97,23 +97,58 @@ object Scans {
       .orderBy("lang", "source")
   }
 
+  /** ORC round trip — the second COLUMNAR format next to parquet (the
+    * warehouse-interchange case: ORC is what Hive-era lakes still
+    * serve): documents written ONCE as ORC (content-keyed artifact),
+    * read back with an explicit schema so the scan column-prunes
+    * without a footer-inference pass, summarized with the same
+    * content-sensitive aggregates as the JSONL face. The oracle reads
+    * the ORIGINAL parquet, so a hash match proves the ORC write→read
+    * cycle preserved every byte of every document — string encoding,
+    * dictionary pages, and stripe boundaries exercised end to end.
+    * ORC splits by stripe, so the read parallelizes like parquet. */
+  def qScanOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val key = graft.ArtifactStore.contentKey(s"$dir/documents.parquet",
+      "docs-orc-v1")
+    val path = graft.ArtifactStore.cachePath("docs_orc", key)
+    graft.ArtifactStore.ensure(path) { tmp =>
+      Tables.documents(s, dir).write.mode("overwrite").orc(s"$tmp/data")
+    }
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+              "n_chars BIGINT")
+      .orc(s"$path/data")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"),
+           min(md5(encode(col("text"), "UTF-8"))).as("min_md5"),
+           max(md5(encode(col("text"), "UTF-8"))).as("max_md5"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_orc_roundtrip" -> (qScanOrcRoundtrip _),
     "q_scan_jsonl_roundtrip" -> (qScanJsonlRoundtrip _),
     "q_scan_project" -> (qScanProject _),
     "q_scan_filter_prune" -> (qScanFilterPrune _),
     "q_scan_profile" -> (qScanProfile _),
   )
 
+  private val docsRoundtripSql: String =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
+      |FROM documents
+      |GROUP BY lang, source
+      |ORDER BY lang, source""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // the oracle reads the ORIGINAL parquet: a hash match proves the
+    // engine's ORC write->read cycle preserved every document byte
+    "q_scan_orc_roundtrip" -> docsRoundtripSql,
+    // the oracle reads the ORIGINAL parquet: a hash match proves the
     // engine's jsonl write->read cycle preserved every document byte
-    "q_scan_jsonl_roundtrip" ->
-      """SELECT lang, source, COUNT(*) AS n_docs,
-        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-        |  MIN(md5(text)) AS min_md5, MAX(md5(text)) AS max_md5
-        |FROM documents
-        |GROUP BY lang, source
-        |ORDER BY lang, source""".stripMargin,
+    "q_scan_jsonl_roundtrip" -> docsRoundtripSql,
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,

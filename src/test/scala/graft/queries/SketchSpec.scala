@@ -164,6 +164,32 @@ class SketchSpec extends SparkSpec {
     assert(again === got, "kll store served differently twice")
   }
 
+  test("theta retention tracks the exact bitmap face and serves deterministically") {
+    val dir = sf("sf0.01")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    val est = rows(Aggs.qAggThetaRetention(spark, dir)).toMap
+    val exact = rows(Aggs.qAggBitmapRetention(spark, dir)).toMap
+    assert(est.keySet === exact.keySet,
+      "theta store must serve the same month pairs as the exact face")
+    assert(exact.values.exists(_._3 > 0L), "no retention anywhere — vacuous")
+    // at sf0.01 every month holds < 2^12 distinct custkeys, so the
+    // sketches run in exact mode — but state the bounds the sketch
+    // GUARANTEES (5% marginals, 10% intersection) so the assertion
+    // survives scales that push into estimation mode
+    def ok(e: Long, x: Long, tol: Double): Boolean =
+      math.abs(e - x) <= math.max(1L, (x * tol).toLong)
+    exact.foreach { case (ym, (a, b, rtd)) =>
+      val (ea, eb, er) = est(ym)
+      assert(ok(ea, a, 0.05) && ok(eb, b, 0.05),
+        s"ym=$ym actives ($ea, $eb) drift past 5% of exact ($a, $b)")
+      assert(ok(er, rtd, 0.10),
+        s"ym=$ym retained estimate $er drifts past 10% of exact $rtd")
+    }
+    // serve-twice determinism from the published artifact
+    assert(rows(Aggs.qAggThetaRetention(spark, dir)).toMap === est)
+  }
+
   test("sketch output is invariant to input partitioning") {
     val dir = sf("sf0.001")
     val a = Aggs.qAggHllPartitioned(spark, dir).collect().map(_.toString).toSeq
