@@ -27,7 +27,8 @@ object Kernels {
       TextRep.registrations ++ VecSum6.registrations ++
       RollingFingerprint.registrations ++ MisraGries.registrations ++
       HilbertOps.registrations ++ BloomOps.registrations ++
-      BitmapOps.registrations
+      BitmapOps.registrations ++ KllOps.registrations ++
+      ThetaOps.registrations
 
   def registerAll(spark: SparkSession, rs: Seq[Registration]): Unit =
     rs.foreach { case (id, info, builder) =>

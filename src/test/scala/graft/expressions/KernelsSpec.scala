@@ -47,7 +47,21 @@ class KernelsSpec extends SparkSpec {
       "graft_bitmap_card" ->
         "SELECT graft_bitmap_card(graft_bitmap_agg(k, 16)) FROM (SELECT explode(array(1L, 5L, 5L)) AS k)",
       "graft_bitmap_and_card" ->
-        "SELECT graft_bitmap_and_card(graft_bitmap_agg(k, 16), graft_bitmap_agg(k, 16)) FROM (SELECT explode(array(1L, 5L)) AS k)")
+        "SELECT graft_bitmap_and_card(graft_bitmap_agg(k, 16), graft_bitmap_agg(k, 16)) FROM (SELECT explode(array(1L, 5L)) AS k)",
+      "graft_bloom_bits" ->
+        "SELECT graft_bloom_bits(graft_bloom_positions('abcdef', 4, 4, 64L), 64L)",
+      "graft_kll_agg" ->
+        "SELECT graft_kll_agg(k, 200) FROM (SELECT explode(array(1L, 2L, 3L)) AS k)",
+      "graft_kll_merge" ->
+        "SELECT graft_kll_merge(sk) FROM (SELECT graft_kll_agg(k, 200) AS sk FROM (SELECT explode(array(1L, 2L)) AS k))",
+      "graft_kll_quantile" ->
+        "SELECT graft_kll_quantile(graft_kll_agg(k, 200), 0.5D) FROM (SELECT explode(array(1L, 2L, 3L)) AS k)",
+      "graft_theta_agg" ->
+        "SELECT graft_theta_agg(k, 12) FROM (SELECT explode(array(1L, 2L, 2L)) AS k)",
+      "graft_theta_estimate" ->
+        "SELECT graft_theta_estimate(graft_theta_agg(k, 12)) FROM (SELECT explode(array(1L, 2L, 2L)) AS k)",
+      "graft_theta_intersect_estimate" ->
+        "SELECT graft_theta_intersect_estimate(graft_theta_agg(k, 12), graft_theta_agg(k, 12)) FROM (SELECT explode(array(1L, 2L)) AS k)")
     val missing = Kernels.all.map(_._1.funcName).toSet -- calls.keySet
     assert(missing.isEmpty, s"no smoke call for: $missing")
     calls.foreach { case (name, sql) =>

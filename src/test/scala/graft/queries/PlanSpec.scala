@@ -31,6 +31,14 @@ class PlanSpec extends SparkSpec {
       s"columns not pruned:\n$p")
   }
 
+  test("q_scan_orc_roundtrip prunes the ORC scan to the aggregated columns") {
+    val p = finalPlan(Scans.qScanOrcRoundtrip(spark, sf("sf0.001")))
+    // the artifact holds 5 declared columns; the aggregate touches 4 —
+    // the ORC scan must read exactly those (pruning works on ORC too)
+    assert(p.contains("ReadSchema: struct<text:string,lang:string,source:string,n_chars:bigint>"),
+      s"ORC columns not pruned:\n$p")
+  }
+
   private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
     case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
