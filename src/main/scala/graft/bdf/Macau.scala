@@ -178,10 +178,20 @@ object Macau {
     * narrow pass at any scale. */
   def coldStartFactors(spark: SparkSession, res: Gibbs.Result,
                        entity: String, xNew: DataFrame): DataFrame = {
-    import spark.implicits._
     val beta = res.links.getOrElse(entity, Array.empty[Array[Double]])
     require(beta.nonEmpty, s"no trained link matrix for entity $entity")
-    val mu = res.priorMu(entity)   // K; beta is F x K row-major
+    coldStartFactorsFromLink(spark, beta, res.priorMu(entity), xNew)
+  }
+
+  /** [[coldStartFactors]] from a SAVED link matrix + prior mean — the
+    * serve face when the trained model comes from an artifact store
+    * instead of an in-session [[Gibbs.Result]]. */
+  def coldStartFactorsFromLink(spark: SparkSession,
+                               beta: Array[Array[Double]],
+                               mu: Array[Double],
+                               xNew: DataFrame): DataFrame = {
+    import spark.implicits._
+    require(beta.nonEmpty, "empty link matrix")
     val ff = beta.length
     val bBeta = spark.sparkContext.broadcast(beta)
     val bMu = spark.sparkContext.broadcast(mu)
