@@ -49,6 +49,28 @@ object StreamingQ {
               col("n"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
+  /** SKETCHES IN STREAMING — per-hour approximate distinct users via
+    * DataSketches HLL: the windowed face of the sketch-store family
+    * (the batch rollup is `q_agg_hll_partitioned`). Why a sketch and
+    * not `approx_count_distinct` or exact distinct in the stream:
+    * HLL register state is a few KB per window REGARDLESS of user
+    * cardinality and merges associatively, so incremental micro-batch
+    * execution produces BIT-IDENTICAL results to one batch pass —
+    * StreamingSpec proves stream ≡ batch across multi-batch arrivals,
+    * the merge property an exact distinct-set state couldn't afford at
+    * 100 TB (per-window distinct sets are exactly what blows streaming
+    * state stores). Rows-only check (sketch estimates aren't
+    * cross-engine); accuracy vs exact countDistinct pinned ≤5% in the
+    * spec. */
+  def qStreamApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("nd_users"),
+           count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"),
+              col("nd_users"), col("n"))
+      .orderBy("ws")
+
   /** Stateful dedup shape: duplicated input collapses back to one row
     * per event_id (streaming: dropDuplicatesWithinWatermark). */
   def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
@@ -358,6 +380,7 @@ object StreamingQ {
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_session" -> (qStreamSession _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_approx_distinct" -> (qStreamApproxDistinct _),
     "q_stream_late_watermark" -> (qStreamLateWatermark _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_join_outer" -> (qStreamJoinOuter _),

@@ -43,6 +43,50 @@ class StreamingSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("windowed HLL distinct: multi-batch stream equals one batch pass, tracks exact <=5%") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // 3 windows x overlapping users; split across THREE addData calls
+    // so incremental execution must MERGE register state across
+    // micro-batches — the property that makes a sketch streamable
+    val rows = (0 until 90).map { i =>
+      (i.toLong, ts(i), (i % 23 + (i / 30) * 7).toLong)
+    }
+    val mem = MemoryStream[(Long, Timestamp, Long)]
+    val streamed = mem.toDF.toDF("event_id", "ts", "user_id")
+      .groupBy(window($"ts", "30 minutes"))
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("nd"),
+           count(lit(1)).as("n"))
+    val q = streamed.writeStream.format("memory").queryName("hll_stream_out")
+      .outputMode(OutputMode.Complete).start()
+    rows.grouped(30).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = s.table("hll_stream_out")
+      .select($"window.start", $"nd", $"n").collect().toSet
+    val batch = rows.toDF("event_id", "ts", "user_id")
+      .groupBy(window($"ts", "30 minutes"))
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")).as("nd"),
+           count(lit(1)).as("n"))
+      .select($"window.start", $"nd", $"n").collect().toSet
+    assert(got === batch,
+      "incremental HLL merge diverged from the single batch pass")
+    // the registered query's estimates stay within sketch accuracy
+    val est = graft.queries.StreamingQ
+      .qStreamApproxDistinct(spark, sf("sf0.001")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = graft.Tables.events(spark, sf("sf0.001"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct(col("user_id")).as("nd"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("nd"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (ws, nd) =>
+      assert(math.abs(est(ws) - nd) <= math.max(1L, (nd * 0.05).toLong),
+        s"window $ws estimate ${est(ws)} drifts past 5% of exact $nd")
+    }
+  }
+
   test("watermark drops rows older than 10 minutes behind max event time") {
     val s = spark
     import s.implicits._
