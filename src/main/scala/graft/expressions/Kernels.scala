@@ -28,7 +28,7 @@ object Kernels {
       RollingFingerprint.registrations ++ MisraGries.registrations ++
       HilbertOps.registrations ++ BloomOps.registrations ++
       BitmapOps.registrations ++ KllOps.registrations ++
-      ThetaOps.registrations
+      ThetaOps.registrations ++ CmsOps.registrations
 
   def registerAll(spark: SparkSession, rs: Seq[Registration]): Unit =
     rs.foreach { case (id, info, builder) =>

@@ -506,6 +506,51 @@ object Aggs {
       .orderBy("ym")
   }
 
+  /** Count-Min POINT-LOOKUP store — the frequency complement of the
+    * Misra-Gries candidate pass: MG answers "who might be frequent"
+    * with ≤k survivors; the CMS (Cormode-Muthukrishnan; Spark's own
+    * spark-sketch via SQL `count_min_sketch`) answers "how often did
+    * THIS key occur" for ANY key from a depth×width counter grid that
+    * never grows with the key domain. Built per DAY and persisted
+    * (content-keyed), then served by merging the daily sketches —
+    * counter-wise addition with the same seeded hashes, so the merged
+    * sketch is BIT-IDENTICAL to one sketch built over all events
+    * (SketchSpec pins byte equality) — and probing the MG candidate
+    * set against it. Estimates NEVER undercount; overcount ≤ eps·N
+    * w.h.p. At 100 TB: ~28 KB of state per day at eps=1e-3, lookups
+    * without rescanning events, any date range served by merging that
+    * range's sketches. No oracle (sketch); the never-undercount /
+    * bounded-overcount / merge-parity spec carries correctness. */
+  def qAggCmsLookup(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.CmsOps.register(s)
+    graft.expressions.MisraGries.register(s)
+    val key = graft.ArtifactStore.contentKey(s"$dir/events.parquet",
+      "cms-daily-eps1e3-c99-seed7-v1")
+    val path = graft.ArtifactStore.cachePath("cms_daily", key)
+    graft.ArtifactStore.ensure(path) { tmp =>
+      Tables.events(s, dir)
+        .select(expr(
+            "CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS BIGINT)")
+            .as("ymd"),
+          col("user_id"))
+        .groupBy("ymd")
+        .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 7)").as("sk"),
+             count(lit(1)).as("n"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/sketch")
+    }
+    val daily = s.read.parquet(s"$path/sketch")
+    val merged = daily.agg(expr("graft_cms_merge(sk)").as("sk"),
+                           sum(col("n")).as("n_total"))
+    val cand = Tables.events(s, dir)
+      .agg(expr("graft_misra_gries(user_id, 32)")).head().getSeq[Long](0)
+    import s.implicits._
+    cand.toDF("user_id").crossJoin(broadcast(merged))
+      .select(col("user_id"),
+              expr("graft_cms_estimate(sk, user_id)").as("est_freq"),
+              col("n_total"))
+      .orderBy("user_id")
+  }
+
   /** EXACT heavy hitters by the two-pass bounded-state algorithm:
     * pass 1 is a [[graft.expressions.MisraGries]] summary (k=192
     * counters per partial, merged with the bound-preserving offset
@@ -739,6 +784,7 @@ object Aggs {
     "q_agg_quantile_persisted" -> (qAggQuantilePersisted _),
     "q_agg_quantile_kll" -> (qAggQuantileKll _),
     "q_agg_theta_retention" -> (qAggThetaRetention _),
+    "q_agg_cms_lookup" -> (qAggCmsLookup _),
     "q_agg_hll_persisted" -> (qAggHllPersisted _),
     "q_agg_hll_partitioned" -> (qAggHllPartitioned _),
     "q_agg_weighted_median" -> (qAggWeightedMedian _),

@@ -61,7 +61,11 @@ class KernelsSpec extends SparkSpec {
       "graft_theta_estimate" ->
         "SELECT graft_theta_estimate(graft_theta_agg(k, 12)) FROM (SELECT explode(array(1L, 2L, 2L)) AS k)",
       "graft_theta_intersect_estimate" ->
-        "SELECT graft_theta_intersect_estimate(graft_theta_agg(k, 12), graft_theta_agg(k, 12)) FROM (SELECT explode(array(1L, 2L)) AS k)")
+        "SELECT graft_theta_intersect_estimate(graft_theta_agg(k, 12), graft_theta_agg(k, 12)) FROM (SELECT explode(array(1L, 2L)) AS k)",
+      "graft_cms_merge" ->
+        "SELECT graft_cms_merge(sk) FROM (SELECT count_min_sketch(k, 0.01d, 0.9d, 7) AS sk FROM (SELECT explode(array(1L, 2L)) AS k))",
+      "graft_cms_estimate" ->
+        "SELECT graft_cms_estimate(count_min_sketch(k, 0.01d, 0.9d, 7), 1L) FROM (SELECT explode(array(1L, 1L, 2L)) AS k)")
     val missing = Kernels.all.map(_._1.funcName).toSet -- calls.keySet
     assert(missing.isEmpty, s"no smoke call for: $missing")
     calls.foreach { case (name, sql) =>

@@ -190,6 +190,39 @@ class SketchSpec extends SparkSpec {
     assert(rows(Aggs.qAggThetaRetention(spark, dir)).toMap === est)
   }
 
+  test("cms lookup never undercounts, overcount bounded, daily merge == one global sketch") {
+    val dir = sf("sf0.01")
+    val got = Aggs.qAggCmsLookup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "MG produced no probe candidates — vacuous")
+    val exact = Tables.events(spark, dir)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (u, est, n) =>
+      val ex = exact.getOrElse(u, 0L)
+      assert(est >= ex, s"user $u estimate $est UNDER exact $ex — impossible for CMS")
+      assert(est <= ex + math.max(1L, (2 * 0.001 * n).toLong),
+        s"user $u estimate $est overcounts exact $ex past 2*eps*N")
+    }
+    // merge parity is EXACT: counter grids add with the same seeded
+    // hashes, so the merged-daily sketch is byte-identical to one
+    // sketch built over all events in a single pass
+    graft.expressions.CmsOps.register(spark)
+    val mergedBytes = spark.read.parquet(
+        graft.ArtifactStore.cachePath("cms_daily",
+          graft.ArtifactStore.contentKey(s"$dir/events.parquet",
+            "cms-daily-eps1e3-c99-seed7-v1")) + "/sketch")
+      .agg(expr("graft_cms_merge(sk)")).head().getAs[Array[Byte]](0)
+    val globalBytes = Tables.events(spark, dir)
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 7)"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(mergedBytes, globalBytes),
+      "merged daily sketches differ from the single global sketch")
+    // serve-twice determinism
+    assert(Aggs.qAggCmsLookup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq === got.toSeq)
+  }
+
   test("sketch output is invariant to input partitioning") {
     val dir = sf("sf0.001")
     val a = Aggs.qAggHllPartitioned(spark, dir).collect().map(_.toString).toSeq
