@@ -50,18 +50,19 @@ object BloomOps {
 
   final case class Loaded(numHashes: Int, mBits: Long, words: Array[Long])
 
-  /** Per-JVM sidecar cache, LRU-bounded: artifacts are content-keyed,
+  /** Per-JVM sidecar cache, size-bounded: artifacts are content-keyed,
     * so every corpus rewrite mints a NEW path — an unbounded path-keyed
     * map would pin every superseded bitmap in executor memory for the
-    * session's lifetime. 8 sidecars comfortably covers concurrent
-    * queries while letting stale ones be collected. */
+    * session's lifetime. The read path stays a LOCK-FREE
+    * ConcurrentHashMap hit (`graft_bloom_hits` calls [[load]] once per
+    * input ROW, so a global mutex here would serialize every scan
+    * thread); eviction is FIFO via an insertion-order queue — for
+    * content-keyed paths a superseded entry is dead anyway, so
+    * recency-of-access buys nothing over insertion order. 8 sidecars
+    * comfortably covers concurrent queries. */
   private val MaxCached = 8
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, Loaded](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Loaded]): Boolean =
-        size() > MaxCached
-    })
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Loaded]()
+  private val insertionOrder = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   private val mdLocal: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
@@ -80,8 +81,25 @@ object BloomOps {
     } finally out.close()
   }
 
-  def load(file: String): Loaded =
-    cache.computeIfAbsent(file, { f =>
+  def load(file: String): Loaded = {
+    val hit = cache.get(file) // lock-free fast path, once per input row
+    if (hit != null) return hit
+    val loaded = cache.computeIfAbsent(file, { f =>
+      insertionOrder.add(f)
+      loadFile(f)
+    })
+    // FIFO-evict outside the compute (never hold the map's bin lock
+    // during another entry's file I/O); benign under races — worst
+    // case a just-inserted entry is evicted and reloaded on next use
+    while (cache.size() > MaxCached) {
+      val oldest = insertionOrder.poll()
+      if (oldest == null) return loaded
+      cache.remove(oldest)
+    }
+    loaded
+  }
+
+  private def loadFile(f: String): Loaded = {
       val ch = FileChannel.open(new File(f).toPath, StandardOpenOption.READ)
       try {
         // .toInt on a >=2 GiB file would go negative and die opaquely
@@ -101,7 +119,7 @@ object BloomOps {
         while (i < words.length) { words(i) = buf.getLong(); i += 1 }
         Loaded(k, m, words)
       } finally ch.close()
-    })
+  }
 
   /** The i-th bit position of `gram` for i in [0, numHashes). Fills
     * `out`; shared by the build-side enumeration and the serve-side
@@ -170,10 +188,13 @@ object BloomOps {
           "graft_bloom_bits(positions, mBits): expects exactly 2 arguments")
         require(children(1).foldable, "graft_bloom_bits: mBits must be a literal")
         val m = children(1).eval().asInstanceOf[Number].longValue()
-        // the full bitmap must byte-serialize through the agg buffer:
-        // cap at 2^31 BITS (256 MB sidecar) with an explicit error
-        require(m >= 1L && m <= (1L << 31),
-          s"graft_bloom_bits: mBits $m outside [1, 2^31] — shard the filter")
+        // the full bitmap must byte-serialize through the agg buffer
+        // (words * 8 bytes <= Int.MaxValue) and load back under the
+        // sidecar reader's 2 GiB file limit: both bind at ~2^34 bits
+        require(m >= 1L && m <= (1L << 34),
+          s"graft_bloom_bits: mBits $m outside [1, 2^34] (the serialized" +
+            " bitmap must fit one byte array / the 2 GiB sidecar limit)" +
+            " — shard the filter")
         BloomBitsAgg(children.head, m)
       }),
     (FunctionIdentifier("graft_bloom_positions"),

@@ -36,6 +36,29 @@ object CmsOps {
   def estimate(bytes: Array[Byte], key: Long): Long =
     CountMinSketch.readFrom(bytes).estimateCount(java.lang.Long.valueOf(key))
 
+  /** Per-thread (bytes -> parsed sketch) memo for the point-lookup
+    * scalar: probing N keys against one broadcast sketch row would
+    * otherwise re-parse the same counter grid N times. Content
+    * equality via Arrays.equals — a ~28 KB compare is far cheaper
+    * than a readFrom parse, and the memo holds exactly one entry per
+    * thread (the probe pattern is many keys against ONE sketch). */
+  private val lastParsed: ThreadLocal[(Array[Byte], CountMinSketch)] =
+    new ThreadLocal[(Array[Byte], CountMinSketch)]
+
+  def estimateMemo(bytes: Array[Byte], key: Long): Long = {
+    val cached = lastParsed.get()
+    val sk =
+      if (cached != null &&
+          (cached._1.eq(bytes) || java.util.Arrays.equals(cached._1, bytes)))
+        cached._2
+      else {
+        val parsed = CountMinSketch.readFrom(bytes)
+        lastParsed.set((bytes.clone(), parsed))
+        parsed
+      }
+    sk.estimateCount(java.lang.Long.valueOf(key))
+  }
+
   val registrations: Seq[Kernels.Registration] = Seq(
     (FunctionIdentifier("graft_cms_merge"),
       new ExpressionInfo(classOf[CmsMergeAgg].getName, "graft_cms_merge"),
@@ -120,7 +143,7 @@ case class CmsEstimate(left: Expression, right: Expression)
   override def prettyName: String = "graft_cms_estimate"
 
   override protected def nullSafeEval(sk: Any, key: Any): Any =
-    CmsOps.estimate(sk.asInstanceOf[Array[Byte]], key.asInstanceOf[Long])
+    CmsOps.estimateMemo(sk.asInstanceOf[Array[Byte]], key.asInstanceOf[Long])
 
   override protected def withNewChildrenInternal(
       a: Expression, b: Expression): CmsEstimate =

@@ -118,41 +118,58 @@ case class KllAgg(child: Expression, k: Int,
 }
 
 /** expr("graft_kll_merge(sk)") -> binary union of serialized sketches.
-  * The buffer adopts the first sketch's k; null inputs are ignored. An
-  * all-null/empty group evals to an empty k=200 sketch (whose quantile
-  * serve returns null). */
+  * The buffer IS the first sketch seen (heapified images are
+  * updatable), so the union genuinely runs at the inputs' k — a
+  * fixed-k buffer would silently re-compact high-k sketches down to
+  * ITS level capacities and degrade the rank guarantee the caller
+  * paid for. Null inputs are ignored; an all-null/empty group evals
+  * to an empty default sketch (whose quantile serve returns null). */
 case class KllMergeAgg(child: Expression,
                        mutableAggBufferOffset: Int = 0,
                        inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[KllLongsSketch] {
+    extends TypedImperativeAggregate[Array[KllLongsSketch]] {
 
   override def children: Seq[Expression] = child :: Nil
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "graft_kll_merge"
 
-  // an empty KLL merges as identity regardless of k, so the default-k
-  // empty buffer never perturbs the adopted sketches' accuracy
-  override def createAggregationBuffer(): KllLongsSketch =
-    KllLongsSketch.newHeapInstance()
+  // a 1-slot mutable cell: the union must adopt the FIRST input's k,
+  // which is unknown until that input arrives
+  override def createAggregationBuffer(): Array[KllLongsSketch] =
+    new Array[KllLongsSketch](1)
 
-  override def update(buf: KllLongsSketch, input: InternalRow): KllLongsSketch = {
+  private def absorb(buf: Array[KllLongsSketch], sk: KllLongsSketch): Unit =
+    if (buf(0) == null) buf(0) = sk else buf(0).merge(sk)
+
+  override def update(buf: Array[KllLongsSketch],
+                      input: InternalRow): Array[KllLongsSketch] = {
     val v = child.eval(input)
-    if (v == null) return buf
-    buf.merge(KllLongsSketch.heapify(
-      Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    if (v != null)
+      absorb(buf, KllLongsSketch.heapify(
+        Memory.wrap(v.asInstanceOf[Array[Byte]])))
     buf
   }
 
-  override def merge(a: KllLongsSketch, b: KllLongsSketch): KllLongsSketch = {
-    a.merge(b); a
+  override def merge(a: Array[KllLongsSketch],
+                     b: Array[KllLongsSketch]): Array[KllLongsSketch] = {
+    if (b(0) != null) absorb(a, b(0))
+    a
   }
 
-  override def eval(buf: KllLongsSketch): Any = buf.toByteArray
+  private def result(buf: Array[KllLongsSketch]): KllLongsSketch =
+    if (buf(0) == null) KllLongsSketch.newHeapInstance() else buf(0)
 
-  override def serialize(buf: KllLongsSketch): Array[Byte] = buf.toByteArray
-  override def deserialize(bytes: Array[Byte]): KllLongsSketch =
-    KllLongsSketch.heapify(Memory.wrap(bytes))
+  override def eval(buf: Array[KllLongsSketch]): Any = result(buf).toByteArray
+
+  override def serialize(buf: Array[KllLongsSketch]): Array[Byte] =
+    if (buf(0) == null) Array.emptyByteArray else buf(0).toByteArray
+  override def deserialize(bytes: Array[Byte]): Array[KllLongsSketch] = {
+    val buf = createAggregationBuffer()
+    if (bytes.nonEmpty)
+      buf(0) = KllLongsSketch.heapify(Memory.wrap(bytes))
+    buf
+  }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeAgg =
     copy(mutableAggBufferOffset = newOffset)

@@ -35,6 +35,9 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * estimates against the EXACT bitmap retention face. */
 object ThetaOps {
 
+  /** The store-default nominal-entries exponent (4096 retained hashes
+    * — exact below that many distinct keys); referenced by
+    * qAggThetaRetention so the query and this kernel cannot drift. */
   val DefaultLgK = 12
 
   /** Mutable agg state: an UpdateSketch while raw keys stream in, a

@@ -488,22 +488,32 @@ object Multimodal {
     } catch { case _: Exception => Nil }
   }
 
-  /** Fixed-bin loudness envelope — the audio twin of [[Resize]]: real
-    * RIFF/WAVE bytes split their PCM sample stream into `nBins` equal
-    * time bins and report each bin's mean absolute amplitude with
-    * exact integer arithmetic (bin bounds by floor division, value =
-    * sum |sample| div count — bit-stable across JVMs). 16-bit PCM
-    * amplitudes land in 0..32768, 8-bit (unsigned) in 0..128.
-    * Interleaved channels contribute to the same bin (a mono mixdown
-    * of absolute loudness), so the envelope is channel-count-agnostic.
-    * Per-bin work is stride-bounded like the other codecs. */
-  object Envelope {
+  /** The ONE RIFF/WAVE container parse both audio stages consume —
+    * magic check, word-aligned chunk walk with the negative-size
+    * guard, fmt field offsets, data-chunk clamp, and the shared
+    * signed-sample decode (16-bit LE when it fits, else the byte as
+    * unsigned-8 centered at 128 — the near-EOF fallback). A single
+    * definition site so [[Envelope]] and [[Spectrum]] can never
+    * disagree on which bytes are "real audio" for the same item. */
+  private[multimodal] object Riff {
     import java.nio.{ByteBuffer, ByteOrder}
 
-    /** (channels, sampleRate, durationMs, bins) for real RIFF/WAVE
-      * bytes; None on anything malformed (caller falls back to the
-      * stub — fail-soft like every codec here). */
-    def envelopeOf(bytes: Array[Byte], nBins: Int): Option[(Int, Int, Long, Array[Int])] =
+    final case class Wav(bytes: Array[Byte], bb: ByteBuffer,
+                         channels: Int, sampleRate: Int, byteRate: Int,
+                         bitsPerSample: Int, dataOff: Int, dataLen: Int) {
+      def bytesPerSample: Int = math.max(1, bitsPerSample / 8)
+      def nSamples: Int = dataLen / bytesPerSample
+      /** Signed PCM sample s. */
+      def sampleAt(s: Long): Int = {
+        val p = dataOff + (s * bytesPerSample).toInt
+        if (bitsPerSample == 16 && p + 1 < bytes.length) bb.getShort(p).toInt
+        else (bytes(p) & 0xff) - 128
+      }
+    }
+
+    /** None on anything malformed; field VALIDITY (channels > 0, a
+      * data chunk present, ...) is the caller's per-stage check. */
+    def parse(bytes: Array[Byte]): Option[Wav] =
       if (!(bytes.length > 44 &&
             bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
             bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
@@ -528,11 +538,32 @@ object Multimodal {
           }
           off += 8 + size + (size & 1) // chunks are word-aligned
         }
-        if (channels <= 0 || byteRate <= 0 || dataOff < 0 || nBins <= 0) None
-        else {
-          val durationMs = dataLen * 1000L / byteRate
-          val bytesPerSample = math.max(1, bitsPerSample / 8)
-          val nSamples = dataLen / bytesPerSample
+        Some(Wav(bytes, bb, channels, sampleRate, byteRate, bitsPerSample,
+          dataOff, dataLen))
+      } catch { case _: Exception => None }
+  }
+
+  /** Fixed-bin loudness envelope — the audio twin of [[Resize]]: real
+    * RIFF/WAVE bytes split their PCM sample stream into `nBins` equal
+    * time bins and report each bin's mean absolute amplitude with
+    * exact integer arithmetic (bin bounds by floor division, value =
+    * sum |sample| div count — bit-stable across JVMs). 16-bit PCM
+    * amplitudes land in 0..32768, 8-bit (unsigned) in 0..128.
+    * Interleaved channels contribute to the same bin (a mono mixdown
+    * of absolute loudness), so the envelope is channel-count-agnostic.
+    * Per-bin work is stride-bounded like the other codecs. */
+  object Envelope {
+
+    /** (channels, sampleRate, durationMs, bins) for real RIFF/WAVE
+      * bytes; None on anything malformed (caller falls back to the
+      * stub — fail-soft like every codec here). */
+    def envelopeOf(bytes: Array[Byte], nBins: Int): Option[(Int, Int, Long, Array[Int])] =
+      Riff.parse(bytes).flatMap { w =>
+        if (w.channels <= 0 || w.byteRate <= 0 || w.dataOff < 0 || nBins <= 0)
+          None
+        else try {
+          val durationMs = w.dataLen * 1000L / w.byteRate
+          val nSamples = w.nSamples
           val bins = new Array[Int](nBins)
           var k = 0
           while (k < nBins) {
@@ -542,21 +573,16 @@ object Multimodal {
             var sum = 0L; var n = 0L
             var s = s0
             while (s < s1) {
-              val p = dataOff + (s * bytesPerSample).toInt
-              val amp =
-                if (bitsPerSample == 16 && p + 1 < bytes.length)
-                  math.abs(bb.getShort(p).toInt)
-                else math.abs((bytes(p) & 0xff) - 128)
-              sum += amp
+              sum += math.abs(w.sampleAt(s))
               n += 1
               s += stride
             }
             bins(k) = if (n == 0) 0 else (sum / n).toInt
             k += 1
           }
-          Some((channels, sampleRate, durationMs, bins))
-        }
-      } catch { case _: Exception => None }
+          Some((w.channels, w.sampleRate, durationMs, bins))
+        } catch { case _: Exception => None }
+      }
 
     /** Deterministic stub envelope for non-audio bytes (same mixing
       * discipline as [[StubCodec]]; values in the 16-bit 0..32768
@@ -590,7 +616,6 @@ object Multimodal {
     * envelope-keyed dedup misses by construction (MultimodalSpec pins
     * exactly that pair, plus frequency selectivity on a pure tone). */
   object Spectrum {
-    import java.nio.{ByteBuffer, ByteOrder}
 
     /** Correlation window cap per time bin — bounds per-item work the
       * way Envelope's stride does (striding would break square-wave
@@ -600,42 +625,14 @@ object Multimodal {
     val Periods: Array[Int] = Array(4, 8, 16, 32)
 
     /** (channels, sampleRate, flattened nTimeBins x Periods.length
-      * normalized magnitudes) through the real RIFF parse; None on
-      * malformed bytes (caller falls back to the stub). */
+      * normalized magnitudes) through the shared [[Riff]] parse; None
+      * on malformed bytes (caller falls back to the stub). */
     def spectrumOf(bytes: Array[Byte], nTimeBins: Int)
         : Option[(Int, Int, Array[Int])] =
-      if (!(bytes.length > 44 &&
-            bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
-            bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
-        None
-      else try {
-        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-        var channels = 0; var sampleRate = 0
-        var bitsPerSample = 0; var dataOff = -1; var dataLen = 0
-        var off = 12
-        while (off + 8 <= bytes.length) {
-          val id = new String(bytes, off, 4, "US-ASCII")
-          val size = bb.getInt(off + 4)
-          if (size < 0) return None
-          if (id == "fmt " && off + 24 <= bytes.length) {
-            channels = bb.getShort(off + 10).toInt
-            sampleRate = bb.getInt(off + 12)
-            bitsPerSample = bb.getShort(off + 22).toInt
-          } else if (id == "data") {
-            dataOff = off + 8
-            dataLen = math.min(size.toLong, (bytes.length - dataOff).toLong).toInt
-          }
-          off += 8 + size + (size & 1)
-        }
-        if (channels <= 0 || dataOff < 0 || nTimeBins <= 0) None
-        else {
-          val bytesPerSample = math.max(1, bitsPerSample / 8)
-          val nSamples = dataLen / bytesPerSample
-          def sampleAt(s: Long): Int = {
-            val p = dataOff + (s * bytesPerSample).toInt
-            if (bitsPerSample == 16 && p + 1 < bytes.length) bb.getShort(p).toInt
-            else (bytes(p) & 0xff) - 128
-          }
+      Riff.parse(bytes).flatMap { w =>
+        if (w.channels <= 0 || w.dataOff < 0 || nTimeBins <= 0) None
+        else try {
+          val nSamples = w.nSamples
           val out = new Array[Int](nTimeBins * Periods.length)
           var k = 0
           while (k < nTimeBins) {
@@ -646,7 +643,7 @@ object Multimodal {
             val acc = new Array[Long](Periods.length)
             var s = s0
             while (s < s1) {
-              val v = sampleAt(s)
+              val v = w.sampleAt(s)
               energy += math.abs(v)
               var f = 0
               while (f < Periods.length) {
@@ -669,9 +666,9 @@ object Multimodal {
             }
             k += 1
           }
-          Some((channels, sampleRate, out))
-        }
-      } catch { case _: Exception => None }
+          Some((w.channels, w.sampleRate, out))
+        } catch { case _: Exception => None }
+      }
 
     /** Deterministic stub spectrum for non-audio bytes (same mixing
       * discipline as [[Envelope.stubEnvelope]]; values in the

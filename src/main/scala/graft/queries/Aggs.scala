@@ -490,7 +490,8 @@ object Aggs {
             .as("ym"),
           col("o_custkey").as("k"))
         .groupBy("ym")
-        .agg(expr("graft_theta_agg(k, 12)").as("sk"),
+        .agg(expr(s"graft_theta_agg(k, ${graft.expressions.ThetaOps.DefaultLgK})")
+               .as("sk"),
              count(lit(1)).as("n_orders"))
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/sketch")
     }
@@ -525,7 +526,7 @@ object Aggs {
     graft.expressions.CmsOps.register(s)
     graft.expressions.MisraGries.register(s)
     val key = graft.ArtifactStore.contentKey(s"$dir/events.parquet",
-      "cms-daily-eps1e3-c99-seed7-v1")
+      "cms-daily-eps1e3-c99-seed7-v2")
     val path = graft.ArtifactStore.cachePath("cms_daily", key)
     graft.ArtifactStore.ensure(path) { tmp =>
       Tables.events(s, dir)
@@ -537,14 +538,18 @@ object Aggs {
         .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 7)").as("sk"),
              count(lit(1)).as("n"))
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/sketch")
+      // the MG candidate list is a pure function of the same corpus
+      // state — persist it WITH the sketches so the serve path never
+      // rescans raw events (the whole point of the store)
+      Tables.events(s, dir)
+        .agg(expr("graft_misra_gries(user_id, 32)").as("cand"))
+        .select(explode(col("cand")).as("user_id"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/cand")
     }
     val daily = s.read.parquet(s"$path/sketch")
     val merged = daily.agg(expr("graft_cms_merge(sk)").as("sk"),
                            sum(col("n")).as("n_total"))
-    val cand = Tables.events(s, dir)
-      .agg(expr("graft_misra_gries(user_id, 32)")).head().getSeq[Long](0)
-    import s.implicits._
-    cand.toDF("user_id").crossJoin(broadcast(merged))
+    s.read.parquet(s"$path/cand").crossJoin(broadcast(merged))
       .select(col("user_id"),
               expr("graft_cms_estimate(sk, user_id)").as("est_freq"),
               col("n_total"))

@@ -211,7 +211,7 @@ class SketchSpec extends SparkSpec {
     val mergedBytes = spark.read.parquet(
         graft.ArtifactStore.cachePath("cms_daily",
           graft.ArtifactStore.contentKey(s"$dir/events.parquet",
-            "cms-daily-eps1e3-c99-seed7-v1")) + "/sketch")
+            "cms-daily-eps1e3-c99-seed7-v2")) + "/sketch")
       .agg(expr("graft_cms_merge(sk)")).head().getAs[Array[Byte]](0)
     val globalBytes = Tables.events(spark, dir)
       .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 7)"))
