@@ -1157,6 +1157,63 @@ object Llm {
       .orderBy("ahash", "decoded", "min_doc")
   }
 
+  /** Image NEAR-dup candidates by PIGEONHOLE-BANDED Hamming join —
+    * the multimodal analog of [[qDedupMinhashBanded]]: the 64-bit
+    * average-hash splits into four 16-bit bands; a pair within
+    * Hamming distance 3 differs in at most 3 bands, so AT LEAST ONE
+    * band matches exactly (pigeonhole) and the pair surfaces from a
+    * band-key EQUI-join — guaranteed recall at distance ≤ 3 with no
+    * all-pairs comparison, the standard SimHash-dedup construction
+    * applied to pixel hashes. Exact-equality groups
+    * ([[qMmPhashDedup]]) catch re-encodes; this face also catches
+    * small pixel EDITS (crops of a border, brightness touch-ups) that
+    * flip a few hash bits. Bands join within a decode-path partition
+    * (stub hashes never pair with real ones); candidates verify with
+    * one codegen `bit_count(ha ^ hb)` — 8-byte signatures on the
+    * wire, never pixels. Band-bucket population is bounded by the
+    * dup-cluster size; a crawl-scale corpus would reuse the
+    * hot-bucket cap machinery of the banded text face. Output is one
+    * row PER IMAGE ITEM (near-mate count + closest distance), so the
+    * row set is scale-stable; rows-only check (ImageIO is not
+    * SQL-expressible), the ≤3-bit recall guarantee and a
+    * 1-bit-perturbed fixture are pinned in MultimodalSpec. */
+  def qMmPhashNear(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.withMediaColumns(Tables.documents(s, dir))
+      .filter(col("format") === "jpg" || col("format") === "png")
+    phashNearFrom(Multimodal.phashStage(s, media))
+  }
+
+  /** The banded-Hamming machinery of [[qMmPhashNear]], over any
+    * (doc_id, ahash, decoded) hash table — exposed so MultimodalSpec
+    * can drive it with a controlled perturbed-image fixture. */
+  private[graft] def phashNearFrom(hashed: DataFrame): DataFrame = {
+    // feeds both sides of the band join + the final per-item summary
+    val h = hashed.select(col("doc_id"), col("ahash"), col("decoded"))
+      .localCheckpoint(true)
+    val bands = h.select(col("doc_id"), col("ahash"), col("decoded"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("ahash"), b * 16)
+          .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bkey")))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.decoded") === col("b.decoded") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+              col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct() // a pair may match in several bands — count it once
+      .select(col("da"), col("db"),
+              expr("CAST(bit_count(ha ^ hb) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 3)
+    h.join(pairs.select(explode(array(col("da"), col("db"))).as("doc_id"),
+                        col("hamming")),
+           Seq("doc_id"), "left")
+      .groupBy("doc_id", "ahash", "decoded")
+      .agg(count(col("hamming")).as("n_near"),
+           min(col("hamming")).as("min_hamming"))
+      .orderBy("doc_id")
+  }
+
   /** Audio DEDUP in SIGNAL space — the audio twin of
     * [[qMmPhashDedup]]: items group on their exact loudness-envelope
     * signature (the 16 integer bins of
@@ -1193,6 +1250,7 @@ object Llm {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_audio_dedup" -> (qMmAudioDedup _),
     "q_mm_phash_dedup" -> (qMmPhashDedup _),
+    "q_mm_phash_near" -> (qMmPhashNear _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_frame_sample" -> (qMmFrameSample _),
     "q_mm_audio_envelope" -> (qMmAudioEnvelope _),

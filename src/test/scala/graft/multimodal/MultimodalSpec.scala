@@ -215,6 +215,66 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("phash near: banded Hamming join surfaces a 1-bit-perturbed edit exact dedup misses") {
+    val s = spark
+    import s.implicits._
+    // base: left half black, right half white — every 2x2 thumb cell
+    // sits far from the global mean, so its 64 hash bits are stable
+    def img(flipTopLeft: Boolean): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val bright = x >= 8 || (flipTopLeft && x < 2 && y < 2)
+        im.setRGB(x, y, if (bright) 0xffffff else 0x000000)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val base = img(flipTopLeft = false)
+    val reenc = { // same pixels, different container bytes
+      val im = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(base))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "bmp", bos)
+      bos.toByteArray
+    }
+    val edited = img(flipTopLeft = true) // exactly one thumb cell flips
+    val far = {
+      val im = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16)
+        im.setRGB(x, y, if ((x + y) % 2 == 0) 0xffffff else 0)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    assert(!java.util.Arrays.equals(base, reenc) &&
+           !java.util.Arrays.equals(base, edited))
+    val df = Seq((0L, base, "png"), (1L, reenc, "png"),
+                 (2L, edited, "png"), (3L, far, "png"))
+      .toDF("doc_id", "content", "format")
+    // sanity on the hashes themselves: re-encode is 0 bits away, the
+    // edit is within the <=3-bit recall guarantee
+    val hs = Multimodal.phashStage(spark, df).orderBy("doc_id").collect()
+      .map(r => r.getLong(2))
+    assert(hs(0) === hs(1), "re-encode changed the pixel hash")
+    val d02 = java.lang.Long.bitCount(hs(0) ^ hs(2))
+    assert(d02 >= 1 && d02 <= 3, s"fixture edit moved $d02 bits — want 1..3")
+    // ... and the banded join must surface both relations without
+    // comparing all pairs
+    val out = graft.queries.Llm
+      .phashNearFrom(Multimodal.phashStage(spark, df)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_near"), Option(r.getAs[Any]("min_hamming")))))
+      .toMap
+    assert(out(0L)._1 === 2L && out(0L)._2 === Some(0L),
+      s"base should pair with re-encode (d=0) and edit (d=$d02): ${out(0L)}")
+    assert(out(2L)._1 === 2L && out(2L)._2 === Some(d02.toLong),
+      s"edit should pair with base and re-encode at d=$d02: ${out(2L)}")
+    assert(out(3L) === ((0L, None)), s"far image must have no near mates: ${out(3L)}")
+  }
+
   test("audio dedup groups identical PCM across DIFFERENT container bytes") {
     val s = spark
     import s.implicits._
