@@ -1247,8 +1247,42 @@ object Llm {
       .orderBy("sig", "decoded", "min_doc")
   }
 
+  /** RE-GAIN-robust audio dedup — the spectrum-keyed face next to
+    * [[qMmAudioDedup]]'s exact-envelope groups: items group on their
+    * energy-NORMALIZED square-wave spectrum
+    * ([[graft.multimodal.Multimodal.Spectrum]]), which is exactly
+    * invariant under integer volume scaling, so two takes of the same
+    * audio at different gains land in ONE group while the envelope
+    * face (absolute loudness) splits them — MultimodalSpec proves the
+    * divergence on a x2-gain fixture. Same hash-agg blocking and
+    * decode-path partitioning as every dedup face; ~140 B signatures
+    * on the wire, never PCM. Rows-only check; fixture + determinism
+    * pinned in MultimodalSpec. */
+  def qMmAudioDedupGain(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.withMediaColumns(Tables.documents(s, dir))
+      .filter(col("format") === "wav")
+    audioDedupGainFrom(Multimodal.audioSpectrum(s, media))
+  }
+
+  /** The grouping of [[qMmAudioDedupGain]] over any audioSpectrum
+    * output — exposed for MultimodalSpec's gain fixture. */
+  private[graft] def audioDedupGainFrom(spec: DataFrame): DataFrame =
+    spec
+      .groupBy(col("channels"), col("sample_rate"), col("n_tbins"),
+               col("spectrum"), col("decoded"))
+      .agg(count(lit(1)).as("n_items"),
+           min(col("doc_id")).as("min_doc"),
+           max(col("doc_id")).as("max_doc"))
+      .select(
+        xxhash64(col("channels"), col("sample_rate"),
+                 col("spectrum").cast("string")).as("sig"),
+        col("decoded"), col("n_items"), col("min_doc"), col("max_doc"))
+      .orderBy("sig", "decoded", "min_doc")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_audio_dedup" -> (qMmAudioDedup _),
+    "q_mm_audio_dedup_gain" -> (qMmAudioDedupGain _),
     "q_mm_phash_dedup" -> (qMmPhashDedup _),
     "q_mm_phash_near" -> (qMmPhashNear _),
     "q_mm_resize" -> (qMmResize _),

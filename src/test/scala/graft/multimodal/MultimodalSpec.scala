@@ -377,6 +377,34 @@ class MultimodalSpec extends SparkSpec {
     assert(bad(0).getAs[Seq[Int]]("spectrum").forall(v => v >= 0 && v <= 1024))
   }
 
+  test("gain-robust audio dedup groups re-gained takes the envelope face splits") {
+    val s = spark
+    import s.implicits._
+    val tone = Array.tabulate(4096)(s =>
+      (if ((s / 4) % 2 == 0) 1000 else -1000).toShort)
+    val gained = tone.map(v => (v * 2).toShort)
+    val other = Array.tabulate(4096)(s =>
+      (if ((s / 8) % 2 == 0) 1000 else -1000).toShort) // different pitch
+    val df = Seq((0L, wavPcm(8000, tone), "wav"),
+                 (1L, wavPcm(8000, gained), "wav"),
+                 (2L, wavPcm(8000, other), "wav"))
+      .toDF("doc_id", "content", "format")
+    val groups = graft.queries.Llm
+      .audioDedupGainFrom(Multimodal.audioSpectrum(spark, df))
+      .collect().map(r => (r.getAs[Long]("n_items"),
+        r.getAs[Long]("min_doc"), r.getAs[Long]("max_doc")))
+    assert(groups.toSet === Set((2L, 0L, 1L), (1L, 2L, 2L)),
+      s"gain pair must group, different pitch must not: ${groups.mkString(",")}")
+    // ... while the ENVELOPE face keeps the two takes apart — the
+    // exact divergence this query exists for. (The envelope ALSO
+    // collides the equal-loudness different-pitch pair 0 vs 2 — the
+    // opposite blindness, which the spectrum face separates above.)
+    val envs = Multimodal.audioEnvelope(spark, df).orderBy("doc_id")
+      .collect().map(_.getAs[scala.collection.Seq[Int]]("envelope").toList)
+    assert(envs(0) !== envs(1),
+      "fixture broken: the envelope should separate the gain pair")
+  }
+
   test("audio dedup query is deterministic and covers every wav item") {
     def run() = graft.queries.Llm.qMmAudioDedup(spark, sf("sf0.001"))
       .collect().map(r => (r.getAs[Long]("sig"), r.getAs[Long]("n_items"),
