@@ -208,7 +208,39 @@ object Windows {
       .orderBy("event_id")
   }
 
+  /** SWEEP-LINE interval coverage — "how many shipments are in flight
+    * on each day": every lineitem contributes a +1 delta at its ship
+    * day and a -1 at its receipt day (half-open [ship, receipt)), the
+    * deltas hash-aggregate per day, and the running count comes from
+    * the bucketed prefix-sum engine — the classic event-decomposition
+    * that turns an interval-overlap count into one narrow agg plus a
+    * prefix sum. The naive alternative (join every day against every
+    * interval containing it) is O(days x intervals); this is
+    * O(intervals) map-side + O(distinct days) aggregated, with NO
+    * single-partition window (Prefix.withPrefix's equi-depth buckets,
+    * same discipline as the rank family). Output: one row per
+    * boundary day with the open-interval count and the day's starts. */
+  def qIntervalCoverage(s: SparkSession, dir: String): DataFrame = {
+    // the synthetic lineitem carries no receipt date; derive a
+    // deterministic 1-60 day transit per line so both engines state
+    // the same half-open [ship, ship + transit) interval
+    val iv = Tables.lineitem(s, dir).select(
+      expr("unix_timestamp(l_shipdate) DIV 86400").as("d0"),
+      expr("unix_timestamp(l_shipdate) DIV 86400" +
+        " + 1L + pmod(l_orderkey + l_linenumber, 60)").as("d1"))
+    val deltas = iv.select(col("d0").as("day"), lit(1L).as("delta"))
+      .unionByName(iv.select(col("d1").as("day"), lit(-1L).as("delta")))
+      .groupBy("day")
+      .agg(sum(col("delta")).as("net"),
+           sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_start"))
+    Prefix.withPrefix(deltas, "day", Seq("net"))
+      .select(col("day"), (col("net_before") + col("net")).as("n_open"),
+              col("n_start"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_coverage" -> (qIntervalCoverage _),
     "q_win_cumulative_distinct" -> (qWinCumulativeDistinct _),
     "q_win_distribution" -> (qWinDistribution _),
     "q_win_topk_key" -> (qWinTopkKey _),
@@ -222,6 +254,23 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT CAST(FLOOR(EPOCH(l_shipdate)) AS BIGINT) // 86400 AS d0,
+        |         CAST(FLOOR(EPOCH(l_shipdate)) AS BIGINT) // 86400
+        |           + 1 + (l_orderkey + l_linenumber) % 60 AS d1
+        |  FROM lineitem),
+        |ev AS (
+        |  SELECT d0 AS day, 1 AS delta FROM iv
+        |  UNION ALL SELECT d1 AS day, -1 AS delta FROM iv),
+        |deltas AS (
+        |  SELECT day, SUM(delta) AS net,
+        |         SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_start
+        |  FROM ev GROUP BY day)
+        |SELECT day,
+        |  CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS n_open,
+        |  CAST(n_start AS BIGINT) AS n_start
+        |FROM deltas ORDER BY day""".stripMargin,
     "q_win_cumulative_distinct" ->
       """WITH f AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS tsu,
