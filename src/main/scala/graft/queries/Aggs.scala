@@ -507,6 +507,43 @@ object Aggs {
       .orderBy("ym")
   }
 
+  /** STRATIFIED exact heavy hitters — [[qAggHeavyHitters]] per group:
+    * "who dominates traffic within EACH event type", the per-stratum
+    * question curation asks of per-language/per-domain slices. One
+    * Misra-Gries summary PER GROUP (k=192 counters per partial per
+    * group — state O(k x groups) regardless of the user domain) finds
+    * a provable candidate superset within each stratum (freq >
+    * n_g/193 survives; the served threshold is n_g/125); pass 2
+    * recounts with the candidate UNION pushed as an IN filter into
+    * the scan, keeps exact per-group candidacy via a broadcast join
+    * against the exploded (group, candidate) pairs, and applies the
+    * true per-group threshold — so the output is exactly
+    * {(g, u) : freq_g(u) * 125 > n_g}, partitioning-invariant, under
+    * the plain per-group SQL oracle. Fixture note: like the global
+    * face, per-group hitters exist at sf0.001/sf0.01 and correctly
+    * vanish at sf0.1+ (uniform users can't hold 1/125 of a stratum). */
+  def qAggHeavyHittersGrouped(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.MisraGries.register(s)
+    val ev = Tables.events(s, dir)
+      .select(col("event_type").as("grp"), col("user_id"))
+    // 2 consumers (candidate pairs + group totals): materialize once
+    val pass1 = ev.groupBy("grp")
+      .agg(expr("graft_misra_gries(user_id, 192)").as("cand"),
+           count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val candPairs = pass1.select(col("grp"), explode(col("cand")).as("user_id"))
+    val unionCand = candPairs.select("user_id").distinct()
+      .collect().map(_.getLong(0)) // driver-bounded: <= 192 x |groups|
+    ev.filter(col("user_id").isInCollection(unionCand)) // pushed to the scan
+      .join(broadcast(candPairs), Seq("grp", "user_id"))
+      .groupBy("grp", "user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .join(broadcast(pass1.select(col("grp"), col("n"))), Seq("grp"))
+      .filter(col("n_events") * 125L > col("n"))
+      .select(col("grp"), col("user_id"), col("n_events"))
+      .orderBy("grp", "user_id")
+  }
+
   /** Count-Min POINT-LOOKUP store — the frequency complement of the
     * Misra-Gries candidate pass: MG answers "who might be frequent"
     * with ≤k survivors; the CMS (Cormode-Muthukrishnan; Spark's own
@@ -790,6 +827,7 @@ object Aggs {
     "q_agg_quantile_kll" -> (qAggQuantileKll _),
     "q_agg_theta_retention" -> (qAggThetaRetention _),
     "q_agg_cms_lookup" -> (qAggCmsLookup _),
+    "q_agg_heavy_hitters_grouped" -> (qAggHeavyHittersGrouped _),
     "q_agg_hll_persisted" -> (qAggHllPersisted _),
     "q_agg_hll_partitioned" -> (qAggHllPartitioned _),
     "q_agg_weighted_median" -> (qAggWeightedMedian _),
@@ -821,6 +859,16 @@ object Aggs {
         |GROUP BY user_id
         |HAVING COUNT(*) * 125 > (SELECT COUNT(*) FROM events)
         |ORDER BY user_id""".stripMargin,
+    // the per-stratum MG candidate union is lossless for each group's
+    // threshold (per-group deficit bound), so the oracle is exact SQL
+    "q_agg_heavy_hitters_grouped" ->
+      """WITH g AS (SELECT event_type AS grp, user_id FROM events),
+        |t AS MATERIALIZED (SELECT grp, COUNT(*) AS n FROM g GROUP BY grp)
+        |SELECT g.grp, g.user_id, COUNT(*) AS n_events
+        |FROM g JOIN t ON t.grp = g.grp
+        |GROUP BY g.grp, g.user_id, t.n
+        |HAVING COUNT(*) * 125 > t.n
+        |ORDER BY g.grp, g.user_id""".stripMargin,
     // bitmap AND is exact, so ONE oracle body — the plain distinct
     // self-join the sketch replaces — serves both engine lifecycles
     // (inline and artifact), mirroring the shared retentionFromSketch
