@@ -69,6 +69,16 @@ class PlanSpec extends SparkSpec {
       s"candidate IN-filter not pushed:\n$p")
   }
 
+  test("q_agg_heavy_hitters_grouped pushes the candidate union and broadcasts the tiny sides") {
+    val df = Aggs.qAggHeavyHittersGrouped(spark, sf("sf0.001"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(user_id"),
+      s"candidate-union IN-filter not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"tiny candidate/total sides not broadcast:\n$p")
+  }
+
   test("q_join_broadcast and q_join_multiway broadcast the dimension sides") {
     val pb = finalPlan(Joins.qJoinBroadcast(spark, sf("sf0.001")))
     assert(pb.contains("BroadcastHashJoin"), s"no broadcast join:\n$pb")
