@@ -84,10 +84,17 @@ object BloomOps {
   def load(file: String): Loaded = {
     val hit = cache.get(file) // lock-free fast path, once per input row
     if (hit != null) return hit
+    // enqueue for FIFO eviction only AFTER loadFile succeeds: a throw
+    // inside the mapping function leaves no cache entry, and enqueueing
+    // first would grow the queue with phantom keys on every task retry
+    // against a missing/oversized sidecar
+    var inserted = false
     val loaded = cache.computeIfAbsent(file, { f =>
-      insertionOrder.add(f)
-      loadFile(f)
+      val l = loadFile(f)
+      inserted = true
+      l
     })
+    if (inserted) insertionOrder.add(file)
     // FIFO-evict outside the compute (never hold the map's bin lock
     // during another entry's file I/O); benign under races — worst
     // case a just-inserted entry is evicted and reloaded on next use
@@ -188,13 +195,15 @@ object BloomOps {
           "graft_bloom_bits(positions, mBits): expects exactly 2 arguments")
         require(children(1).foldable, "graft_bloom_bits: mBits must be a literal")
         val m = children(1).eval().asInstanceOf[Number].longValue()
-        // the full bitmap must byte-serialize through the agg buffer
-        // (words * 8 bytes <= Int.MaxValue) and load back under the
-        // sidecar reader's 2 GiB file limit: both bind at ~2^34 bits
-        require(m >= 1L && m <= (1L << 34),
-          s"graft_bloom_bits: mBits $m outside [1, 2^34] (the serialized" +
-            " bitmap must fit one byte array / the 2 GiB sidecar limit)" +
-            " — shard the filter")
+        // the full bitmap must byte-serialize through the agg buffer:
+        // words * 8 bytes <= Int.MaxValue binds first, at 2^34 - 64
+        // bits ((2^28 - 1) longs); anything larger would overflow the
+        // Int passed to ByteBuffer.allocate and die at runtime instead
+        // of here, and would also breach the 2 GiB sidecar read limit
+        require(m >= 1L && m <= (1L << 34) - 64,
+          s"graft_bloom_bits: mBits $m outside [1, 2^34 - 64] (the" +
+            " serialized bitmap must fit one byte array / the 2 GiB" +
+            " sidecar limit) — shard the filter")
         BloomBitsAgg(children.head, m)
       }),
     (FunctionIdentifier("graft_bloom_positions"),

@@ -33,9 +33,6 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * the raw stream. */
 object CmsOps {
 
-  def estimate(bytes: Array[Byte], key: Long): Long =
-    CountMinSketch.readFrom(bytes).estimateCount(java.lang.Long.valueOf(key))
-
   /** Per-thread (bytes -> parsed sketch) memo for the point-lookup
     * scalar: probing N keys against one broadcast sketch row would
     * otherwise re-parse the same counter grid N times. Content

@@ -1170,13 +1170,17 @@ object Llm {
     * flip a few hash bits. Bands join within a decode-path partition
     * (stub hashes never pair with real ones); candidates verify with
     * one codegen `bit_count(ha ^ hb)` — 8-byte signatures on the
-    * wire, never pixels. Band-bucket population is bounded by the
-    * dup-cluster size; a crawl-scale corpus would reuse the
-    * hot-bucket cap machinery of the banded text face. Output is one
-    * row PER IMAGE ITEM (near-mate count + closest distance), so the
-    * row set is scale-stable; rows-only check (ImageIO is not
-    * SQL-expressible), the ≤3-bit recall guarantee and a
-    * 1-bit-perturbed fixture are pinned in MultimodalSpec. */
+    * wire, never pixels. Hot bands are CAPPED exactly like the banded
+    * text face ([[minhashPairsOn]]): a low-texture crawl (blank pages,
+    * logo tiles) can land thousands of images in one (band, bkey)
+    * bucket, whose self-join is quadratic in that ONE bucket — so a
+    * band-population pre-count gates the join at [[MaxBandBucket]]
+    * and [[phashOverCapBands]] is the dropped-mass audit. Output is
+    * one row PER IMAGE ITEM (near-mate count + closest distance), so
+    * the row set is scale-stable; rows-only check (ImageIO is not
+    * SQL-expressible), the ≤3-bit recall guarantee (for under-cap
+    * buckets), a 1-bit-perturbed fixture, and the cap bound are
+    * pinned in MultimodalSpec. */
   def qMmPhashNear(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
     val media = Multimodal.withMediaColumns(Tables.documents(s, dir))
@@ -1187,7 +1191,8 @@ object Llm {
   /** The banded-Hamming machinery of [[qMmPhashNear]], over any
     * (doc_id, ahash, decoded) hash table — exposed so MultimodalSpec
     * can drive it with a controlled perturbed-image fixture. */
-  private[graft] def phashNearFrom(hashed: DataFrame): DataFrame = {
+  private[graft] def phashNearFrom(hashed: DataFrame,
+                                   maxBandBucket: Int = MaxBandBucket): DataFrame = {
     // feeds both sides of the band join + the final per-item summary
     val h = hashed.select(col("doc_id"), col("ahash"), col("decoded"))
       .localCheckpoint(true)
@@ -1195,7 +1200,19 @@ object Llm {
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("ahash"), b * 16)
           .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bkey")))
-    val pairs = bands.as("a").join(bands.as("b"),
+    // hot-band cap, the [[minhashPairsOn]] skip-and-account shape on
+    // the (band, bkey, decoded) key: the pre-count is a tiny agg (one
+    // row per DISTINCT bucket, 8-byte keys), and hashes in over-cap
+    // buckets never enter the self-join, so each bucket's pair output
+    // is bounded by cap^2/2 BY CONSTRUCTION — an item can still pair
+    // through its other 3 bands, and [[phashOverCapBands]] reports
+    // exactly which buckets were skipped
+    val okBuckets = bands.groupBy("band", "bkey", "decoded")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBandBucket)
+      .select("band", "bkey", "decoded")
+    val keep = bands.join(okBuckets, Seq("band", "bkey", "decoded"))
+    val pairs = keep.as("a").join(keep.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.decoded") === col("b.decoded") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -1213,6 +1230,24 @@ object Llm {
            min(col("hamming")).as("min_hamming"))
       .orderBy("doc_id")
   }
+
+  /** Dropped-mass accounting for [[phashNearFrom]]'s hot-band cap —
+    * the pixel-hash twin of [[lshOverCapBuckets]]: one row per
+    * over-cap (band, bkey, decoded) bucket with its population, from
+    * the same tiny band-key agg the cap runs. An over-cap band bucket
+    * on a real crawl is itself a finding (a low-texture template
+    * cluster worth handling as a unit, not pairwise). */
+  private[graft] def phashOverCapBands(hashed: DataFrame,
+                                       maxBandBucket: Int = MaxBandBucket): DataFrame =
+    hashed.select(col("doc_id"), col("ahash"), col("decoded"))
+      .select(col("decoded"),
+        posexplode(array((0 until 4).map(b =>
+          shiftrightunsigned(col("ahash"), b * 16)
+            .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("band", "bkey")))
+      .groupBy("band", "bkey", "decoded")
+      .agg(count(lit(1)).as("bucket_docs"))
+      .filter(col("bucket_docs") > maxBandBucket)
+      .orderBy("band", "bkey", "decoded")
 
   /** Audio DEDUP in SIGNAL space — the audio twin of
     * [[qMmPhashDedup]]: items group on their exact loudness-envelope

@@ -275,6 +275,72 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) === ((0L, None)), s"far image must have no near mates: ${out(3L)}")
   }
 
+  test("phash near: hot-band cap bounds a low-texture cluster; under-cap recall survives") {
+    val s = spark
+    import s.implicits._
+    def png(paint: (Int, Int) => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 16) im.setRGB(x, y, paint(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    // a "boilerplate template" cluster: M pixel-identical low-texture
+    // images (same checkerboard) -> identical ahash -> ALL 4 of its
+    // band buckets hold M items
+    val M = 6
+    val template = png((x, y) => if ((x + y) % 2 == 0) 0xffffff else 0)
+    // an unrelated near-dup pair that must keep pairing under the cap
+    val base = png((x, y) => if (x >= 8) 0xffffff else 0)
+    val edited = png((x, y) => if (x >= 8 || (x < 2 && y < 2)) 0xffffff else 0)
+    val rows = (0 until M).map(i => (i.toLong, template, "png")) ++
+      Seq((100L, base, "png"), (101L, edited, "png"))
+    val hashed = Multimodal.phashStage(spark, rows.toDF("doc_id", "content", "format"))
+      .localCheckpoint(true)
+    val hs = hashed.orderBy("doc_id").collect().map(r => r.getLong(2))
+    // fixture preconditions: the pair matches itself in some band the
+    // template cluster does NOT occupy (else the cap legitimately
+    // drops it and the test would assert the wrong thing)
+    def bandsOf(h: Long) = (0 until 4).map(b => (b, (h >>> (b * 16)) & 0xFFFFL))
+    val clusterBands = bandsOf(hs(0)).toSet
+    val pairBands = bandsOf(hs(M)).toSet.intersect(bandsOf(hs(M + 1)).toSet)
+    assert(pairBands.nonEmpty, "base/edit lost all common bands — fixture broken")
+    assert((pairBands -- clusterBands).nonEmpty,
+      s"pair's common bands all collide with the template cluster: $pairBands")
+    val cap = 4
+    // uncapped: the cluster is quadratic — each member pairs with M-1
+    val un = graft.queries.Llm.phashNearFrom(hashed).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_near")).toMap
+    (0 until M).foreach(i => assert(un(i.toLong) === (M - 1).toLong))
+    // capped: cluster pairs are skipped by construction (its buckets
+    // exceed the cap in EVERY band), the unrelated pair still surfaces
+    val capped = graft.queries.Llm.phashNearFrom(hashed, maxBandBucket = cap)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_near"), Option(r.getAs[Any]("min_hamming"))))).toMap
+    (0 until M).foreach { i =>
+      assert(capped(i.toLong) === ((0L, None)),
+        s"over-cap cluster member $i still paired: ${capped(i.toLong)}")
+    }
+    assert(capped(100L)._1 === 1L && capped(101L)._1 === 1L,
+      s"under-cap pair lost to the cap: ${capped(100L)} / ${capped(101L)}")
+    // audit face: exactly the cluster's over-cap buckets, with mass
+    val audit = graft.queries.Llm.phashOverCapBands(hashed, maxBandBucket = cap)
+      .collect()
+      .map(r => ((r.getAs[Int]("band"), r.getAs[Long]("bkey")),
+                 r.getAs[Long]("bucket_docs"))).toMap
+    assert(audit.keySet === clusterBands.map { case (b, k) => (b, k) },
+      s"audit buckets ${audit.keySet} != cluster bands $clusterBands")
+    audit.values.foreach(v => assert(v >= M.toLong))
+    // default cap never trips on the real corpus: audit empty at sf0.001
+    val real = Multimodal.phashStage(spark,
+      Multimodal.withMediaColumns(graft.Tables.documents(spark, sf("sf0.001")))
+        .filter(col("format") === "jpg" || col("format") === "png"))
+    assert(graft.queries.Llm.phashOverCapBands(real).isEmpty,
+      "default cap tripped on the sf0.001 corpus — oracle row at risk")
+  }
+
   test("audio dedup groups identical PCM across DIFFERENT container bytes") {
     val s = spark
     import s.implicits._
