@@ -522,19 +522,47 @@ object Aggs {
     * the plain per-group SQL oracle. Fixture note: like the global
     * face, per-group hitters exist at sf0.001/sf0.01 and correctly
     * vanish at sf0.1+ (uniform users can't hold 1/125 of a stratum). */
-  def qAggHeavyHittersGrouped(s: SparkSession, dir: String): DataFrame = {
+  def qAggHeavyHittersGrouped(s: SparkSession, dir: String): DataFrame =
+    heavyHittersGroupedOn(s, Tables.events(s, dir)
+      .select(col("event_type").as("grp"), col("user_id")))
+
+  /** Candidate-union size bound for [[heavyHittersGroupedOn]]'s pushed
+    * IN filter. The union holds <= 192 x |groups| ids; the 5-group
+    * events table stays tiny, but a high-cardinality group column
+    * (per-domain, per-language strata) would push a 10^5-literal IN
+    * into the scan — a plan Catalyst folds slowly and parquet can't
+    * row-group-prune with anyway. Above the bound the recount keeps
+    * the same "scan only candidate rows" shape via a broadcast
+    * LEFT SEMI join (hash lookup per row, no literal list). */
+  private[queries] val MaxPushedHhCandidates = 4096
+
+  /** The grouped heavy-hitters engine over any (grp, user_id) frame:
+    * per-group MG candidates, then an exact recount restricted to the
+    * candidate union — pushed as a literal IN when the union is under
+    * [[MaxPushedHhCandidates]], else a broadcast semi-join against the
+    * distinct candidates (same rows either way; AggsSpec drives a
+    * synthetic high-cardinality group column through the fallback).
+    * The union's size is probed with a limit(bound+1) collect, so the
+    * driver never holds more than bound+1 ids even when the true
+    * union is huge. */
+  private[queries] def heavyHittersGroupedOn(s: SparkSession, ev: DataFrame,
+      maxPushedIn: Int = MaxPushedHhCandidates): DataFrame = {
     graft.expressions.MisraGries.register(s)
-    val ev = Tables.events(s, dir)
-      .select(col("event_type").as("grp"), col("user_id"))
     // 2 consumers (candidate pairs + group totals): materialize once
     val pass1 = ev.groupBy("grp")
       .agg(expr("graft_misra_gries(user_id, 192)").as("cand"),
            count(lit(1)).as("n"))
       .localCheckpoint(true)
     val candPairs = pass1.select(col("grp"), explode(col("cand")).as("user_id"))
-    val unionCand = candPairs.select("user_id").distinct()
-      .collect().map(_.getLong(0)) // driver-bounded: <= 192 x |groups|
-    ev.filter(col("user_id").isInCollection(unionCand)) // pushed to the scan
+    val candUnion = candPairs.select("user_id").distinct()
+    // <= bound rows back means the limit returned the WHOLE union
+    val probe = candUnion.limit(maxPushedIn + 1).collect().map(_.getLong(0))
+    val hits =
+      if (probe.length <= maxPushedIn)
+        ev.filter(col("user_id").isInCollection(probe)) // pushed to the scan
+      else
+        ev.join(broadcast(candUnion), Seq("user_id"), "left_semi")
+    hits
       .join(broadcast(candPairs), Seq("grp", "user_id"))
       .groupBy("grp", "user_id")
       .agg(count(lit(1)).as("n_events"))

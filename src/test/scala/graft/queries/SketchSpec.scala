@@ -338,4 +338,32 @@ class SketchSpec extends SparkSpec {
     assert(exactHH.subsetOf(candUnion),
       s"lossless-candidate violation: ${exactHH -- candUnion} missing from sketch union")
   }
+
+  test("grouped HH: broadcast semi-join fallback == pushed-IN path == exact, on high-cardinality groups") {
+    val s = spark
+    import s.implicits._
+    // 40 strata x 1001 users each: one dominant (200 events) + 800
+    // singletons -> candidate union far above a forced tiny push bound
+    val rows = (0 until 40).flatMap { g =>
+      val dom = g * 100000L
+      Seq.fill(200)((s"g$g", dom)) ++ (1 to 800).map(i => (s"g$g", dom + i))
+    }
+    val ev = rows.toDF("grp", "user_id").repartition(16).localCheckpoint(true)
+    def collectRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val pushed = collectRows(Aggs.heavyHittersGroupedOn(s, ev, maxPushedIn = 1000000))
+    val fbDf = Aggs.heavyHittersGroupedOn(s, ev, maxPushedIn = 8)
+    val fb = collectRows(fbDf)
+    assert(pushed === fb, "fallback shape changed the result")
+    val exact = collectRows(
+      ev.groupBy("grp", "user_id").agg(count(lit(1)).as("n_events"))
+        .join(ev.groupBy("grp").agg(count(lit(1)).as("n")), Seq("grp"))
+        .filter(col("n_events") * 125L > col("n"))
+        .select("grp", "user_id", "n_events").orderBy("grp", "user_id"))
+    assert(fb === exact, "grouped HH diverged from brute force")
+    assert(exact.size === 40, s"fixture should yield one hitter per stratum: ${exact.size}")
+    // the over-bound path must actually BE the semi-join, not a giant IN
+    val p = fbDf.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"fallback did not plan a semi-join:\n$p")
+  }
 }
