@@ -158,15 +158,26 @@ object Ivf {
     * ids (nprobe longs) make the lists filter a static partition
     * prune — the scan reads nprobe of k directories. */
   private[queries] def probeSaved(s: SparkSession, dir: String,
-                                  nprobe: Int, k: Int = 8): DataFrame = {
+                                  nprobe: Int, k: Int = 8): DataFrame =
+    probeIndexAt(s, dir, ensureIndex(s, dir, k), nprobe)
+
+  /** The probe plan over an index at `p`: nprobe nearest cells from
+    * the k-row centroid table, true-distance top-10 over those cells'
+    * lists only (static partition prune). `survivors` optionally
+    * row-filters the lists — the TOMBSTONE-AWARE serve of the delete
+    * face, applied inside the pruned scan so deleted vectors cost one
+    * codegen predicate, never a join. */
+  private[queries] def probeIndexAt(s: SparkSession, dir: String, p: String,
+                                    nprobe: Int,
+                                    survivors: Option[String] = None): DataFrame = {
     graft.expressions.VectorOps.register(s)
     graft.expressions.VecSum6.register(s)
-    val p = ensureIndex(s, dir, k)
     val q0 = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding").as("qemb"))
     val qcids = Llm.ivfQueryCells(q0, loadCentroids(s, p), nprobe)
       .collect().map(_.getLong(0))
-    loadLists(s, p).filter(col("cid").isin(qcids: _*))
+    val lists = survivors.foldLeft(loadLists(s, p))(_ filter _)
+    lists.filter(col("cid").isin(qcids: _*))
       .crossJoin(broadcast(q0))
       .select(col("vec_id"),
               expr("graft_sqdist12(embedding, qemb)").as("dist2"))
@@ -382,6 +393,66 @@ object Ivf {
       .orderBy("vec_id")
   }
 
+  /** Tombstone predicates for the DELETE face: a deterministic ~14%
+    * of the corpus (vec_id % 7 = 3) is deleted; the query vector 0
+    * survives. A production pass would read these from a tombstone
+    * table — the predicate stands in for its broadcast semi-join. */
+  private[queries] val deleteSurvivors = "vec_id % 7 <> 3"
+  private[queries] val deleteTombstones = "vec_id % 7 = 3"
+
+  /** Compacted-index fingerprint — a DISTINCT artifact version from
+    * the base index (and bumped with it via [[trainerVersion]]): a
+    * tombstone-set or layout change can never serve a stale
+    * compaction. */
+  private def compactVersion = s"$trainerVersion-del-mod7x3-v1"
+
+  /** INDEX DELETE + COMPACTION — the third IVF maintenance verb next
+    * to append: tombstoned vectors are dropped from the inverted
+    * lists and the passage-major members store, cell radii are
+    * recomputed on the survivors (they can only SHRINK, so the range
+    * prune tightens), and the result is atomically published as a NEW
+    * artifact version under the frozen quantizer — FAISS
+    * remove_ids + compaction expressed as a partitioned-table
+    * rewrite. The quantizer is NOT retrained (the rare expensive
+    * event stays rare); probing the compacted index is therefore
+    * value-identical to probing the base index with a tombstone
+    * row-filter, which is what keeps the contract query under the
+    * learned face's unrolled-Lloyd oracle with one survivor
+    * predicate. At 100 TB the rewrite is one narrow filtered pass
+    * per store (no shuffle — partition columns are preserved), and
+    * every probe after it stops paying the tombstone filter. */
+  private[queries] def ensureCompacted(s: SparkSession, dir: String): String = {
+    val base = ensureIndex(s, dir)
+    ArtifactStore.ensure(ArtifactStore.cachePath("ivf_compact",
+      ArtifactStore.contentKey(s"$dir/embeddings.parquet", compactVersion))) {
+      tmp =>
+        val cent = loadCentroids(s, base)
+        cent.write.mode("overwrite").parquet(s"$tmp/centroids")
+        val surv = loadLists(s, base).filter(deleteSurvivors)
+        surv.write.partitionBy("cid").mode("overwrite").parquet(s"$tmp/lists")
+        loadMembers(s, base).filter(deleteSurvivors)
+          .write.partitionBy("pbucket").mode("overwrite")
+          .parquet(s"$tmp/members")
+        Llm.ivfAssignDist(surv.select(col("vec_id"), col("embedding")), cent)
+          .groupBy("cid").agg(max(col("dist2")).as("maxd2"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/cellstats")
+        import s.implicits._
+        Seq((8, 3, passageBuckets, compactVersion))
+          .toDF("k", "iters", "pbuckets", "trainer")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    }
+  }
+
+  /** The contract query: probe the COMPACTED index (building it from
+    * the saved base index on first touch). Oracle: the learned face's
+    * unrolled-Lloyd CTEs with the survivor predicate on the probed
+    * cell's members — exact because compaction only removes rows and
+    * the quantizer is frozen. IvfSpec pins the lifecycle: compacted
+    * probe == tombstone-filtered base probe bit-for-bit, no tombstone
+    * survives in any store, serve-twice determinism. */
+  def qSimAnnIvfDelete(s: SparkSession, dir: String): DataFrame =
+    probeIndexAt(s, dir, ensureCompacted(s, dir), nprobe = 1)
+
   /** Product-quantization codebooks: the 64-dim space split into `m`
     * orthogonal 16-dim subspaces, each with its OWN k-centroid
     * quantizer — jointly trained in ONE Lloyd loop over the exploded
@@ -567,6 +638,7 @@ object Ivf {
     "q_sim_ann_ivf_probe2" -> (qSimAnnIvfProbe2 _),
     "q_sim_ann_ivf_batch" -> (qSimAnnIvfBatch _),
     "q_sim_ann_ivf_append" -> (qSimAnnIvfAppend _),
+    "q_sim_ann_ivf_delete" -> (qSimAnnIvfDelete _),
     "q_sim_maxsim_pruned" -> (qSimMaxsimPruned _),
   )
 
@@ -594,6 +666,16 @@ object Ivf {
     "q_sim_ann_ivf_probe2" -> Llm.ivfProbe2Sql,
     "q_sim_ann_ivf_batch" -> Llm.ivfBatchSql,
     "q_sim_ann_ivf_append" -> Llm.ivfAppendSql,
+    // delete face: frozen quantizer (full-corpus Lloyd CTEs), probed
+    // cell's members restricted to the tombstone survivors — exact
+    // because compaction only removes rows
+    "q_sim_ann_ivf_delete" ->
+      s"""${Llm.ivfLloydCtes},
+         |qc AS (SELECT cid AS qcid FROM a4 WHERE vec_id = 0)
+         |SELECT a.vec_id, d.dist2
+         |FROM a4 a JOIN qc ON a.cid = qc.qcid JOIN dq d ON d.vec_id = a.vec_id
+         |WHERE a.vec_id % 7 <> 3
+         |ORDER BY d.dist2 ASC, a.vec_id ASC LIMIT 10""".stripMargin,
     "q_sim_maxsim_pruned" -> Llm.ivfMaxsimPrunedSql,
   )
 }

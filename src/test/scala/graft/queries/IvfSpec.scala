@@ -276,4 +276,41 @@ class IvfSpec extends SparkSpec {
     // probe2's candidate cell set is a superset, so recall cannot drop
     assert(r2 >= r1, s"multi-probe lost recall: $r2 < $r1")
   }
+
+  test("delete/compact lifecycle: compacted probe == tombstone-filtered probe; no tombstone survives") {
+    val dir = sf("sf0.01")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // serve path 1: probe the BASE index with the tombstone row-filter
+    val base = Ivf.ensureIndex(spark, dir)
+    val filtered = rows(Ivf.probeIndexAt(spark, dir, base, nprobe = 1,
+      survivors = Some(Ivf.deleteSurvivors)))
+    // serve path 2: probe the COMPACTED artifact — bit parity required
+    val served = rows(Ivf.queries("q_sim_ann_ivf_delete")(spark, dir))
+    assert(served === filtered,
+      "compacted-index probe diverged from tombstone-filtered base probe")
+    assert(rows(Ivf.queries("q_sim_ann_ivf_delete")(spark, dir)) === served,
+      "serve-twice determinism broken")
+    // deletion is non-vacuous AND the query's own cell was touched:
+    // the top-10 must differ from the undeleted probe
+    val undeleted = rows(Ivf.qSimAnnIvfIndexed(spark, dir))
+    assert(served !== undeleted, "tombstones did not change the probed top-10")
+    // no tombstoned id in any compacted store; survivors all kept
+    val p = Ivf.ensureCompacted(spark, dir)
+    assert(Ivf.loadLists(spark, p).filter(Ivf.deleteTombstones).count() === 0L,
+      "tombstoned vector survived compaction in lists/")
+    assert(Ivf.loadMembers(spark, p).filter(Ivf.deleteTombstones).count() === 0L,
+      "tombstoned vector survived compaction in members/")
+    val nAll = Ivf.loadLists(spark, base).count()
+    val nSurv = Ivf.loadLists(spark, p).count()
+    assert(nSurv === Ivf.loadLists(spark, base).filter(Ivf.deleteSurvivors).count(),
+      s"compaction lost survivors: $nSurv of $nAll")
+    // cell radii recomputed on survivors can only shrink
+    val maxdBase = Ivf.loadCellStats(spark, base).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Ivf.loadCellStats(spark, p).collect().foreach { r =>
+      assert(r.getDouble(1) <= maxdBase(r.getLong(0)) + 1e-12,
+        s"cell ${r.getLong(0)} radius grew after compaction")
+    }
+  }
 }
