@@ -1315,9 +1315,103 @@ object Llm {
         col("decoded"), col("n_items"), col("min_doc"), col("max_doc"))
       .orderBy("sig", "decoded", "min_doc")
 
+  /** L1 verify threshold for [[qMmAudioNear]] over the 32 normalized
+    * (0..1024) spectrum magnitudes: a weak overlay / dither / padded
+    * re-take drifts each excited slot by a few percent (L1 in the
+    * hundreds), while a DIFFERENT pitch moves ~1024 twice per time
+    * bin (L1 >= ~16k) and unrelated stub spectra average ~341 per
+    * slot (~11k) — 2048 sits in the wide gap. */
+  private[graft] val AudioNearMaxL1 = 2048L
+
+  /** Per-slot quantizer for the audio band keys (1024/32 = 33
+    * levels): fine enough that a non-silent slot is selective, while
+    * exactly-equal slots (silence, orthogonal periods — which
+    * near-takes share by construction) always collide. */
+  private[graft] val AudioNearQuant = 32
+
+  /** Audio NEAR-dup candidates by BANDED spectrum join — the audio
+    * twin of [[qMmPhashNear]] over the gain-invariant
+    * [[graft.multimodal.Multimodal.Spectrum]] signature: each of the
+    * 32 (time-bin, period) magnitudes becomes ONE band keyed by its
+    * [[AudioNearQuant]]-quantized value, so a re-gained (exactly
+    * invariant), lightly dithered, or period-aligned-padded re-take —
+    * whose drift leaves many slots in the same cell, and whose
+    * silent/orthogonal-period slots stay EXACTLY equal — surfaces
+    * from an equi-join on at least one band; candidates verify with
+    * one exact zip_with L1 pass over the two 32-int signatures
+    * (<= [[AudioNearMaxL1]]), which kills different-pitch takes
+    * (L1 ~16k) and random stub collisions (~11k). Bands join within
+    * (channels, sample_rate, decoded) — different stream shapes and
+    * stub hashes never pair. Single-value bands collide heavily on
+    * quiet slots by construction, so the [[minhashPairsOn]]-style
+    * hot-band population cap gates the self-join from day one and
+    * [[audioNearOverCapBands]] accounts the skipped mass. Output is
+    * one row PER AUDIO ITEM (near-mate count + closest L1) — scale
+    * stable; rows-only check (RIFF parse is not SQL-expressible);
+    * the re-gain+overlay-surfaces / different-pitch-does-not fixture
+    * and the cap bound are pinned in MultimodalSpec. */
+  def qMmAudioNear(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.withMediaColumns(Tables.documents(s, dir))
+      .filter(col("format") === "wav")
+    audioNearFrom(Multimodal.audioSpectrum(s, media))
+  }
+
+  /** The banded machinery of [[qMmAudioNear]] over any audioSpectrum
+    * output — exposed so MultimodalSpec can drive controlled tone
+    * fixtures and a forced-cap cluster through it. */
+  private[graft] def audioNearFrom(spec: DataFrame,
+                                   maxBandBucket: Int = MaxBandBucket): DataFrame = {
+    val h = spec.select(col("doc_id"), col("channels"), col("sample_rate"),
+                        col("spectrum"), col("decoded"))
+      .localCheckpoint(true)
+    val keyCols = Seq("band", "bkey", "channels", "sample_rate", "decoded")
+    val bands = h.select(col("doc_id"), col("channels"), col("sample_rate"),
+      col("spectrum"), col("decoded"),
+      posexplode(expr(s"transform(spectrum, x -> x div $AudioNearQuant)"))
+        .as(Seq("band", "bkey")))
+    // hot-band cap, same skip-and-account shape as the text and image
+    // faces: the pre-count is one row per DISTINCT (slot, cell) bucket
+    val okBuckets = bands.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBandBucket)
+      .select(keyCols.map(col): _*)
+    val keep = bands.join(okBuckets, keyCols)
+    val pairs = keep.as("a").join(keep.as("b"),
+        keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+              col("a.spectrum").as("sa"), col("b.spectrum").as("sb"))
+      .distinct() // a pair may collide in many slots — verify it once
+      .select(col("da"), col("db"),
+        expr("aggregate(zip_with(sa, sb, (x, y) -> CAST(abs(x - y) AS BIGINT))," +
+             " 0L, (acc, x) -> acc + x)").as("l1"))
+      .filter(col("l1") <= AudioNearMaxL1)
+    h.join(pairs.select(explode(array(col("da"), col("db"))).as("doc_id"),
+                        col("l1")),
+           Seq("doc_id"), "left")
+      .groupBy("doc_id", "channels", "sample_rate", "decoded")
+      .agg(count(col("l1")).as("n_near"), min(col("l1")).as("min_l1"))
+      .orderBy("doc_id")
+  }
+
+  /** Dropped-mass audit for [[audioNearFrom]]'s cap — one row per
+    * over-cap (band, cell) bucket with its population, the same tiny
+    * band-key agg the cap runs. */
+  private[graft] def audioNearOverCapBands(spec: DataFrame,
+                                           maxBandBucket: Int = MaxBandBucket): DataFrame =
+    spec.select(col("channels"), col("sample_rate"), col("decoded"),
+        posexplode(expr(s"transform(spectrum, x -> x div $AudioNearQuant)"))
+          .as(Seq("band", "bkey")))
+      .groupBy("band", "bkey", "channels", "sample_rate", "decoded")
+      .agg(count(lit(1)).as("bucket_docs"))
+      .filter(col("bucket_docs") > maxBandBucket)
+      .orderBy("band", "bkey", "channels", "sample_rate", "decoded")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_audio_dedup" -> (qMmAudioDedup _),
     "q_mm_audio_dedup_gain" -> (qMmAudioDedupGain _),
+    "q_mm_audio_near" -> (qMmAudioNear _),
     "q_mm_phash_dedup" -> (qMmPhashDedup _),
     "q_mm_phash_near" -> (qMmPhashNear _),
     "q_mm_resize" -> (qMmResize _),

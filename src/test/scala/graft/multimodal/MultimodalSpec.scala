@@ -341,6 +341,69 @@ class MultimodalSpec extends SparkSpec {
       "default cap tripped on the sf0.001 corpus — oracle row at risk")
   }
 
+  test("audio near: banded spectrum surfaces a re-gained+padded+overlaid take; different pitch and capped clusters do not") {
+    val s = spark
+    import s.implicits._
+    def square(n: Int, half: Int, amp: Int): Array[Short] =
+      Array.tabulate(n)(x => (if ((x / half) % 2 == 0) amp else -amp).toShort)
+    // base: period-8 square tone, 4096 samples
+    val tone = square(4096, 4, 1000)
+    // near take: one-period-aligned pad (64 samples of silence keeps
+    // every 520-sample time bin phase-aligned), x3 integer re-gain
+    // (exactly invariant), plus a weak period-16 overlay (the "other
+    // mic bleed" that makes it NEAR, not exact)
+    val near = Array.tabulate(64 + 4096) { x =>
+      val t = if (x < 64) 0 else tone(x - 64) * 3
+      (t + (if ((x / 8) % 2 == 0) 50 else -50)).toShort
+    }
+    // different pitch: period-16 square — same loudness, wrong sound
+    val pitch = square(4096, 8, 1000)
+    // a "jingle cluster": M PCM-identical period-4 tones
+    val M = 6
+    val jingle = square(4096, 2, 700)
+    val rows = Seq((0L, wavPcm(8000, tone), "wav"),
+                   (1L, wavPcm(8000, near), "wav"),
+                   (2L, wavPcm(8000, pitch), "wav")) ++
+      (10 until 10 + M).map(i => (i.toLong, wavPcm(8000, jingle), "wav"))
+    val spec = Multimodal.audioSpectrum(spark,
+      rows.toDF("doc_id", "content", "format")).localCheckpoint(true)
+    def summary(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_near"), Option(r.getAs[Any]("min_l1"))))).toMap
+    val un = summary(graft.queries.Llm.audioNearFrom(spec))
+    // the near take pairs ONLY with its source (pitch and jingle are
+    // past the L1 verify), at a small nonzero distance
+    assert(un(0L)._1 === 1L && un(1L)._1 === 1L,
+      s"tone/near should pair exactly once: ${un(0L)} / ${un(1L)}")
+    val l1 = un(1L)._2.get.asInstanceOf[Long]
+    assert(l1 > 0L && l1 <= graft.queries.Llm.AudioNearMaxL1,
+      s"near-take L1 $l1 outside (0, ${graft.queries.Llm.AudioNearMaxL1}]")
+    assert(un(2L) === ((0L, None)), s"different pitch paired: ${un(2L)}")
+    // the identical-jingle cluster is quadratic uncapped...
+    (10 until 10 + M).foreach(i =>
+      assert(un(i.toLong) === (((M - 1).toLong, Some(0L))), s"jingle $i: ${un(i.toLong)}"))
+    // ...and fully skipped under a small cap (every one of its buckets
+    // holds all M members), while the under-cap tone/near pair keeps
+    // its recall through slots the cluster does not occupy
+    val capped = summary(graft.queries.Llm.audioNearFrom(spec, maxBandBucket = 4))
+    (10 until 10 + M).foreach(i =>
+      assert(capped(i.toLong) === ((0L, None)),
+        s"over-cap jingle $i still paired: ${capped(i.toLong)}"))
+    assert(capped(0L)._1 === 1L && capped(1L)._1 === 1L,
+      s"under-cap pair lost to the cap: ${capped(0L)} / ${capped(1L)}")
+    // audit face: the skipped buckets are reported with their mass
+    val audit = graft.queries.Llm.audioNearOverCapBands(spec, maxBandBucket = 4)
+      .collect().map(_.getAs[Long]("bucket_docs"))
+    assert(audit.nonEmpty && audit.max >= M.toLong,
+      s"cap audit missing the jingle cluster: ${audit.toSeq}")
+    // real corpus: the default cap never trips at sf0.001
+    val realSpec = Multimodal.audioSpectrum(spark,
+      Multimodal.withMediaColumns(graft.Tables.documents(spark, sf("sf0.001")))
+        .filter(col("format") === "wav"))
+    assert(graft.queries.Llm.audioNearOverCapBands(realSpec).isEmpty,
+      "default cap tripped on the sf0.001 corpus")
+  }
+
   test("audio dedup groups identical PCM across DIFFERENT container bytes") {
     val s = spark
     import s.implicits._
