@@ -71,6 +71,35 @@ object StreamingQ {
               col("nd_users"), col("n"))
       .orderBy("ws")
 
+  /** SKETCHES IN STREAMING, frequency face — per-hour Count-Min
+    * sketch of the user stream probed at the Misra-Gries candidate
+    * set: "how often did each suspected heavy user hit, per hour",
+    * the windowed twin of the `q_agg_cms_lookup` store. Why CMS in
+    * the stream: counter state is ~28 KB per window REGARDLESS of
+    * user cardinality, and merging is counter-wise addition with the
+    * same seeded hashes, so incremental micro-batch execution is
+    * BIT-IDENTICAL to one batch pass — StreamingSpec proves per-window
+    * sketch-byte parity across forced multi-batch arrivals (an exact
+    * per-window count map is exactly the state that blows a 100 TB
+    * stream's store). Estimates never undercount; overcount ≤ eps·n
+    * per window w.h.p. Rows-only check (sketch); parity + accuracy
+    * pinned in StreamingSpec. */
+  def qStreamApproxFrequency(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.CmsOps.register(s)
+    graft.expressions.MisraGries.register(s)
+    val ev = Tables.events(s, dir)
+    val sk = ev.groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 7)").as("sk"),
+           count(lit(1)).as("n"))
+    val cand = ev.agg(expr("graft_misra_gries(user_id, 32)").as("cand"))
+      .select(explode(col("cand")).as("user_id"))
+    sk.crossJoin(broadcast(cand))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("user_id"),
+              expr("graft_cms_estimate(sk, user_id)").as("est_freq"),
+              col("n"))
+      .orderBy("ws", "user_id")
+  }
+
   /** Stateful dedup shape: duplicated input collapses back to one row
     * per event_id (streaming: dropDuplicatesWithinWatermark). */
   def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
@@ -381,6 +410,7 @@ object StreamingQ {
     "q_stream_session" -> (qStreamSession _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_approx_distinct" -> (qStreamApproxDistinct _),
+    "q_stream_approx_frequency" -> (qStreamApproxFrequency _),
     "q_stream_late_watermark" -> (qStreamLateWatermark _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_join_outer" -> (qStreamJoinOuter _),

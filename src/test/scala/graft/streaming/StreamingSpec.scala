@@ -87,6 +87,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("windowed CMS frequency: multi-batch sketch bytes == one batch pass; estimates exact on sparse fixture") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    // 3 windows, one dominant user (7) + a rotating tail; split across
+    // three addData calls so incremental execution must counter-merge
+    // CMS state across micro-batches
+    val rows = (0 until 90).map { i =>
+      (i.toLong, ts(i), if (i % 3 == 0) 7L else (i % 23).toLong)
+    }
+    val mem = MemoryStream[(Long, Timestamp, Long)]
+    def cmsAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window($"ts", "30 minutes"))
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 7)").as("sk"),
+           count(lit(1)).as("n"))
+    val q = cmsAgg(mem.toDF.toDF("event_id", "ts", "user_id"))
+      .writeStream.format("memory").queryName("cms_stream_out")
+      .outputMode(OutputMode.Complete).start()
+    rows.grouped(30).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    def bytesByWindow(df: org.apache.spark.sql.DataFrame) =
+      df.select($"window.start", $"sk", $"n").collect()
+        .map(r => r.getTimestamp(0) -> ((r.getAs[Array[Byte]](1), r.getLong(2))))
+        .toMap
+    val got = bytesByWindow(s.table("cms_stream_out"))
+    val batch = bytesByWindow(cmsAgg(rows.toDF("event_id", "ts", "user_id")))
+    assert(got.keySet === batch.keySet)
+    assert(got.size === 3, s"fixture should span 3 windows: ${got.keySet}")
+    got.foreach { case (w, (sk, n)) =>
+      assert(n === batch(w)._2)
+      assert(java.util.Arrays.equals(sk, batch(w)._1),
+        s"window $w: incremental CMS merge not byte-identical to batch")
+    }
+    // the registered query: estimates never undercount the exact
+    // per-window candidate counts, overcount bounded by eps*n
+    graft.expressions.CmsOps.register(spark)
+    graft.expressions.MisraGries.register(spark)
+    val dir = sf("sf0.001")
+    val est = graft.queries.StreamingQ.qStreamApproxFrequency(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(est.nonEmpty, "no candidate rows — fixture claim broken")
+    val exact = graft.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .select(unix_timestamp(col("window.start")).as("ws"),
+              col("user_id"), col("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    est.foreach { case ((ws, u), (e, n)) =>
+      val ex = exact.getOrElse((ws, u), 0L)
+      assert(e >= ex, s"CMS undercounted ($ws, $u): $e < $ex")
+      assert(e <= ex + math.max(1L, (n * 0.001).toLong),
+        s"CMS overcount past eps*n at ($ws, $u): $e vs $ex (n=$n)")
+    }
+  }
+
   test("watermark drops rows older than 10 minutes behind max event time") {
     val s = spark
     import s.implicits._
