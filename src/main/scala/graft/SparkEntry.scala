@@ -18,7 +18,7 @@ object SparkEntry {
       SetOps.queries ++ Joins.queries ++ Windows.queries ++
       Scalars.queries ++ Bdf.queries ++ Llm.queries ++ Pipeline.queries ++
       Curate.queries ++ Layout.queries ++ Graph.queries ++ Ivf.queries ++
-      Bpe.queries ++ StreamingQ.queries
+      Bpe.queries ++ StreamingQ.queries ++ Semantic.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -27,5 +27,5 @@ object SparkEntry {
       SetOps.oracle ++ Joins.oracle ++ Windows.oracle ++
       Scalars.oracle ++ Bdf.oracle ++ Llm.oracle ++ Pipeline.oracle ++
       Curate.oracle ++ Layout.oracle ++ Graph.oracle ++ Ivf.oracle ++
-      Bpe.oracle ++ StreamingQ.oracle
+      Bpe.oracle ++ StreamingQ.oracle ++ Semantic.oracle
 }

@@ -510,7 +510,59 @@ object Graph {
   private[queries] val KcoreRounds = 8
   private[queries] val LpaRounds = 12
 
+  /** Per-customer neighbor-list cap for [[qGraphLinkPredict]] — the
+    * candidate-pair stage is quadratic in a customer's degree, so a
+    * hub customer must be bounded BEFORE the self-join (the same
+    * day-one cap discipline as the banded LSH/phash joins). The cap
+    * is deterministic (keep the 64 LOWEST suppkeys) and part of the
+    * CONTRACT: the oracle applies the identical rule, so capped runs
+    * stay hash-exact. maxdeg at the gate scales is 102 (sf0.1), so
+    * the cap genuinely fires there. */
+  private[queries] val LinkDegCap = 64
+
+  /** Link prediction by RESOURCE-ALLOCATION index (Zhou-Lü-Zhang
+    * 2009, the exact-arithmetic member of the common-neighbors family
+    * that Adamic-Adar approximates with floats): for supplier pairs
+    * (s1 < s2), score = Σ over shared customers c of 1/deg(c) — a
+    * shared low-degree customer is strong evidence, a shared hub is
+    * weak. Weights are integer ppm (1000000 div deg, exact in both
+    * engines); top-20 pairs by (score DESC, s1, s2).
+    *
+    * Plan shape: ONE row_number window caps each customer's neighbor
+    * list at [[LinkDegCap]] (bounded state per key, the skew guard);
+    * the pair stage is an equi-join ON THE CUSTOMER ID of two
+    * projections of the capped list — candidate generation is
+    * Σ min(deg,cap)² per customer, never |V|². The groupBy(s1, s2)
+    * partial-aggregates map-side (pair space is supplier², tiny next
+    * to the candidate stream), and the final top-20 is a
+    * TakeOrderedAndProject — only 20 survivors reach the driver. At
+    * 100 TB this is the standard co-occurrence recommender shape:
+    * cap, join-on-entity, combine, bounded top-k. */
+  def qGraphLinkPredict(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+      .distinct()
+    val capped = e
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("c").orderBy("sp")))
+      .filter(col("rn") <= LinkDegCap)
+      .select("c", "sp")
+    val deg = capped.groupBy(col("c").as("dc")).agg(count(lit(1)).as("d"))
+    val w = capped.join(deg, col("c") === col("dc"))
+      .select(col("c"), col("sp"), expr("1000000L div d").as("w"))
+    val a = w.select(col("c"), col("sp").as("s1"), col("w"))
+    val b = w.select(col("c").as("c2"), col("sp").as("s2"))
+    a.join(b, col("c") === col("c2") && col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(sum(col("w")).as("score_ppm"), count(lit(1)).as("n_common"))
+      .orderBy(col("score_ppm").desc, col("s1").asc, col("s2").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_link_predict" -> (qGraphLinkPredict _),
     "q_graph_kcore_converged" -> (qGraphKcoreConverged _),
     "q_graph_communities_converged" -> (qGraphCommunitiesConverged _),
     "q_graph_kcore" -> (qGraphKcore _),
@@ -654,6 +706,25 @@ object Graph {
   private lazy val kcoreSql: String = kcoreSqlN(3)
 
   val oracle: Map[String, String] = Map(
+    "q_graph_link_predict" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |capped AS (
+         |  SELECT c, sp FROM (
+         |    SELECT c, sp,
+         |      ROW_NUMBER() OVER (PARTITION BY c ORDER BY sp) AS rn
+         |    FROM e) WHERE rn <= $LinkDegCap),
+         |deg AS (SELECT c, COUNT(*) AS d FROM capped GROUP BY c),
+         |w AS (
+         |  SELECT capped.c, sp, 1000000 // d AS w
+         |  FROM capped JOIN deg ON capped.c = deg.c)
+         |SELECT a.sp AS s1, b.sp AS s2,
+         |  CAST(SUM(a.w) AS BIGINT) AS score_ppm,
+         |  CAST(COUNT(*) AS BIGINT) AS n_common
+         |FROM w a JOIN w b ON a.c = b.c AND a.sp < b.sp
+         |GROUP BY a.sp, b.sp
+         |ORDER BY score_ppm DESC, s1 ASC, s2 ASC LIMIT 20""".stripMargin,
     "q_graph_kcore_converged" -> kcoreConvergedSql,
     "q_graph_communities_converged" -> communitiesConvergedSql,
     "q_graph_kcore" -> kcoreSql,

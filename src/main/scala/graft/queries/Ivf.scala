@@ -630,7 +630,45 @@ object Ivf {
       pqAdcTop(members, pqLutPacked(cb, q0, m, sub), m, sub, 32))
   }
 
+  /** RECALL EVAL — the measurement face of the IVF lifecycle: the
+    * recall@10 an nprobe setting actually buys on this corpus,
+    * reported for nprobe ∈ {1, 2, 4} against the brute-force exact
+    * top-10. Every real ANN deployment runs exactly this sweep to
+    * pick its operating point (FAISS's bench_* protocol); making it a
+    * first-class query means the accuracy/cost trade is measured by
+    * the engine itself, not asserted. Both sides are deterministic
+    * (quantized-decimal kernels, total-order tiebreaks), so even the
+    * recall COUNTS are oracle-exact. Plan: the brute-force side is
+    * one kernel pass (the cosine-topk shape); each probe side is the
+    * standard assign + probed-cells search; candidate fan-in stays
+    * cells-only, and the three sweeps share the checkpointed
+    * assignment table. */
+  def qSimRecallEval(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.VectorOps.register(s)
+    graft.expressions.VecSum6.register(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cent = Llm.ivfLearnedCentroids(e)
+    val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
+    val truth = e.crossJoin(broadcast(q0))
+      .select(col("vec_id"),
+              expr("graft_sqdist12(embedding, qemb)").as("dist2"))
+      .orderBy(col("dist2").asc, col("vec_id").asc)
+      .limit(10).select(col("vec_id").as("tid"))
+    val asg = Llm.ivfAssign(e, cent).localCheckpoint(true)
+    val sweeps = Seq(1, 2, 4).map { np =>
+      Llm.ivfSearchCells(asg, q0, Llm.ivfQueryCells(q0, cent, np))
+        .select(lit(np.toLong).as("nprobe"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    sweeps.join(broadcast(truth), col("vec_id") === col("tid"), "left_semi")
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_hit"))
+      .select(col("nprobe"), col("n_hit"),
+              expr("n_hit * 10").as("recall_pct"))
+      .orderBy("nprobe")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_recall_eval" -> (qSimRecallEval _),
     "q_sim_ann_pq" -> (qSimAnnPq _),
     "q_sim_ann_ivfpq" -> (qSimAnnIvfPq _),
     "q_sim_ann_ivf_indexed" -> (qSimAnnIvfIndexed _),
@@ -644,6 +682,32 @@ object Ivf {
 
   /** Indexed face bit-identical to the learned face by construction. */
   val oracle: Map[String, String] = Map(
+    "q_sim_recall_eval" -> {
+      def sweep(np: Int): String =
+        s"""p$np AS (SELECT cid FROM qcells ORDER BY qd ASC, cid ASC LIMIT $np),
+           |t$np AS (
+           |  SELECT a.vec_id FROM a4m a JOIN p$np USING (cid)
+           |  JOIN dqm d ON d.vec_id = a.vec_id
+           |  ORDER BY d.dist2 ASC, a.vec_id ASC LIMIT 10)""".stripMargin
+      def row(np: Int): String =
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+           |  CAST(COUNT(*) AS BIGINT) AS n_hit,
+           |  CAST(COUNT(*) * 10 AS BIGINT) AS recall_pct
+           |FROM t$np JOIN truth USING (vec_id)""".stripMargin
+      s"""${Llm.ivfLloydCtes},
+         |a4m AS MATERIALIZED (SELECT vec_id, cid FROM a4),
+         |dqm AS MATERIALIZED (SELECT vec_id, dist2 FROM dq),
+         |truth AS MATERIALIZED (
+         |  SELECT vec_id FROM dqm ORDER BY dist2 ASC, vec_id ASC LIMIT 10),
+         |qcells AS MATERIALIZED (
+         |  SELECT cid, dist2 AS qd FROM d4 WHERE vec_id = 0),
+         |${sweep(1)},
+         |${sweep(2)},
+         |${sweep(4)}
+         |SELECT * FROM (
+         |${row(1)} UNION ALL ${row(2)} UNION ALL ${row(4)}
+         |) ORDER BY nprobe""".stripMargin
+    },
     "q_sim_ann_pq" -> Llm.pqAdcSql,
     "q_sim_ann_ivfpq" -> Llm.ivfPqSql,
     "q_sim_ann_ivf_indexed" -> Llm.ivfLearnedSql,

@@ -173,6 +173,53 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** As-of join, direction = FORWARD (completing the pandas merge_asof
+    * direction family: [[qJoinAsof]] backward, [[qJoinAsofNearest]]
+    * nearest, this one forward): each purchase matches the same
+    * user's EARLIEST strictly-later view — "did the buyer come back
+    * to look again". Same one-pass window shape as the backward face
+    * with the frame mirrored (min over (1, +inf)); per-user
+    * partitions, epoch integers on the wire. */
+  def qJoinAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tsu"))
+    val w = Window.partitionBy("user_id").orderBy("tsu")
+      .rangeBetween(1, Window.unboundedFollowing)
+    e.withColumn("next_view_tsu",
+        min(when(col("event_type") === "view", col("tsu"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "tsu", "next_view_tsu")
+      .orderBy("event_id")
+  }
+
+  /** As-of join with TOLERANCE (the pandas merge_asof `tolerance`
+    * knob; [[qJoinAsof]] without it): each purchase matches the same
+    * user's latest strictly-prior view ONLY if it is at most 10
+    * minutes old — a stale match is reported as null (`matched` = 0),
+    * which is what attribution windows demand. Same single
+    * window-partitioned pass as the plain backward face (no
+    * self-join, no explode — the tolerance is ONE integer comparison
+    * on the window result), so the scale story is unchanged:
+    * per-user partitions, id/epoch integers on the wire. */
+  def qJoinAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val tolUs = 600000000L // 10 minutes
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tsu"))
+    val w = Window.partitionBy("user_id").orderBy("tsu")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    e.withColumn("prior_v",
+        max(when(col("event_type") === "view", col("tsu"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tsu"),
+        when(col("tsu") - col("prior_v") <= tolUs, col("prior_v"))
+          .as("view_tsu_in_tol"),
+        expr(s"CAST(tsu - prior_v <= ${tolUs}L AS INT)").as("matched"))
+      .na.fill(0, Seq("matched"))
+      .orderBy("event_id")
+  }
+
   /** Interval/range join: follower events within 5 minutes, same user. */
   def qJoinInterval(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select(
@@ -311,6 +358,8 @@ object Joins {
     "q_join_theta_range" -> (qJoinThetaRange _),
     "q_join_asof" -> (qJoinAsof _),
     "q_join_asof_nearest" -> (qJoinAsofNearest _),
+    "q_join_asof_tolerance" -> (qJoinAsofTolerance _),
+    "q_join_asof_forward" -> (qJoinAsofForward _),
     "q_join_interval" -> (qJoinInterval _),
   )
 
@@ -388,6 +437,26 @@ object Joins {
         |     AND epoch_us(v.ts) < epoch_us(p.ts)) AS prior_view_tsu
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+    "q_join_asof_forward" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS tsu,
+        |  (SELECT MIN(epoch_us(v.ts)) FROM events v
+        |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |     AND epoch_us(v.ts) > epoch_us(p.ts)) AS next_view_tsu
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+    "q_join_asof_tolerance" ->
+      """WITH m AS (
+        |  SELECT p.event_id, p.user_id, epoch_us(p.ts) AS tsu,
+        |    (SELECT MAX(epoch_us(v.ts)) FROM events v
+        |     WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |       AND epoch_us(v.ts) < epoch_us(p.ts)) AS prior_v
+        |  FROM events p WHERE p.event_type = 'purchase')
+        |SELECT event_id, user_id, tsu,
+        |  CASE WHEN tsu - prior_v <= 600000000 THEN prior_v END
+        |    AS view_tsu_in_tol,
+        |  CAST(COALESCE(tsu - prior_v <= 600000000, FALSE) AS INT)
+        |    AS matched
+        |FROM m ORDER BY event_id""".stripMargin,
     "q_join_asof_nearest" ->
       """WITH pv AS (
         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -178,7 +179,56 @@ object Layout {
       .orderBy("ship_ym")
   }
 
+  /** Small-file COMPACTION PLANNER (the lakehouse OPTIMIZE verb,
+    * Delta/Iceberg bin-pack): given a partitioned table's file
+    * manifest, assign consecutive files to target-sized output bins
+    * and report each planned rewrite group. The manifest here is
+    * simulated from lineitem — one "file" per (ship-month, suppkey
+    * mod 16) with its exact byte estimate — because the fixtures
+    * carry no real multi-file table; the PLANNER is the operator
+    * under test and is manifest-shaped either way.
+    *
+    * Bin rule: within each partition, files ordered by id, bin =
+    * cumulative-bytes-BEFORE div target — the deterministic
+    * running-sum packing (every bin except the last holds >= target/2
+    * once a file crosses its boundary; contiguous-by-id grouping
+    * preserves any existing sort-key clustering, which FFD would
+    * destroy). Integer-exact in both engines (window cumsum + div).
+    *
+    * Plan shape: the manifest is METADATA — thousands of rows per
+    * partition at any corpus size (a 100 TB table is ~10^5-10^6
+    * files) — so the per-partition window is bounded by manifest
+    * cardinality, never data volume; the planner's output (bin →
+    * files, bytes) is what a rewrite job would execute per group. */
+  def qLayoutCompaction(s: SparkSession, dir: String): DataFrame = {
+    val targetBytes = 4L * 1024 * 1024
+    val manifest = Tables.lineitem(s, dir)
+      .select(expr("CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)")
+                .as("part"),
+              expr("l_suppkey % 16").as("file_id"),
+              // deterministic per-row byte estimate: 96 B fixed + a
+              // key-derived variable-width component (the synthetic
+              // lineitem carries no variable-width column to measure)
+              expr("96L + (l_orderkey + l_partkey) % 128").as("row_bytes"))
+      .groupBy("part", "file_id")
+      .agg(sum(col("row_bytes")).as("size_bytes"),
+           count(lit(1)).as("n_rows"))
+    val w = Window.partitionBy("part").orderBy("file_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    manifest
+      .withColumn("cum_before",
+        coalesce(sum(col("size_bytes")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div ${targetBytes}L"))
+      .groupBy("part", "bin")
+      .agg(count(lit(1)).as("n_files"),
+           sum(col("size_bytes")).as("bytes"),
+           min(col("file_id")).as("first_file"),
+           max(col("file_id")).as("last_file"))
+      .orderBy("part", "bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_layout_compaction" -> (qLayoutCompaction _),
     "q_layout_hilbert" -> (qLayoutHilbert _),
     "q_layout_zorder" -> (qLayoutZorder _),
     "q_scan_dpp_months" -> (qScanDppMonths _),
@@ -227,6 +277,25 @@ object Layout {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_layout_compaction" ->
+      """WITH manifest AS (
+        |  SELECT year(l_shipdate) * 100 + month(l_shipdate) AS part,
+        |         l_suppkey % 16 AS file_id,
+        |         CAST(SUM(96 + (l_orderkey + l_partkey) % 128) AS BIGINT) AS size_bytes,
+        |         CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM lineitem GROUP BY 1, 2),
+        |binned AS (
+        |  SELECT part, file_id, size_bytes,
+        |    CAST(COALESCE(SUM(size_bytes) OVER (PARTITION BY part
+        |      ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 4194304 AS BIGINT) AS bin
+        |  FROM manifest)
+        |SELECT part, bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(size_bytes) AS BIGINT) AS bytes,
+        |  MIN(file_id) AS first_file, MAX(file_id) AS last_file
+        |FROM binned GROUP BY part, bin
+        |ORDER BY part, bin""".stripMargin,
     "q_layout_hilbert" -> hilbertSql,
     "q_scan_dpp_months" ->
       s"""WITH m AS (

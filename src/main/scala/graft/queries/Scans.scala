@@ -126,7 +126,41 @@ object Scans {
       .orderBy("lang", "source")
   }
 
+  /** CSV round trip — the TEXT-delimited interchange format next to
+    * the JSONL face (the export surface ETL hand-offs still demand):
+    * documents written ONCE as quoted, headered CSV (content-keyed
+    * artifact), read back with an explicit schema (no inference pass
+    * over the data) and the same content-sensitive aggregates as the
+    * other roundtrip faces. The oracle reads the ORIGINAL parquet, so
+    * a hash match proves quoting/escaping survived every document
+    * byte. CSV splits by line like JSONL, so the read parallelizes;
+    * `quoteAll` makes the writer's framing explicit rather than
+    * data-dependent (a value-dependent quote decision is exactly
+    * where roundtrip bugs hide). */
+  def qScanCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val key = graft.ArtifactStore.contentKey(s"$dir/documents.parquet",
+      "docs-csv-v1")
+    val path = graft.ArtifactStore.cachePath("docs_csv", key)
+    graft.ArtifactStore.ensure(path) { tmp =>
+      Tables.documents(s, dir).write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true")
+        .csv(s"$tmp/data")
+    }
+    s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+              "n_chars BIGINT")
+      .option("header", "true")
+      .csv(s"$path/data")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_chars")).as("sum_chars"),
+           min(md5(encode(col("text"), "UTF-8"))).as("min_md5"),
+           max(md5(encode(col("text"), "UTF-8"))).as("max_md5"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_csv_roundtrip" -> (qScanCsvRoundtrip _),
     "q_scan_orc_roundtrip" -> (qScanOrcRoundtrip _),
     "q_scan_jsonl_roundtrip" -> (qScanJsonlRoundtrip _),
     "q_scan_project" -> (qScanProject _),
@@ -143,6 +177,9 @@ object Scans {
       |ORDER BY lang, source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the oracle reads the ORIGINAL parquet: a hash match proves the
+    // engine's CSV write->read cycle preserved every document byte
+    "q_scan_csv_roundtrip" -> docsRoundtripSql,
     // the oracle reads the ORIGINAL parquet: a hash match proves the
     // engine's ORC write->read cycle preserved every document byte
     "q_scan_orc_roundtrip" -> docsRoundtripSql,

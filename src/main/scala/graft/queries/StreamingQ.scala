@@ -100,6 +100,40 @@ object StreamingQ {
       .orderBy("ws", "user_id")
   }
 
+  /** SKETCHES IN STREAMING, set-op face — hour-over-hour user
+    * retention from per-window THETA sketches: each tumbling hour
+    * keeps one ≤ 8·2^12-byte sketch of its user set, and consecutive
+    * hours INTERSECT ("how many of last hour's users came back"),
+    * the estimate HLL structurally cannot give (no intersection
+    * operator) and an exact per-window user set cannot afford in a
+    * 100 TB stream's state store. The windowed twin of the batch
+    * `q_agg_theta_retention` store. Why theta streams soundly: the
+    * retained set is "hashes < θ" — a pure function of the window's
+    * key SET — so incremental micro-batch unions are byte-identical
+    * to one batch pass (StreamingSpec proves it across 3 forced
+    * micro-batches), and below 2^12 distinct users per window the
+    * estimates ARE exact. The window-to-next join runs OUTSIDE the
+    * streaming aggregation on the tiny per-window sketch table.
+    * Rows-only check (sketch estimates aren't cross-engine); parity +
+    * exact-mode equality pinned in StreamingSpec. */
+  def qStreamThetaRetention(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.ThetaOps.register(s)
+    val sk = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr(s"graft_theta_agg(user_id, ${graft.expressions.ThetaOps.DefaultLgK})")
+             .as("sk"),
+           count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("sk"),
+              col("n"))
+    val nxt = sk.select((col("ws") - 3600L).as("pws"), col("sk").as("nsk"))
+    sk.join(nxt, col("ws") === col("pws"))
+      .select(col("ws"),
+        expr("graft_theta_estimate(sk)").as("n_users_est"),
+        expr("graft_theta_estimate(nsk)").as("n_next_est"),
+        expr("graft_theta_intersect_estimate(sk, nsk)").as("n_retained_est"))
+      .orderBy("ws")
+  }
+
   /** Stateful dedup shape: duplicated input collapses back to one row
     * per event_id (streaming: dropDuplicatesWithinWatermark). */
   def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
@@ -411,6 +445,7 @@ object StreamingQ {
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_approx_distinct" -> (qStreamApproxDistinct _),
     "q_stream_approx_frequency" -> (qStreamApproxFrequency _),
+    "q_stream_theta_retention" -> (qStreamThetaRetention _),
     "q_stream_late_watermark" -> (qStreamLateWatermark _),
     "q_stream_join" -> (qStreamJoin _),
     "q_stream_join_outer" -> (qStreamJoinOuter _),

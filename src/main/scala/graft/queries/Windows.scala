@@ -239,7 +239,49 @@ object Windows {
       .orderBy("day")
   }
 
+  /** Gaps-and-islands — the MATCH_RECOGNIZE-shaped sequence pattern
+    * every analytic engine is asked for (longest unbroken run of
+    * identical behavior per entity), expressed with the two-row_number
+    * trick: within a user's time-ordered stream, rn_all − rn_type is
+    * CONSTANT exactly along a maximal run of equal event_type (both
+    * row_numbers advance together inside the run; rn_all alone
+    * advances across a break), so (user, type, diff) IS the island id.
+    * Output: each user's longest island (ties broken by earliest
+    * start, then type) with its length and start epoch-second.
+    *
+    * Plan shape: both row_numbers share ONE (user_id) partitioning —
+    * Catalyst evaluates the two window specs in a single Window node
+    * chain over the same sort, so the query costs one shuffle; the
+    * island aggregation and the per-user argmax (row_number <= 1 —
+    * TopKPerKey-rewritten like q_win_topk_key) ride the same key. At
+    * 100 TB: per-user state is the user's own event count, never
+    * global; skewed users are bounded by the same per-key top-k
+    * machinery every window face here uses. */
+  def qWinIslands(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("user_id"), col("event_type"), col("event_id"),
+      unix_micros(col("ts")).as("tsu"))
+    val wAll = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val wTyp = Window.partitionBy("user_id", "event_type")
+      .orderBy("tsu", "event_id")
+    val isl = e
+      .select(col("user_id"), col("event_type"), col("tsu"),
+              (row_number().over(wAll) - row_number().over(wTyp)).as("grp"))
+      .groupBy("user_id", "event_type", "grp")
+      .agg(count(lit(1)).as("streak"), min(col("tsu")).as("start_us"))
+    val wBest = Window.partitionBy("user_id")
+      .orderBy(col("streak").desc, col("start_us").asc,
+               col("event_type").asc)
+    isl
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type"), col("streak"),
+              col("start_us"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_islands" -> (qWinIslands _),
     "q_interval_coverage" -> (qIntervalCoverage _),
     "q_win_cumulative_distinct" -> (qWinCumulativeDistinct _),
     "q_win_distribution" -> (qWinDistribution _),
@@ -254,6 +296,28 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_islands" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, event_type, tsu,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY tsu, event_id)
+        |    - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY tsu, event_id) AS grp
+        |  FROM base),
+        |isl AS (
+        |  SELECT user_id, event_type, grp,
+        |    CAST(COUNT(*) AS BIGINT) AS streak,
+        |    MIN(tsu) AS start_us
+        |  FROM marked GROUP BY user_id, event_type, grp)
+        |SELECT user_id, event_type, streak, start_us FROM (
+        |  SELECT user_id, event_type, streak, start_us,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY streak DESC, start_us ASC, event_type ASC) AS rk
+        |  FROM isl) WHERE rk = 1
+        |ORDER BY user_id""".stripMargin,
     "q_interval_coverage" ->
       """WITH iv AS (
         |  SELECT CAST(FLOOR(EPOCH(l_shipdate)) AS BIGINT) // 86400 AS d0,

@@ -227,4 +227,28 @@ class PlanSpec extends SparkSpec {
     assert(pe.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
       s"e2e pipeline reads pruned-out columns:\n$pe")
   }
+
+  test("round-14 operators: bounded top-k plans, broadcast tiny sides, no cartesians") {
+    // link prediction: global top-20 must be TakeOrderedAndProject
+    // (per-partition heaps), and the pair stage an equi join
+    val pl = finalPlan(Graph.qGraphLinkPredict(spark, sf("sf0.001")))
+    assert(pl.contains("TakeOrderedAndProject"),
+      s"link-predict top-20 is a global sort:\n$pl")
+    assert(!pl.contains("CartesianProduct"),
+      s"link-predict pair stage went cartesian:\n$pl")
+    // DSIR: the vocab-bounded ratio table must broadcast (the corpus
+    // feature stream never shuffles whole), bottom-100 bounded
+    val pd = finalPlan(Semantic.qSelectDsir(spark, sf("sf0.001")))
+    assert(pd.contains("BroadcastHashJoin"),
+      s"DSIR ratio table not broadcast:\n$pd")
+    assert(pd.contains("TakeOrderedAndProject"),
+      s"DSIR bottom-100 is a global sort:\n$pd")
+    // SemDeDup: candidate pairs join ON THE CELL ID — an equi join,
+    // never a cartesian (the all-pairs failure mode)
+    graft.expressions.VectorOps.register(spark)
+    graft.expressions.VecSum6.register(spark)
+    val ps = finalPlan(Semantic.qDedupSemantic(spark, sf("sf0.001")))
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup pair stage not an equi join:\n$ps")
+  }
 }

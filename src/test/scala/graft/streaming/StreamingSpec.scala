@@ -787,4 +787,63 @@ class StreamingSpec extends SparkSpec {
     val r1 = firstWinRows.find(_.getAs[Int]("rnk") == 1).get
     assert(r1.getAs[String]("event_type") === "click")
   }
+
+  test("windowed theta sketch: multi-batch union bytes == one batch pass; retention exact in exact mode") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    graft.expressions.ThetaOps.register(s)
+    // 3 windows with controlled overlap; split across three addData
+    // calls so incremental execution must theta-union partial state
+    // across micro-batches — the set-operable streaming property
+    val rows = (0 until 90).map { i =>
+      (i.toLong, ts(i), (i % 17 + (i / 30) * 5).toLong)
+    }
+    val mem = MemoryStream[(Long, Timestamp, Long)]
+    def thAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window($"ts", "30 minutes"))
+      .agg(expr("graft_theta_agg(user_id, 12)").as("sk"),
+           count(lit(1)).as("n"))
+    val q = thAgg(mem.toDF.toDF("event_id", "ts", "user_id"))
+      .writeStream.format("memory").queryName("theta_stream_out")
+      .outputMode(OutputMode.Complete).start()
+    rows.grouped(30).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    def byWindow(df: org.apache.spark.sql.DataFrame) =
+      df.select($"window.start", $"sk", $"n").collect()
+        .map(r => r.getTimestamp(0) -> ((r.getAs[Array[Byte]](1), r.getLong(2))))
+        .toMap
+    val got = byWindow(s.table("theta_stream_out"))
+    val batch = byWindow(thAgg(rows.toDF("event_id", "ts", "user_id")))
+    assert(got.keySet === batch.keySet)
+    assert(got.size === 3, s"fixture should span 3 windows: ${got.keySet}")
+    got.foreach { case (w, (sk, n)) =>
+      assert(n === batch(w)._2)
+      assert(java.util.Arrays.equals(sk, batch(w)._1),
+        s"window $w: incremental theta union not byte-identical to batch")
+    }
+    // registered query: per-window user cardinalities are far below
+    // 2^12, so the sketch is in EXACT mode — retention estimates must
+    // EQUAL the exact hour-over-hour distinct intersections
+    val dir = sf("sf0.001")
+    val est = graft.queries.StreamingQ.qStreamThetaRetention(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(est.nonEmpty, "no consecutive-hour windows at sf0.001")
+    val users = graft.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(collect_set(col("user_id")).as("us"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("us"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    est.foreach { case (ws, (cur, nxt, ret)) =>
+      val exCur = users(ws)
+      val exNxt = users(ws + 3600L)
+      assert(cur === exCur.size.toLong, s"window $ws cardinality drifted")
+      assert(nxt === exNxt.size.toLong, s"window ${ws + 3600} cardinality drifted")
+      assert(ret === (exCur & exNxt).size.toLong,
+        s"window $ws retention estimate not exact in exact mode")
+    }
+  }
 }
