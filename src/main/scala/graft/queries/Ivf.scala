@@ -453,6 +453,105 @@ object Ivf {
   def qSimAnnIvfDelete(s: SparkSession, dir: String): DataFrame =
     probeIndexAt(s, dir, ensureCompacted(s, dir), nprobe = 1)
 
+  /** Merged-index fingerprint — a DISTINCT artifact version: a change
+    * to the delta rule, the standing quantizer, or the merge layout
+    * republishes rather than serving stale. */
+  private def mergedVersion = s"$trainerVersion-merge-mod10-delta-v1"
+
+  /** The full saved index of the STANDING corpus (quantizer trained on
+    * standing rows only) — the pre-merge state of the merge face. */
+  private[queries] def ensureStandingFull(s: SparkSession, dir: String): String = {
+    val standing = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 10 =!= 9)
+    ArtifactStore.ensure(ArtifactStore.cachePath("ivf_standing_full",
+      ArtifactStore.contentKey(s"$dir/embeddings.parquet",
+        s"$standingVersion-fullidx-v1"))) { tmp =>
+      save(standing, train(standing), tmp)
+    }
+  }
+
+  /** INDEX MERGE — the FOURTH maintenance verb, closing the lifecycle
+    * (train/save → probe → append → delete+compact → MERGE): the
+    * daily-ingest delta segment (the append face's new batch,
+    * vec_id % 10 = 9, assigned under the FROZEN standing quantizer)
+    * is folded into the standing index as one partitioned-table
+    * union — inverted lists and passage-major members each get one
+    * narrow append-shaped pass with the partition columns preserved
+    * (no shuffle), cell radii are recomputed (they can only GROW
+    * under appends, so the range prune stays sound), and the result
+    * is atomically published as a NEW artifact version. FAISS's
+    * merge_from / segment-merge expressed as a partitioned-table
+    * rewrite. The quantizer is NOT retrained — which is exactly what
+    * keeps the contract query oracle-expressible: probing the merged
+    * index is value-identical to assigning the WHOLE corpus under the
+    * standing-trained Lloyd centroids and searching the query's cell,
+    * the append-face CTE prefix with an unfiltered final assignment. */
+  private[queries] def ensureMerged(s: SparkSession, dir: String): String = {
+    graft.expressions.VectorOps.register(s)
+    graft.expressions.VecSum6.register(s)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val standingIdx = ensureStandingFull(s, dir)
+    ArtifactStore.ensure(ArtifactStore.cachePath("ivf_merged",
+      ArtifactStore.contentKey(s"$dir/embeddings.parquet", mergedVersion))) {
+      tmp =>
+        val cent = loadCentroids(s, standingIdx)
+        cent.write.mode("overwrite").parquet(s"$tmp/centroids")
+        val delta = Llm.ivfAssign(e.filter(col("vec_id") % 10 === 9), cent)
+          .select(col("vec_id"), col("embedding"), col("cid"))
+        loadLists(s, standingIdx)
+          .select(col("vec_id"), col("embedding"), col("cid"))
+          .unionByName(delta)
+          .write.partitionBy("cid").mode("overwrite").parquet(s"$tmp/lists")
+        loadMembers(s, standingIdx)
+          .select(col("vec_id"), col("embedding"), col("pbucket"))
+          .unionByName(e.filter(col("vec_id") % 10 === 9)
+            .withColumn("pbucket",
+              expr(s"(vec_id div 4) % $passageBuckets")))
+          .write.partitionBy("pbucket").mode("overwrite")
+          .parquet(s"$tmp/members")
+        Llm.ivfAssignDist(e, cent)
+          .groupBy("cid").agg(max(col("dist2")).as("maxd2"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/cellstats")
+        import s.implicits._
+        Seq((8, 3, passageBuckets, mergedVersion))
+          .toDF("k", "iters", "pbuckets", "trainer")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    }
+  }
+
+  /** The contract query: probe the MERGED index (standing + delta
+    * segment under the frozen standing quantizer). */
+  def qSimAnnIvfMerge(s: SparkSession, dir: String): DataFrame =
+    probeIndexAt(s, dir, ensureMerged(s, dir), nprobe = 1)
+
+  /** Standing-trained Lloyd + unfiltered final assignment: the merged
+    * index's probe as one SQL chain (the append oracle's CTE prefix;
+    * the final a4/dq/search run over the WHOLE corpus because merge
+    * serves standing + delta together). */
+  private lazy val ivfMergeSql: String = {
+    val standing = "e.vec_id % 10 <> 9"
+    val iters = (1 to 3).map(k =>
+      Llm.ivfAssignCte(k, s"c${k - 1}", standing) + ",\n" +
+        Llm.ivfCentCte(k, s"c${k - 1}"))
+      .mkString(",\n")
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS cid, i AS pos, CAST(embedding[i] AS DOUBLE) AS c
+       |  FROM embeddings, GENERATE_SERIES(1, 64) AS g0(i) WHERE vec_id < 8),
+       |$iters,
+       |${Llm.ivfAssignCte(4, "c3")},
+       |dq AS (
+       |  SELECT e.vec_id,
+       |    CAST(SUM(CAST((CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE))
+       |      * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS dist2
+       |  FROM embeddings e, embeddings q, GENERATE_SERIES(1, 64) AS gq(i)
+       |  WHERE q.vec_id = 0 GROUP BY e.vec_id),
+       |qc AS (SELECT cid AS qcid FROM a4 WHERE vec_id = 0)
+       |SELECT a.vec_id, d.dist2
+       |FROM a4 a JOIN qc ON a.cid = qc.qcid JOIN dq d ON d.vec_id = a.vec_id
+       |ORDER BY d.dist2 ASC, a.vec_id ASC LIMIT 10""".stripMargin
+  }
+
   /** Product-quantization codebooks: the 64-dim space split into `m`
     * orthogonal 16-dim subspaces, each with its OWN k-centroid
     * quantizer — jointly trained in ONE Lloyd loop over the exploded
@@ -677,6 +776,7 @@ object Ivf {
     "q_sim_ann_ivf_batch" -> (qSimAnnIvfBatch _),
     "q_sim_ann_ivf_append" -> (qSimAnnIvfAppend _),
     "q_sim_ann_ivf_delete" -> (qSimAnnIvfDelete _),
+    "q_sim_ann_ivf_merge" -> (qSimAnnIvfMerge _),
     "q_sim_maxsim_pruned" -> (qSimMaxsimPruned _),
   )
 
@@ -709,6 +809,7 @@ object Ivf {
          |) ORDER BY nprobe""".stripMargin
     },
     "q_sim_ann_pq" -> Llm.pqAdcSql,
+    "q_sim_ann_ivf_merge" -> ivfMergeSql,
     "q_sim_ann_ivfpq" -> Llm.ivfPqSql,
     "q_sim_ann_ivf_indexed" -> Llm.ivfLearnedSql,
     // The cell prune is lossless (triangle inequality + quantization

@@ -173,6 +173,44 @@ object Joins {
       .orderBy("event_id")
   }
 
+  /** TPC-H Q5 — the canonical 6-table join-ordering benchmark, run
+    * verbatim on the star schema: revenue per nation for ASIA-region
+    * customers served by LOCAL suppliers (c_nationkey = s_nationkey)
+    * over one order year. What the optimizer must get right, and
+    * PlanSpec pins: the four dimension sides (supplier, customer,
+    * nation, region) BROADCAST (at 100 TB only lineitem⨝orders may
+    * shuffle), the o_orderdate predicate pushes into the orders scan,
+    * and every scan prunes to its join/aggregate columns. Revenue is
+    * the exact-decimal discipline (dsum) so the 5-row answer is
+    * hash-comparable. */
+  def qJoinTpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, dir)
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+              col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+              .select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, dir)
+              .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum((dec(col("l_extendedprice")) *
+               (dec(lit(1)) - dec(col("l_discount")))).cast(DecT)), 2)
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
   /** As-of join, direction = FORWARD (completing the pandas merge_asof
     * direction family: [[qJoinAsof]] backward, [[qJoinAsofNearest]]
     * nearest, this one forward): each purchase matches the same
@@ -360,6 +398,7 @@ object Joins {
     "q_join_asof_nearest" -> (qJoinAsofNearest _),
     "q_join_asof_tolerance" -> (qJoinAsofTolerance _),
     "q_join_asof_forward" -> (qJoinAsofForward _),
+    "q_join_tpch_q5" -> (qJoinTpchQ5 _),
     "q_join_interval" -> (qJoinInterval _),
   )
 
@@ -437,6 +476,25 @@ object Joins {
         |     AND epoch_us(v.ts) < epoch_us(p.ts)) AS prior_view_tsu
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
+    "q_join_tpch_q5" -> {
+      val discPrice =
+        s"CAST(${D.dec("l_extendedprice")} * (CAST(1 AS DECIMAL(18,6)) - ${D.dec("l_discount")}) AS DECIMAL(18,6))"
+      s"""SELECT n_name,
+         |  CAST(ROUND(SUM($discPrice), 2) AS DOUBLE) AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lines
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |              AND c_nationkey = s_nationkey
+         |JOIN nation   ON s_nationkey = n_nationkey
+         |JOIN region   ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name ASC""".stripMargin
+    },
     "q_join_asof_forward" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS tsu,
         |  (SELECT MIN(epoch_us(v.ts)) FROM events v

@@ -255,6 +255,42 @@ object Llm {
     * [[qDedupJaccardNgram]]: single-minhash band join on ~24 B/doc
     * signatures, text looked up only for the candidate pairs — the
     * corpus text never shuffles at any scale. */
+  /** EDIT-DISTANCE verify over the LSH candidate pairs — the fuzzy
+    * third verifier next to exact Jaccard and containment: for every
+    * stored banded pair (jaccard ≥ 0.7), the character-level
+    * Levenshtein distance and its length-normalized ppm, plus a
+    * `near_exact` flag at ≤ 2% — the signal that separates
+    * "shingle-similar" (reordered/paraphrased spans can share most
+    * 3-gram shingles) from "byte-level nearly identical" (a few edits
+    * apart), which is what dedup keep-policies actually branch on.
+    *
+    * Plan shape: Levenshtein is O(len_a·len_b) per pair, so it can
+    * NEVER run corpus×corpus — it rides the bounded candidate set
+    * from the content-keyed pair store ([[bandedPairsStored]]; built
+    * once per corpus state, hot-band capped), and the per-candidate
+    * text lookup is the same two-phase discipline as the containment
+    * face: text joins only onto candidate ids, the corpus text never
+    * shuffles. Both engines' levenshtein are the textbook DP over
+    * unicode codepoints, and the ppm normalization is exact integer
+    * division — oracle-hash-exact. */
+  def qDedupEditDistance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    bandedPairsStored(s, dir).select(col("da"), col("db"))
+      .join(docs.select(col("doc_id").as("ida"), col("text").as("ta")),
+            col("da") === col("ida"))
+      .join(docs.select(col("doc_id").as("idb"), col("text").as("tb")),
+            col("db") === col("idb"))
+      .select(col("da"), col("db"),
+              levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+              col("ta"), col("tb"))
+      .select(col("da"), col("db"), col("lev"),
+              expr("lev * 1000000L div greatest(length(ta), length(tb))")
+                .as("ndist_ppm"))
+      .withColumn("near_exact",
+        expr("CAST(ndist_ppm <= 20000 AS INT)"))
+      .orderBy("da", "db")
+  }
+
   def qDedupContainment(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.ShingleOps.register(s)
     val sig = Tables.documents(s, dir)
@@ -1425,6 +1461,7 @@ object Llm {
     "q_dedup_soft_weight" -> (qDedupSoftWeight _),
     "q_dedup_minhash_lsh" -> (qDedupMinhashLsh _),
     "q_dedup_minhash_banded" -> (qDedupMinhashBanded _),
+    "q_dedup_edit_distance" -> (qDedupEditDistance _),
     "q_dedup_jaccard_ngram" -> (qDedupJaccardNgram _),
     "q_dedup_containment" -> (qDedupContainment _),
     "q_dedup_near_minhash" -> (qDedupNearMinhash _),
@@ -1488,7 +1525,7 @@ object Llm {
     * re-evaluate the whole LSH pipeline (measured: the unrolled
     * 4-step label chain went from out-of-disk to 10 s at 10x with
     * materialization + union). */
-  private def bandedCandSql(bands: Seq[Seq[Int]]): String = {
+  private[queries] def bandedCandSql(bands: Seq[Seq[Int]]): String = {
     val branches = bands.map { band =>
       val eq = band.map(k => s"a.mh$k = b.mh$k").mkString(" AND ")
       s"""    SELECT a.doc_id AS da, b.doc_id AS db, a.sz AS sa, b.sz AS sb
@@ -1642,6 +1679,39 @@ object Llm {
          |  JOIN t tb ON tb.doc_id = db AND ta.token = tb.token
          |  GROUP BY da, db, sa, sb)
          |WHERE jaccard >= 0.7 ORDER BY da, db""".stripMargin
+    },
+    "q_dedup_edit_distance" -> {
+      val mhCols = (0 until 4).map(k => s"MIN(SUBSTRING(MD5(token), ${8 * k + 1}, 8)) AS mh$k").mkString(", ")
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CONCAT_WS(' ', tk[i], tk[i + 1], tk[i + 2]) AS token
+         |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+         |       GENERATE_SERIES(1, 512) AS g(i)
+         |  WHERE i <= GREATEST(LEN(tk) - 2, 1)),
+         |t AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, token FROM sh),
+         |sig AS MATERIALIZED (
+         |  SELECT doc_id, $mhCols, COUNT(*) AS sz
+         |  FROM t GROUP BY doc_id),
+         |${bandedCandSql(Seq(Seq(0, 1), Seq(2, 3)))},
+         |ver AS (
+         |  SELECT da, db FROM (
+         |    SELECT da, db, COUNT(*) AS nc, sa + sb - COUNT(*) AS nu
+         |    FROM cand
+         |    JOIN t ta ON ta.doc_id = da
+         |    JOIN t tb ON tb.doc_id = db AND ta.token = tb.token
+         |    GROUP BY da, db, sa, sb)
+         |  WHERE CAST(nc AS DOUBLE) / nu >= 0.7)
+         |SELECT da, db,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+         |  CAST(CAST(levenshtein(a.text, b.text) AS HUGEINT) * 1000000
+         |    // GREATEST(LENGTH(a.text), LENGTH(b.text)) AS BIGINT) AS ndist_ppm,
+         |  CAST(CAST(levenshtein(a.text, b.text) AS HUGEINT) * 1000000
+         |    // GREATEST(LENGTH(a.text), LENGTH(b.text)) <= 20000 AS INT) AS near_exact
+         |FROM ver v
+         |JOIN documents a ON a.doc_id = v.da
+         |JOIN documents b ON b.doc_id = v.db
+         |ORDER BY da, db""".stripMargin
     },
     "q_dedup_clusters" -> {
       val mhCols = (0 until 4).map(k => s"MIN(SUBSTRING(MD5(token), ${8 * k + 1}, 8)) AS mh$k").mkString(", ")
@@ -1973,7 +2043,7 @@ object Llm {
     * oracles: c0 = seed centroids, (assign, mean) x3, final assignment
     * a4 + per-vector query distances dq. Same decimal quantization
     * points as the Spark plan so doubles match bit-for-bit. */
-  private def ivfAssignCte(k: Int, prevCent: String,
+  private[queries] def ivfAssignCte(k: Int, prevCent: String,
                            pop: String = ""): String =
     s"""d$k AS (
        |  SELECT e.vec_id, c.cid,
@@ -1987,7 +2057,7 @@ object Llm {
        |    SELECT vec_id, cid,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cid ASC) AS rn
        |    FROM d$k) WHERE rn = 1)""".stripMargin
-  private def ivfCentCte(k: Int, prevCent: String): String =
+  private[queries] def ivfCentCte(k: Int, prevCent: String): String =
     s"""c$k AS (
        |  SELECT p.cid, p.pos, COALESCE(n.c, p.c) AS c
        |  FROM $prevCent p LEFT JOIN (

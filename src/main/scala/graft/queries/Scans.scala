@@ -159,7 +159,56 @@ object Scans {
       .orderBy("lang", "source")
   }
 
+  /** Malformed lines injected into the corrupt-scan artifact — a
+    * constant so the oracle can state the expected corrupt count
+    * arithmetically (the oracle reads the clean parquet and cannot
+    * see the bad file). */
+  private val corruptLines = 7
+
+  /** PERMISSIVE ingestion — the real-crawl contract: a JSONL corpus
+    * with malformed lines mixed in must load WITHOUT failing the job,
+    * quarantine the bad lines into `_corrupt_record`, and keep every
+    * good row intact. The artifact is the documents corpus as JSONL
+    * plus a deterministic junk file (7 malformed lines, written
+    * alongside the part files — named so the reader does NOT skip it:
+    * `_`/`.` prefixes are invisible to FileInputFormat, which is
+    * itself an ingestion trap this face documents). One aggregate
+    * groups good rows per (lang, source) and folds the quarantined
+    * lines into a sentinel ('__corrupt__') group, so corruption is
+    * VISIBLE in the output instead of silently dropped — the oracle
+    * states the good-row groups from the clean parquet plus the
+    * constant corrupt row. At 100 TB this is one pass; the corrupt
+    * branch costs a null test per row. */
+  def qScanJsonlCorrupt(s: SparkSession, dir: String): DataFrame = {
+    val key = graft.ArtifactStore.contentKey(s"$dir/documents.parquet",
+      s"docs-jsonl-corrupt$corruptLines-v1")
+    val path = graft.ArtifactStore.cachePath("docs_jsonl_corrupt", key)
+    graft.ArtifactStore.ensure(path) { tmp =>
+      Tables.documents(s, dir).write.mode("overwrite").json(s"$tmp/data")
+      val bad = new java.io.File(s"$tmp/data/zz_corrupt.json")
+      val w = new java.io.PrintWriter(bad, "UTF-8")
+      try (1 to corruptLines).foreach(i => w.println(s"{broken json line $i"))
+      finally w.close()
+    }
+    val parsed = s.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+              "n_chars BIGINT, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$path/data")
+    val isBad = col("_corrupt_record").isNotNull
+    parsed
+      .groupBy(when(isBad, lit("__corrupt__")).otherwise(col("lang"))
+                 .as("lang"),
+               when(isBad, lit("__corrupt__")).otherwise(col("source"))
+                 .as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
+      .orderBy("lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_jsonl_corrupt" -> (qScanJsonlCorrupt _),
     "q_scan_csv_roundtrip" -> (qScanCsvRoundtrip _),
     "q_scan_orc_roundtrip" -> (qScanOrcRoundtrip _),
     "q_scan_jsonl_roundtrip" -> (qScanJsonlRoundtrip _),
@@ -177,6 +226,17 @@ object Scans {
       |ORDER BY lang, source""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the oracle reads the CLEAN parquet and states the quarantined
+    // junk as the constant sentinel row the engine must surface
+    "q_scan_jsonl_corrupt" ->
+      s"""SELECT * FROM (
+         |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |  FROM documents GROUP BY lang, source
+         |  UNION ALL
+         |  SELECT '__corrupt__', '__corrupt__',
+         |    CAST($corruptLines AS BIGINT), CAST(0 AS BIGINT)
+         |) ORDER BY lang, source""".stripMargin,
     // the oracle reads the ORIGINAL parquet: a hash match proves the
     // engine's CSV write->read cycle preserved every document byte
     "q_scan_csv_roundtrip" -> docsRoundtripSql,

@@ -280,7 +280,49 @@ object Windows {
       .orderBy("user_id")
   }
 
+  /** Per-entity ORDINARY LEAST SQUARES trend — "is this user's spend
+    * drifting up or down": the OLS slope of value against event time,
+    * per user, from the five classical sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²) — ONE partial-aggregable pass, the
+    * textbook distributed-regression shape (each partition contributes
+    * its partial sums; no sort, no window). Exactness discipline:
+    * x = epoch seconds (BIGINT), y = exact cents
+    * (CAST(DECIMAL(value)·100 AS BIGINT)), all sums accumulate in
+    * DECIMAL(38,0) (Σx² ≈ 2·10²⁰ at the fixtures — a BIGINT would
+    * already have wrapped), and the slope is the integer ppm rational
+    * (nΣxy − ΣxΣy)·10⁶ div (nΣx² − (Σx)²) — engine `div` and DuckDB
+    * `//` both truncate toward zero, including on the negative slopes
+    * half the users have. The intercept is DERIVED from the floored
+    * ppm slope ((Σy·10⁶ − slope·Σx) div (n·10⁶)) — deterministic and
+    * stated identically in the oracle, not the float OLS intercept.
+    * A zero denominator (all of a user's events in one second) yields
+    * NULL in both engines. */
+  def qWinLinreg(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(s, dir).select(
+      col("user_id"),
+      unix_timestamp(col("ts")).as("x"),
+      expr("CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)").as("y"))
+    pts.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+           sum(col("x").cast("decimal(38,0)")).as("sx"),
+           sum(col("y").cast("decimal(38,0)")).as("sy"),
+           sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+           sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      .withColumn("den", expr("n * sxx - sx * sx"))
+      .withColumn("slope_ppm", expr(
+        "CASE WHEN den = 0 THEN NULL ELSE " +
+          "CAST((n * sxy - sx * sy) * 1000000L div den AS BIGINT) END"))
+      .withColumn("intercept_cents", expr(
+        "CASE WHEN den = 0 THEN NULL ELSE " +
+          "CAST((sy * 1000000L - slope_ppm * sx) div (n * 1000000L)" +
+          " AS BIGINT) END"))
+      .select(col("user_id"), col("n"), col("slope_ppm"),
+              col("intercept_cents"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_linreg" -> (qWinLinreg _),
     "q_win_islands" -> (qWinIslands _),
     "q_interval_coverage" -> (qIntervalCoverage _),
     "q_win_cumulative_distinct" -> (qWinCumulativeDistinct _),
@@ -296,6 +338,27 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_linreg" ->
+      """WITH pts AS (
+        |  SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS x,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS y
+        |  FROM events),
+        |ag AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx,
+        |    SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM pts GROUP BY user_id)
+        |SELECT user_id, n,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |       ELSE CAST((n * sxy - sx * sy) * 1000000
+        |         // (n * sxx - sx * sx) AS BIGINT) END AS slope_ppm,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |       ELSE CAST((sy * 1000000 - ((n * sxy - sx * sy) * 1000000
+        |           // (n * sxx - sx * sx)) * sx)
+        |         // (n * 1000000) AS BIGINT) END AS intercept_cents
+        |FROM ag ORDER BY user_id""".stripMargin,
     "q_win_islands" ->
       """WITH base AS (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tsu

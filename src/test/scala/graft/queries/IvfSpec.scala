@@ -313,4 +313,39 @@ class IvfSpec extends SparkSpec {
         s"cell ${r.getLong(0)} radius grew after compaction")
     }
   }
+
+  test("merge lifecycle: merged index = standing + delta exactly; serve-twice determinism") {
+    val dir = sf("sf0.01")
+    val p = Ivf.ensureMerged(spark, dir)
+    val e = graft.Tables.embeddings(spark, dir)
+    val n = e.count()
+    // the merged lists/members hold EVERY corpus vector exactly once
+    val listIds = Ivf.loadLists(spark, p).select("vec_id").collect()
+      .map(_.getLong(0))
+    assert(listIds.length.toLong === n, "merged lists row count != corpus")
+    assert(listIds.distinct.length === listIds.length,
+      "duplicate vec_id in merged lists")
+    assert(Ivf.loadMembers(spark, p).count() === n,
+      "merged members row count != corpus")
+    // the delta batch really landed (non-vacuous merge)
+    assert(Ivf.loadLists(spark, p)
+      .filter(org.apache.spark.sql.functions.expr("vec_id % 10 = 9"))
+      .count() > 0L, "no delta vectors in the merged lists")
+    // serve-twice determinism of the contract query
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val once = rows(Ivf.queries("q_sim_ann_ivf_merge")(spark, dir))
+    assert(rows(Ivf.queries("q_sim_ann_ivf_merge")(spark, dir)) === once,
+      "serve-twice determinism broken on the merged index")
+    // cell radii recomputed over the merged corpus can only GROW vs
+    // the standing index's (appends add members, never remove)
+    val standingIdx = Ivf.ensureStandingFull(spark, dir)
+    val maxdStanding = Ivf.loadCellStats(spark, standingIdx).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Ivf.loadCellStats(spark, p).collect().foreach { r =>
+      // a cell empty in the standing index has no stats row there
+      assert(r.getDouble(1) >= maxdStanding.getOrElse(r.getLong(0), 0.0) - 1e-12,
+        s"cell ${r.getLong(0)} radius shrank after merge")
+    }
+  }
 }

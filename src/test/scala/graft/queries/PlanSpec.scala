@@ -251,4 +251,20 @@ class PlanSpec extends SparkSpec {
     assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"),
       s"semantic dedup pair stage not an equi join:\n$ps")
   }
+
+  test("q_join_tpch_q5: all four dimension sides broadcast; date predicate pushed") {
+    val df = Joins.qJoinTpchQ5(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val nBroadcast = allNodes(plan).count {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _ => false
+    }
+    assert(nBroadcast >= 4,
+      s"expected >=4 broadcast joins (supplier/customer/nation/region), got $nBroadcast:\n$plan")
+    val p = plan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"o_orderdate predicate not pushed into the orders scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"Q5 went cartesian:\n$p")
+  }
 }
