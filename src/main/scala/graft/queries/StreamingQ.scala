@@ -134,6 +134,41 @@ object StreamingQ {
       .orderBy("ws")
   }
 
+  /** WINDOWED per-type OLS trend — "is value drifting within this
+    * hour, per event type": the streaming face of
+    * [[Windows.qWinLinreg]]. Why this streams soundly with NO special
+    * machinery: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    * are plain sums — associative, merge-order-invariant, a few
+    * integers of state per (window, type) — so incremental
+    * micro-batch execution is exactly one windowed aggregation with
+    * partial merge, and the slope is derived AFTER aggregation from
+    * exact integers (same ppm rational + toward-zero division as the
+    * batch face; x rebased to seconds-within-window so Σx² stays
+    * small). The state story is the whole point at 100 TB: a
+    * regression per window costs 5 longs of store state, not the
+    * window's events. */
+  def qStreamLinreg(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(s, dir).select(
+      col("event_type"), col("ts"),
+      (unix_timestamp(col("ts")) % 3600L).as("x"),
+      expr("CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)").as("y"))
+    pts.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("x").cast("decimal(38,0)")).as("sx"),
+           sum(col("y").cast("decimal(38,0)")).as("sy"),
+           sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+           sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      .select(unix_timestamp(col("window.start")).as("ws"),
+              col("event_type"), col("n"), col("sx"), col("sy"),
+              col("sxy"), col("sxx"))
+      .withColumn("den", expr("n * sxx - sx * sx"))
+      .withColumn("slope_ppm", expr(
+        "CASE WHEN den = 0 THEN NULL ELSE " +
+          "CAST((n * sxy - sx * sy) * 1000000L div den AS BIGINT) END"))
+      .select(col("ws"), col("event_type"), col("n"), col("slope_ppm"))
+      .orderBy("ws", "event_type")
+  }
+
   /** Stateful dedup shape: duplicated input collapses back to one row
     * per event_id (streaming: dropDuplicatesWithinWatermark). */
   def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
@@ -440,6 +475,7 @@ object StreamingQ {
     "q_stream_retention" -> (qStreamRetention _),
     "q_stream_funnel" -> (qStreamFunnel _),
     "q_stream_tumbling" -> (qStreamTumbling _),
+    "q_stream_linreg" -> (qStreamLinreg _),
     "q_stream_sliding" -> (qStreamSliding _),
     "q_stream_session" -> (qStreamSession _),
     "q_stream_dedup" -> (qStreamDedup _),
@@ -531,6 +567,25 @@ object StreamingQ {
          |    AS wsum_value
          |FROM events e JOIN dim ON e.event_type = dim.event_type
          |GROUP BY 1, 2 ORDER BY ws, e.event_type""".stripMargin,
+    "q_stream_linreg" ->
+      """WITH pts AS (
+        |  SELECT event_type, ts,
+        |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 3600 AS x,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS y,
+        |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600 * 3600 AS ws
+        |  FROM events),
+        |ag AS (
+        |  SELECT ws, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx,
+        |    SUM(CAST(y AS HUGEINT)) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM pts GROUP BY ws, event_type)
+        |SELECT ws, event_type, n,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |       ELSE CAST((n * sxy - sx * sy) * 1000000
+        |         // (n * sxx - sx * sx) AS BIGINT) END AS slope_ppm
+        |FROM ag ORDER BY ws, event_type""".stripMargin,
     "q_stream_tumbling" ->
       s"""SELECT ($esSql // 3600) * 3600 AS ws, event_type,
          |  COUNT(*) AS n, ${D.dsum("value")} AS sum_value
