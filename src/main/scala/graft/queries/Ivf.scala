@@ -455,8 +455,12 @@ object Ivf {
 
   /** Merged-index fingerprint — a DISTINCT artifact version: a change
     * to the delta rule, the standing quantizer, or the merge layout
-    * republishes rather than serving stale. */
-  private def mergedVersion = s"$trainerVersion-merge-mod10-delta-v1"
+    * republishes rather than serving stale. standingVersion is folded
+    * in explicitly (round-14 ADVICE): the merged artifact embeds
+    * centroids from the standing index, so bumping standingVersion
+    * alone must republish here too, not keep serving the old merge. */
+  private def mergedVersion =
+    s"$trainerVersion-$standingVersion-merge-mod10-delta-v1"
 
   /** The full saved index of the STANDING corpus (quantizer trained on
     * standing rows only) — the pre-merge state of the merge face. */
@@ -758,9 +762,20 @@ object Ivf {
       Llm.ivfSearchCells(asg, q0, Llm.ivfQueryCells(q0, cent, np))
         .select(lit(np.toLong).as("nprobe"), col("vec_id"))
     }.reduce(_ unionByName _)
-    sweeps.join(broadcast(truth), col("vec_id") === col("tid"), "left_semi")
+    val hits = sweeps
+      .join(broadcast(truth), col("vec_id") === col("tid"), "left_semi")
       .groupBy("nprobe")
-      .agg(count(lit(1)).as("n_hit"))
+      .agg(count(lit(1)).as("hits"))
+    // anchor on the literal sweep frame (round-14 ADVICE): a sweep with
+    // ZERO truth hits must still emit its n_hit=0 row, exactly as the
+    // oracle's per-nprobe aggregate does — currently unreachable (the
+    // query vector is its own nearest neighbor, so n_hit >= 1), but the
+    // row contract should not depend on that invariant
+    import s.implicits._
+    val frame = Seq(1L, 2L, 4L).toDF("nprobe")
+    frame.join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"),
+              coalesce(col("hits"), lit(0L)).as("n_hit"))
       .select(col("nprobe"), col("n_hit"),
               expr("n_hit * 10").as("recall_pct"))
       .orderBy("nprobe")

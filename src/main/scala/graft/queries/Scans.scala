@@ -136,7 +136,12 @@ object Scans {
     * byte. CSV splits by line like JSONL, so the read parallelizes;
     * `quoteAll` makes the writer's framing explicit rather than
     * data-dependent (a value-dependent quote decision is exactly
-    * where roundtrip bugs hide). */
+    * where roundtrip bugs hide). The line-splittable read deliberately
+    * omits `multiLine` — sound only while no document text embeds a
+    * newline and text is never null (multiLine parsing is
+    * single-threaded per file, which defeats the face's 100 TB
+    * point); OracleBoundsSpec pins that corpus invariant by name so a
+    * fixture change fails loudly instead of shredding quoted rows. */
   def qScanCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val key = graft.ArtifactStore.contentKey(s"$dir/documents.parquet",
       "docs-csv-v1")

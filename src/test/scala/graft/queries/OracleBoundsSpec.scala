@@ -44,6 +44,20 @@ class OracleBoundsSpec extends SparkSpec {
       assert(maxWord <= 16,
         s"word length $maxWord exceeds the BPE 16-symbol-pair unroll")
 
+      // CSV roundtrip invariant (round-14 ADVICE): q_scan_csv_roundtrip
+      // reads the artifact WITHOUT multiLine (so the scan stays
+      // line-splittable — the 100 TB point of the face); that contract
+      // is only sound while no document text embeds a newline or CR,
+      // and quoteAll conflates null text with '' on the trip — pin
+      // both here so a fixture change trips a named assertion instead
+      // of a silent hash mismatch
+      val badText = docs.filter(col("text").isNull ||
+        col("text").contains("\n") || col("text").contains("\r")).count()
+      assert(badText === 0L,
+        s"$badText docs have null/newline text — the multiLine-free CSV " +
+          "roundtrip contract no longer holds; switch the read to " +
+          "multiLine=true (and give up split parallelism) or re-fence")
+
       // 8192-hour unroll: the resample grid spans each user's
       // (min hour, max hour) range
       val span = graft.Tables.events(spark, dir)

@@ -79,6 +79,98 @@ class SemanticSpec extends SparkSpec {
     assert(prios.zip(prios.tail).forall { case (a, b) => a <= b })
   }
 
+  test("q_dedup_semantic: k derives from corpus size by the ~1k-docs/cluster rule") {
+    // fixture corpora (500/500/2000 vectors) all land on the oracle's
+    // k=8; the knob binds above 8000 vectors and keeps expected cell
+    // population ~1000 at any corpus size
+    assert(Semantic.semDedupK(500L) === 8)
+    assert(Semantic.semDedupK(2000L) === 8)
+    assert(Semantic.semDedupK(8000L) === 8)
+    assert(Semantic.semDedupK(8001L) === 9)
+    assert(Semantic.semDedupK(5_000_000L) === 5000)
+    assert(Semantic.semDedupK(100_000_000L) === 100000)
+  }
+
+  test("q_dedup_semantic: over-cap cells skip the pair join and are audited, under-cap cells still dedup") {
+    val dir = sf("sf0.001")
+    graft.expressions.VectorOps.register(spark)
+    graft.expressions.VecSum6.register(spark)
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cent = Llm.ivfLearnedCentroids(e)
+    val base = Llm.ivfAssign(e, cent)
+      .select(col("vec_id"), col("cid"),
+              expr("graft_quant6(embedding)").as("q"),
+              expr("graft_dot6(embedding, embedding)").as("nrm"))
+      .localCheckpoint(true)
+    val pops = base.groupBy("cid").agg(count(lit(1)).as("cn"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxPop = pops.values.max
+    assert(maxPop > 1L, "fixture cells are all singletons — cap untestable")
+
+    // cap = 1: EVERY multi-member cell is over-cap, so the guarded join
+    // sees no pairs at all — kept == everything, by construction
+    val allKept = Semantic.semDedupKeptFrom(base, maxCell = 1L).count()
+    assert(allKept === base.count(),
+      "cap=1 must skip every cell's pair stage and drop nobody")
+    val audit = Semantic.semanticOverCapCells(base, maxCell = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(audit.map(_._1).toSet === pops.filter(_._2 > 1L).keySet,
+      "audit must report exactly the over-cap cells")
+    audit.foreach { case (cid, n, skipped) =>
+      assert(n === pops(cid))
+      assert(skipped === n * (n - 1) / 2,
+        s"cell $cid skipped-pair count wrong")
+    }
+
+    // cap just under the hottest cell: that cell's members all survive
+    // untouched (its pairs were skipped), every other cell dedups
+    // exactly as the uncapped contract query does
+    val cap = maxPop - 1
+    val hotCells = pops.filter(_._2 > cap).keySet
+    val contractDropped = {
+      val kept = Semantic.semDedupKeptFrom(base).collect().map(_.getLong(0)).toSet
+      base.select("vec_id").collect().map(_.getLong(0)).toSet -- kept
+    }
+    val cappedKept = Semantic.semDedupKeptFrom(base, maxCell = cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hotMembers = base.filter(col("cid").isin(hotCells.toSeq: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(hotMembers.subsetOf(cappedKept.keySet),
+      "over-cap cell members must never be dropped (their pairs were skipped)")
+    val expectKept = base.select("vec_id").collect().map(_.getLong(0)).toSet --
+      (contractDropped -- hotMembers)
+    assert(cappedKept.keySet === expectKept,
+      "under-cap cells must dedup exactly as the uncapped query")
+    // default cap is a fixture no-op: guarded contract == audit empty
+    assert(Semantic.semanticOverCapCells(base).count() === 0L,
+      "default 4096 cap must not trip on fixture cells")
+  }
+
+  test("q_select_dsir_hashed: constant-size feature table ranks like the exact vocab") {
+    val dir = sf("sf0.01")
+    val exact = Semantic.qSelectDsir(spark, dir)
+      .collect().map(_.getLong(1)).toSet
+    val hashed = Semantic.qSelectDsirHashed(spark, dir)
+      .collect().map(_.getLong(1)).toSet
+    assert(hashed.size === 100)
+    val overlap = (exact intersect hashed).size
+    info(s"exact-vs-hashed resample overlap: $overlap/100")
+    assert(overlap >= 80,
+      s"hashed-feature resample diverged from exact vocab: $overlap/100")
+    // the estimation property must survive hashing: target-language
+    // docs still score strictly higher on average
+    val scoreByLang = Semantic.dsirScoresHashed(spark, dir)
+      .join(graft.Tables.documents(spark, dir).select("doc_id", "lang"),
+            "doc_id")
+      .groupBy("lang")
+      .agg(avg(col("score_ppm")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val others = scoreByLang.filter(_._1 != "en").values
+    assert(others.nonEmpty && scoreByLang("en") > others.max + 10000,
+      s"hashed scores lost the target-language separation: $scoreByLang")
+  }
+
   test("q_graph_link_predict: cap is a no-op below the degree bound (equals uncapped RA)") {
     val dir = sf("sf0.001") // maxdeg 10 << 64, so capped == uncapped
     val got = Graph.qGraphLinkPredict(spark, dir).collect()
