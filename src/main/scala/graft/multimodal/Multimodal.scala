@@ -450,6 +450,65 @@ object Multimodal {
            "n_frame_bytes", "byte_sum", "decoded")
   }
 
+  /** 64-bit FNV-1a over a byte range — the per-frame content hash of
+    * [[frameHashStage]]. Pure integer arithmetic, bit-stable across
+    * JVMs and partitionings. */
+  private def fnv64(bytes: Array[Byte], off: Int, len: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var p = off
+    while (p < off + len) { h = (h ^ (bytes(p) & 0xff)) * 0x100000001b3L; p += 1 }
+    h
+  }
+
+  /** Per-item FRAME-HASH signature — the video-dedup feature stage:
+    * the same evenly-strided sampling as [[frameSample]], but each
+    * sampled frame reduced to a 64-bit FNV-1a hash of its PAYLOAD
+    * bytes, one row per item carrying the ordered hash array. The
+    * hash keys on frame CONTENT, not container framing, so two clips
+    * whose mdat payloads agree hash identically even when their
+    * ftyp/moov metadata, box ordering, or size encodings differ
+    * (byte-md5 dedup cannot see that — the same container-robustness
+    * argument as [[phashStage]] for images and [[audioEnvelope]] for
+    * audio, one level up: per-FRAME). Non-video bytes take the
+    * deterministic stub path ([[StubCodec]] mixing, so stub items are
+    * pairwise distinct). ~40 B signature per item on the wire, never
+    * frame bytes; computed where the bytes live (partition-batched
+    * map, no shuffle). */
+  def frameHashStage(spark: SparkSession, media: DataFrame,
+                     maxFrames: Int = 4, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(maxFrames > 0, "maxFrames must be positive")
+    val ds: Dataset[(Long, Array[Byte], String)] =
+      media.select(col("doc_id").cast("long"), col("content"), col("format"))
+        .as[(Long, Array[Byte], String)]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes, fmt) =>
+          val real = if (fmt == "mp4") mdatBoxes(bytes) else Nil
+          if (real.nonEmpty) {
+            val n = real.length
+            val stride = math.max(1, (n + maxFrames - 1) / maxFrames)
+            val hashes = (0 until n by stride).map { fi =>
+              val (off, len) = real(fi)
+              fnv64(bytes, off, len)
+            }
+            (id, fmt, n.toLong, hashes.toArray, true)
+          } else {
+            val d = StubCodec.decode(bytes, fmt)
+            val n = math.max(d.frames, 1)
+            val stride = math.max(1, (n + maxFrames - 1) / maxFrames)
+            val hashes = (0 until n by stride).map { fi =>
+              var z = (id * 0x9e3779b97f4a7c15L) + fi
+              z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+              z ^ (z >>> 27)
+            }
+            (id, fmt, n.toLong, hashes.toArray, false)
+          }
+        }
+      }
+    }.toDF("doc_id", "format", "n_frames_total", "frame_hashes", "decoded")
+  }
+
   /** (offset, length) of every top-level mdat payload in an ISO-BMFF
     * byte stream; Nil when the bytes are not BMFF — or when any box
     * size cannot be resolved (the caller then takes the stub path

@@ -211,6 +211,77 @@ object Joins {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** TPC-H Q3 (shipping priority) — the second canonical optimizer
+    * stressor next to [[qJoinTpchQ5]]: top-10 not-yet-shipped orders of
+    * one market segment by revenue. The plan families it pins that Q5
+    * does not: BOTH date predicates push into DIFFERENT fact scans
+    * (o_orderdate < cutoff into orders, l_shipdate > cutoff into
+    * lineitem — at 100 TB each prunes its own scan's row groups), the
+    * segment-filtered customer side broadcasts, and the final top-10
+    * over a large grouped aggregate must plan as
+    * TakeOrderedAndProject (per-partition top-k, 10 rows to the
+    * driver), never a global sort — PlanSpec pins all three. Revenue
+    * is the exact-decimal discipline, cents-rounded export; the
+    * orderkey tiebreak makes the top-10 total-ordered. The cutoff sits
+    * mid-corpus (the fixture's order dates span 1995-2001) so both
+    * predicates are genuinely selective. */
+  def qJoinTpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+              col("o_orderpriority"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum((dec(col("l_extendedprice")) *
+               (dec(lit(1)) - dec(col("l_discount")))).cast(DecT)), 2)
+             .cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+              unix_timestamp(col("o_orderdate")).as("o_date_s"),
+              col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_date_s").asc,
+               col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q18 (large-volume customers) — the third optimizer pin: who
+    * placed the orders whose total quantity exceeds 300 units. The
+    * plan family it stresses is the SEMI-JOIN-ON-AGGREGATE shape (the
+    * HAVING subquery): lineitem partial-aggregates per order map-side
+    * FIRST, the >300 filter collapses that to a tiny heavy-order set
+    * (selectivity ~0.3% of orders at every fixture scale — the filter
+    * does the work, so the subsequent joins run on the survivors, not
+    * the corpus), and the result re-joins orders and customer. AQE
+    * picks broadcast for the filtered agg at fixture scale; at 100 TB
+    * the heavy set still grows only linearly-with-corpus at 0.3%
+    * density, so the join stays shuffle-on-orderkey with a tiny side.
+    * Final top-100 is TakeOrderedAndProject (PlanSpec). Quantity sums
+    * exact-decimal end-to-end; the >300 test compares decimals, never
+    * doubles. */
+  def qJoinTpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val heavy = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsumDec(col("l_quantity")).as("qdec"))
+      .filter(col("qdec") > lit(300).cast(DecT))
+      .select(col("l_orderkey"),
+              round(col("qdec"), 2).cast("double").as("sum_qty"))
+    Tables.orders(s, dir)
+      .join(heavy, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+              unix_timestamp(col("o_orderdate")).as("o_date_s"),
+              col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
   /** As-of join, direction = FORWARD (completing the pandas merge_asof
     * direction family: [[qJoinAsof]] backward, [[qJoinAsofNearest]]
     * nearest, this one forward): each purchase matches the same
@@ -399,6 +470,8 @@ object Joins {
     "q_join_asof_tolerance" -> (qJoinAsofTolerance _),
     "q_join_asof_forward" -> (qJoinAsofForward _),
     "q_join_tpch_q5" -> (qJoinTpchQ5 _),
+    "q_join_tpch_q3" -> (qJoinTpchQ3 _),
+    "q_join_tpch_q18" -> (qJoinTpchQ18 _),
     "q_join_interval" -> (qJoinInterval _),
   )
 
@@ -495,6 +568,37 @@ object Joins {
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name ASC""".stripMargin
     },
+    "q_join_tpch_q3" -> {
+      val discPrice =
+        s"CAST(${D.dec("l_extendedprice")} * (CAST(1 AS DECIMAL(18,6)) - ${D.dec("l_discount")}) AS DECIMAL(18,6))"
+      s"""SELECT l_orderkey,
+         |  CAST(ROUND(SUM($discPrice), 2) AS DOUBLE) AS revenue,
+         |  CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS o_date_s,
+         |  o_orderpriority
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate  > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_date_s ASC, l_orderkey ASC
+         |LIMIT 10""".stripMargin
+    },
+    "q_join_tpch_q18" ->
+      s"""WITH heavy AS (
+         |  SELECT l_orderkey, ${D.dsumDec("l_quantity")} AS qdec
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${D.dsumDec("l_quantity")} > CAST(300 AS DECIMAL(18,6)))
+         |SELECT c_name, c_custkey, o_orderkey,
+         |  CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT) AS o_date_s,
+         |  o_totalprice,
+         |  CAST(ROUND(qdec, 2) AS DOUBLE) AS sum_qty
+         |FROM heavy
+         |JOIN orders   ON o_orderkey = l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey ASC
+         |LIMIT 100""".stripMargin,
     "q_join_asof_forward" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS tsu,
         |  (SELECT MIN(epoch_us(v.ts)) FROM events v

@@ -1112,6 +1112,90 @@ object Llm {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Video NEAR-dup candidates by SHARED-FRAME join — completing the
+    * near-dup modality matrix (text: banded MinHash, images: banded
+    * phash Hamming, audio: banded spectrum, video: THIS): each clip
+    * reduces to its sampled-frame content-hash signature
+    * ([[graft.multimodal.Multimodal.frameHashStage]] — up to 4
+    * 64-bit FNV hashes of the strided mdat payloads), and two clips
+    * pair when they SHARE at least half of the smaller clip's sampled
+    * frames. A re-muxed / metadata-edited re-encode keeps its payload
+    * bytes, so all its frame hashes match (surfaces); a one-frame-
+    * perturbed clip still shares 3 of 4 (surfaces); an unrelated clip
+    * shares none (does not). The candidate stage is an EQUI-join on
+    * the frame hash — never all-pairs — inside a decode-path
+    * partition (stub signatures never pair with real ones), with the
+    * hot-bucket cap built in FROM DAY ONE per the round-13 cap
+    * discipline: a template frame (black frame, studio logo) shared
+    * by thousands of clips would make that one hash bucket's
+    * self-join quadratic, so a bucket-population pre-count gates the
+    * join at [[MaxBandBucket]] and [[videoOverCapFrames]] audits the
+    * skipped mass. Output is one row PER VIDEO ITEM (near-mate count
+    * + best shared-frame count), scale-stable like the image/audio
+    * faces; rows-only check (the BMFF walk is not SQL-expressible) —
+    * re-encode/perturbed/different fixtures, the cap bound, and
+    * determinism are pinned in MultimodalSpec. */
+  def qMmVideoNear(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.withMediaColumns(Tables.documents(s, dir))
+      .filter(col("format") === "mp4")
+    videoNearFrom(Multimodal.frameHashStage(s, media))
+  }
+
+  /** The shared-frame machinery of [[qMmVideoNear]] over any
+    * (doc_id, frame_hashes, decoded) signature table — exposed so
+    * MultimodalSpec can drive controlled clip fixtures through it. */
+  private[graft] def videoNearFrom(hashed: DataFrame,
+                                   maxBucket: Int = MaxBandBucket): DataFrame = {
+    // feeds the frame explode AND the final per-item summary
+    val h = hashed.select(col("doc_id"),
+        expr("size(array_distinct(frame_hashes))").as("n_frames"),
+        col("frame_hashes"), col("decoded"))
+      .localCheckpoint(true)
+    // distinct per item: a clip repeating one frame must not double-
+    // count the match
+    val fr = h.select(col("doc_id"), col("n_frames"), col("decoded"),
+      explode(array_distinct(col("frame_hashes"))).as("fh"))
+    // hot-bucket cap, the minhashPairsOn skip-and-account shape on the
+    // (frame-hash, decoded) key: the pre-count is a tiny agg (one row
+    // per DISTINCT frame hash), over-cap buckets never enter the
+    // self-join, so pair output per bucket is cap^2/2 BY CONSTRUCTION
+    val okBuckets = fr.groupBy("fh", "decoded")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select("fh", "decoded")
+    val keep = fr.join(okBuckets, Seq("fh", "decoded"))
+    val pairs = keep.as("a").join(keep.as("b"),
+        col("a.fh") === col("b.fh") && col("a.decoded") === col("b.decoded") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+               col("a.n_frames").as("na"), col("b.n_frames").as("nb"))
+      .agg(count(lit(1)).as("n_shared")) // one row per shared DISTINCT hash
+      .filter(col("n_shared") * 2 >= least(col("na"), col("nb")))
+    h.join(pairs.select(explode(array(col("da"), col("db"))).as("doc_id"),
+                        col("n_shared")),
+           Seq("doc_id"), "left")
+      .groupBy("doc_id", "n_frames", "decoded")
+      .agg(count(col("n_shared")).as("n_near"),
+           max(col("n_shared")).as("max_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** Dropped-mass accounting for [[videoNearFrom]]'s hot-bucket cap —
+    * the frame-hash member of the audit family
+    * ([[lshOverCapBuckets]], [[phashOverCapBands]]): one row per
+    * over-cap (frame-hash, decoded) bucket. An over-cap frame bucket
+    * on a real corpus is a TEMPLATE frame — worth masking from the
+    * signature, not pairing on. */
+  private[graft] def videoOverCapFrames(hashed: DataFrame,
+                                        maxBucket: Int = MaxBandBucket): DataFrame =
+    hashed.select(col("doc_id"), col("decoded"),
+        explode(array_distinct(col("frame_hashes"))).as("fh"))
+      .groupBy("fh", "decoded")
+      .agg(count(lit(1)).as("bucket_docs"))
+      .filter(col("bucket_docs") > maxBucket)
+      .orderBy("fh", "decoded")
+
   /** Audio-envelope stage over the media columns: 16 exact-integer
     * loudness bins per wav item (real RIFF/PCM parse for actual audio
     * bytes, deterministic stub envelope for the synthesized testdata),
@@ -1452,6 +1536,7 @@ object Llm {
     "q_mm_phash_near" -> (qMmPhashNear _),
     "q_mm_resize" -> (qMmResize _),
     "q_mm_frame_sample" -> (qMmFrameSample _),
+    "q_mm_video_near" -> (qMmVideoNear _),
     "q_mm_audio_envelope" -> (qMmAudioEnvelope _),
     "q_mm_audio_spectrum" -> (qMmAudioSpectrum _),
     "q_mm_decode_stub" -> (qMmDecodeStub _),

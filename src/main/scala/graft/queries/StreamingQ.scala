@@ -134,6 +134,43 @@ object StreamingQ {
       .orderBy("ws")
   }
 
+  /** SKETCHES IN STREAMING, quantile face — per-hour KLL sketch of the
+    * value stream served as p50/p90/p99: the latency-percentile query
+    * every streaming monitor runs, completing the windowed sketch
+    * matrix (distinct=HLL, frequency=CMS, set-ops=theta, and now
+    * quantiles=KLL; the batch store twin is `q_agg_quantile_kll`).
+    * Why KLL in the stream: per-window state is O(k log n) bytes
+    * REGARDLESS of event volume (an exact per-window value list is
+    * precisely what blows a 100 TB stream's state store), merges
+    * associatively, and carries the distribution-independent
+    * normalized-rank guarantee (~1.65% at k=200) — so the served p99
+    * is a true data value whose exact rank is within eps of 0.99 no
+    * matter how heavy-tailed the values. Values are exact integer
+    * cents per the Det discipline. Determinism note (the reason this
+    * is rows-only): KLL compaction flips coins, so byte-parity across
+    * arbitrary merge orders is NOT a KLL property — but below the
+    * level-0 capacity the sketch is in EXACT mode and the served
+    * quantiles are exact order statistics; every fixture window sits
+    * under that bound (max 175 events/hour at sf0.1 < k=200), and
+    * StreamingSpec pins multi-batch ≡ batch VALUE parity there plus
+    * the rank-error bound that holds at any volume. */
+  def qStreamQuantileKll(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.KllOps.register(s)
+    Tables.events(s, dir)
+      .select(col("ts"),
+              expr("CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)")
+                .as("cents"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("graft_kll_agg(cents, 200)").as("sk"),
+           count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"),
+              expr("graft_kll_quantile(sk, 0.5D)").as("p50_cents"),
+              expr("graft_kll_quantile(sk, 0.9D)").as("p90_cents"),
+              expr("graft_kll_quantile(sk, 0.99D)").as("p99_cents"),
+              col("n"))
+      .orderBy("ws")
+  }
+
   /** WINDOWED per-type OLS trend — "is value drifting within this
     * hour, per event type": the streaming face of
     * [[Windows.qWinLinreg]]. Why this streams soundly with NO special
@@ -481,6 +518,7 @@ object StreamingQ {
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_approx_distinct" -> (qStreamApproxDistinct _),
     "q_stream_approx_frequency" -> (qStreamApproxFrequency _),
+    "q_stream_quantile_kll" -> (qStreamQuantileKll _),
     "q_stream_theta_retention" -> (qStreamThetaRetention _),
     "q_stream_late_watermark" -> (qStreamLateWatermark _),
     "q_stream_join" -> (qStreamJoin _),

@@ -615,6 +615,96 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.forall(r => !r.getAs[Boolean]("decoded")))
   }
 
+  /** Minimal ISO-BMFF with CALLER-CHOSEN frame payloads (the
+    * [[mp4Bytes]] walk structure, payloads injectable) — lets the
+    * video-near tests state re-mux/perturb/different relations at the
+    * frame-content level. `junk` appends a free box and flips the ftyp
+    * brand: container bytes change, payloads do not. */
+  private def mp4WithFrames(frames: Seq[Array[Byte]],
+                            junk: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def be(i: Int): Array[Byte] =
+      Array(((i >> 24) & 0xff).toByte, ((i >> 16) & 0xff).toByte,
+            ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+    def box(tp: String, payload: Array[Byte]): Unit = {
+      bos.write(be(8 + payload.length)); bos.write(tp.getBytes("US-ASCII"))
+      bos.write(payload)
+    }
+    box("ftyp", (if (junk) "mp42" else "isom").getBytes("US-ASCII") ++ be(0))
+    if (junk) box("free", Array.fill[Byte](17)(0x5a))
+    frames.foreach(f => box("mdat", f))
+    bos.toByteArray
+  }
+
+  test("video near: shared-frame join surfaces re-mux and one-frame edits, not different clips") {
+    val s = spark
+    import s.implicits._
+    def frame(seed: Int): Array[Byte] =
+      Array.tabulate[Byte](48)(i => ((i * 13 + seed * 97) & 0xff).toByte)
+    val baseFrames = Seq(frame(1), frame(2), frame(3), frame(4))
+    val base = mp4WithFrames(baseFrames)
+    val remux = mp4WithFrames(baseFrames, junk = true) // same payloads, new container
+    val pert = mp4WithFrames(baseFrames.init :+ frame(99)) // one frame edited
+    val diff = mp4WithFrames(Seq(frame(11), frame(12), frame(13), frame(14)))
+    val media = Seq((0L, base, "mp4"), (1L, remux, "mp4"),
+                    (2L, pert, "mp4"), (3L, diff, "mp4"))
+      .toDF("doc_id", "content", "format")
+    val hashed = Multimodal.frameHashStage(spark, media)
+    assert(hashed.collect().forall(_.getAs[Boolean]("decoded")),
+      "all fixtures must walk the real BMFF path")
+    val out = graft.queries.Llm.videoNearFrom(hashed)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    // base pairs with the re-mux (4/4 shared) and the perturbed clip
+    // (3/4 >= 2 = min/2); the different clip pairs with nobody
+    assert(out(0L) === ((2L, Some(4L))), s"base: ${out(0L)}")
+    assert(out(1L) === ((2L, Some(4L))), s"remux: ${out(1L)}")
+    assert(out(2L) === ((2L, Some(3L))), s"perturbed: ${out(2L)}")
+    assert(out(3L) === ((0L, None)), s"different: ${out(3L)}")
+    // byte-identity sanity: the re-mux container differs even though
+    // every frame hash matches (what byte-level dedup cannot see)
+    assert(!java.util.Arrays.equals(base, remux))
+    // partitioning invariance of the signature stage
+    val ha = hashed.orderBy("doc_id").collect().map(_.toString).toSeq
+    val hb = Multimodal.frameHashStage(spark, media.repartition(3),
+        batchSize = 1).orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(ha === hb)
+  }
+
+  test("video near: hot template-frame bucket is capped and audited; under-cap pairing survives") {
+    val s = spark
+    import s.implicits._
+    // 6 clips sharing one template frame hash (42) + a unique hash each
+    val hashed = (0L until 6L).map(id => (id, Array(42L, 1000L + id), true))
+      .toDF("doc_id", "frame_hashes", "decoded")
+    // under the default cap every pair shares the template frame:
+    // n_shared=1, min(n)=2 -> 1*2 >= 2 surfaces all C(6,2) pairs
+    val open = graft.queries.Llm.videoNearFrom(hashed).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(open.values.forall(_ === 5L),
+      s"uncapped: every clip should near-pair the other 5: $open")
+    // cap=5: the 6-member bucket is over cap -> join skipped, no pairs
+    val capped = graft.queries.Llm.videoNearFrom(hashed, maxBucket = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(capped.values.forall(_ === 0L),
+      s"capped: the template bucket must not self-join: $capped")
+    val audit = graft.queries.Llm.videoOverCapFrames(hashed, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+    assert(audit.toSeq === Seq((42L, true, 6L)),
+      s"audit must report exactly the skipped template bucket: ${audit.toSeq}")
+    // the registered query is deterministic and covers every mp4 item
+    val dir = sf("sf0.001")
+    val q1 = graft.queries.Llm.qMmVideoNear(spark, dir).collect()
+    val q2 = graft.queries.Llm.qMmVideoNear(spark, dir).collect()
+    assert(q1.map(_.toString).toSeq === q2.map(_.toString).toSeq)
+    val nMp4 = Multimodal.withMediaColumns(
+        graft.Tables.documents(spark, dir))
+      .filter(col("format") === "mp4").count()
+    assert(q1.length.toLong === nMp4,
+      "one summary row per mp4 item, scale-stable")
+  }
+
   test("resize and frame sample are invariant to partitioning") {
     val a = Multimodal.resizeStage(spark, media).orderBy("doc_id").collect()
     val b = Multimodal.resizeStage(spark, media.repartition(7), batchSize = 1)

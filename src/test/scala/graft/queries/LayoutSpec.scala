@@ -176,6 +176,44 @@ class LayoutSpec extends SparkSpec {
     zorderProof(sf("sf0.001"), 8)
   }
 
+  test("compaction apply: file count drops to the plan's bins with zero row loss, on real footers") {
+    val dir = sf("sf0.01")
+    val out = Layout.qLayoutCompactionApply(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    // every planned bin produced EXACTLY ONE output file
+    out.foreach { case (part, bin, nIn, _, _, nOut) =>
+      assert(nOut === 1L, s"bin ($part,$bin) wrote $nOut files, want 1")
+      assert(nIn >= 1L)
+    }
+    // the rewrite must actually compact: fewer output files than input
+    val filesIn = out.map(_._3).sum
+    val bins = out.length.toLong
+    assert(bins < filesIn,
+      s"no compaction happened: $bins bins from $filesIn files")
+    // zero row loss vs the source table
+    val demoRows = graft.Tables.lineitem(spark, dir).count()
+    assert(out.map(_._5).sum === demoRows,
+      "compacted table lost or duplicated rows")
+    // the running-sum bin rule on real sizes: every bin except the
+    // last of its partition crossed the target boundary, so planned
+    // bytes >= target/2 (each input file is < target here)
+    out.groupBy(_._1).foreach { case (part, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.init.foreach { case (_, bin, _, bytesIn, _, _) =>
+        assert(bytesIn >= Layout.CompactTargetBytes / 2,
+          s"non-final bin ($part,$bin) holds only $bytesIn bytes")
+      }
+    }
+    // serve-twice determinism (both artifacts content-keyed)
+    val again = Layout.qLayoutCompactionApply(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(again.toSeq === out.toSeq,
+      "compaction apply is not serve-deterministic")
+  }
+
   test("z-order pruning holds at the 10x clone's real file counts") {
     val dir = sys.env.getOrElse("GRAFT_X10_DIR", "/tmp/graft_sf1")
     assume(new java.io.File(s"$dir/lineitem.parquet").exists(),

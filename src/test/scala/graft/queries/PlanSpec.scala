@@ -252,6 +252,35 @@ class PlanSpec extends SparkSpec {
       s"semantic dedup pair stage not an equi join:\n$ps")
   }
 
+  test("q_join_tpch_q3: both date predicates pushed, segment side broadcast, top-10 bounded") {
+    val df = Joins.qJoinTpchQ3(spark, sf("sf0.001"))
+    val p = finalPlan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
+      s"o_orderdate predicate not pushed into the orders scan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"l_shipdate predicate not pushed into the lineitem scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"segment-filtered customer side did not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 planned as a global sort, not per-partition heaps:\n$p")
+    assert(!p.contains("CartesianProduct"), s"Q3 went cartesian:\n$p")
+  }
+
+  test("q_join_tpch_q18: heavy-order set partial-aggregates map-side, top-100 bounded") {
+    val df = Joins.qJoinTpchQ18(spark, sf("sf0.001"))
+    val p = finalPlan(df)
+    // the HAVING subquery must plan as partial -> final hash agg (the
+    // map-side combine is what keeps the orderkey shuffle to partial
+    // rows, not raw lineitem)
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"lineitem quantity agg lost its partial phase:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 planned as a global sort, not per-partition heaps:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+      s"Q18 degenerated to a non-equi join:\n$p")
+  }
+
   test("q_join_tpch_q5: all four dimension sides broadcast; date predicate pushed") {
     val df = Joins.qJoinTpchQ5(spark, sf("sf0.001"))
     df.collect()

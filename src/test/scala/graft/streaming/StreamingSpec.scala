@@ -144,6 +144,72 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("windowed KLL quantiles: multi-batch stream equals batch in exact mode; rank error bounded") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    graft.expressions.KllOps.register(spark)
+    // 3 windows x 30 skewed values; split across three addData calls so
+    // incremental execution must merge KLL state across micro-batches.
+    // 30 < k=200 keeps every window in exact mode, where quantile
+    // VALUES are deterministic even though sketch BYTES need not be.
+    val rows = (0 until 90).map { i =>
+      (i.toLong, ts(i), ((i % 17) * (i % 17) * 100L + i))
+    }
+    val mem = MemoryStream[(Long, Timestamp, Long)]
+    def kllAgg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window($"ts", "30 minutes"))
+      .agg(expr("graft_kll_agg(v, 200)").as("sk"), count(lit(1)).as("n"))
+      .select($"window.start".as("w"),
+              expr("graft_kll_quantile(sk, 0.5D)").as("p50"),
+              expr("graft_kll_quantile(sk, 0.9D)").as("p90"),
+              expr("graft_kll_quantile(sk, 0.99D)").as("p99"), $"n")
+    val q = kllAgg(mem.toDF.toDF("event_id", "ts", "v"))
+      .writeStream.format("memory").queryName("kll_stream_out")
+      .outputMode(OutputMode.Complete).start()
+    rows.grouped(30).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val got = s.table("kll_stream_out").collect()
+      .map(r => r.getTimestamp(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val batch = kllAgg(rows.toDF("event_id", "ts", "v")).collect()
+      .map(r => r.getTimestamp(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet === batch.keySet)
+    assert(got.size === 3, s"fixture should span 3 windows: ${got.keySet}")
+    assert(got === batch,
+      "exact-mode incremental KLL quantiles diverged from the batch pass")
+
+    // the registered query: every fixture window sits under the k=200
+    // exact-mode bound (max 175 events/hour), so each served quantile
+    // must BE the exact INCLUSIVE order statistic — the smallest data
+    // value whose normalized rank >= the requested rank. (Past exact
+    // mode the guarantee relaxes to the ±1.65% rank window; the
+    // fixture pins the exact face, which subsumes it.)
+    val dir = sf("sf0.001")
+    val served = graft.queries.StreamingQ.qStreamQuantileKll(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(served.nonEmpty)
+    val values = graft.Tables.events(spark, dir)
+      .select(unix_timestamp(window(col("ts"), "1 hour")("start")).as("ws"),
+              expr("CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT)")
+                .as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (ws, xs) => ws -> xs.map(_._2).sorted }
+    served.foreach { case (ws, (p50, p90, p99, n)) =>
+      val sorted = values(ws)
+      assert(n === sorted.length.toLong)
+      assert(n <= 200L, s"window $ws left KLL exact mode — re-derive the pin")
+      Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99).foreach { case (rank, v) =>
+        val want = sorted(math.max(0, math.ceil(rank * sorted.length).toInt - 1))
+        assert(v === want,
+          s"window $ws: p$rank=$v != exact inclusive order statistic $want")
+      }
+    }
+  }
+
   test("watermark drops rows older than 10 minutes behind max event time") {
     val s = spark
     import s.implicits._

@@ -38,6 +38,31 @@ def main():
         print(f'MISMATCH: registry pin {pin} != SURVEY 2B rows {survey_rows}')
         ok = False
 
+    # oracle / rows-only split, derived from the LAST driver correctness
+    # record so prose can never drift again (round-14 judge item: the
+    # hand-counted "202/20" was actually 200/22). The driver writes one
+    # record per registered query; err == 'no_oracle' marks the
+    # rows-only-by-design faces.
+    import glob
+    import json
+    recs = sorted(glob.glob(os.path.join(ROOT, 'CORRECTNESS_r*.json')))
+    if recs:
+        rec = recs[-1]
+        d = json.load(open(rec))
+        n_total = len(d)
+        n_no_oracle = sum(1 for v in d.values() if v.get('err') == 'no_oracle')
+        n_pass = sum(1 for v in d.values() if v.get('hash_match') is True)
+        n_fail = n_total - n_no_oracle - n_pass
+        print(f'{os.path.basename(rec)}: {n_total} queries = '
+              f'{n_pass} hash-match + {n_no_oracle} rows-only'
+              + (f' + {n_fail} FAILING' if n_fail else ''))
+        if n_fail:
+            print('MISMATCH: failing correctness rows — fix before quoting')
+            ok = False
+        if n_total != pin:
+            print(f'NOTE: record has {n_total} queries vs pin {pin} — '
+                  'a stale record is expected mid-round, not at round close')
+
     if '--sbt-log' in sys.argv:
         log = open(sys.argv[sys.argv.index('--sbt-log') + 1]).read()
         # strip ANSI color codes sbt leaves in a captured log
