@@ -68,7 +68,15 @@ object Semantic {
   def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.VectorOps.register(s)
     graft.expressions.VecSum6.register(s)
+    // the corpus parquet is a handful of files -> 1-2 scan partitions,
+    // but the Lloyd assign is CPU-bound (k x 64-dim sqdist per row):
+    // spread it across the cluster first, the same tiny-shuffle/big-win
+    // trade minhashPairsOn records (at 100 TB the scan already has
+    // thousands of partitions and AQE leaves this a no-op coalesce).
+    // Measured at the 100x clone: without it the 200-cell assignment
+    // serialized on 2 cores (loadavg ~1 on a 32-core host).
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .repartition(s.sparkContext.defaultParallelism)
     val k = semDedupK(e.count())
     val cent = Llm.ivfLearnedCentroids(e, k = k)
     // one quantization + self-norm pass per vector, materialized once:
@@ -174,6 +182,10 @@ object Semantic {
     * discipline [[qDedupSemantic]]'s `base` checkpoint follows. */
   private def dsirBigrams(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      // same scan-partition spread as the SemDeDup face: the split +
+      // explode is CPU-bound and the corpus arrives in 1-2 parquet
+      // partitions at fixture/clone scale
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 2)
       .select(col("doc_id"), col("lang"), explode(expr(
