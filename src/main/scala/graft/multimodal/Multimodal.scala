@@ -494,11 +494,16 @@ object Multimodal {
             }
             (id, fmt, n.toLong, hashes.toArray, true)
           } else {
+            // stub hashes derive from the BYTES (never the id), the
+            // [[Resize.stubThumb]] discipline: byte-identical items
+            // must carry identical signatures so the dedup faces can
+            // group them even on the stub path
             val d = StubCodec.decode(bytes, fmt)
             val n = math.max(d.frames, 1)
             val stride = math.max(1, (n + maxFrames - 1) / maxFrames)
+            val h0 = fnv64(bytes, 0, bytes.length)
             val hashes = (0 until n by stride).map { fi =>
-              var z = (id * 0x9e3779b97f4a7c15L) + fi
+              var z = h0 + fi * 0x9e3779b97f4a7c15L
               z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
               z ^ (z >>> 27)
             }

@@ -1142,6 +1142,38 @@ object Llm {
     videoNearFrom(Multimodal.frameHashStage(s, media))
   }
 
+  /** Video DEDUP on the EXACT frame-hash signature — the byte-robust
+    * exact face next to [[qMmVideoNear]]'s fuzzy one, completing the
+    * per-modality dedup pair (image: phash exact + banded near;
+    * audio: envelope exact + spectrum near; video: THIS + shared-frame
+    * near): clips group when their ENTIRE sampled-frame signature
+    * matches — same payload frames in the same order — which catches
+    * re-muxed/metadata-edited copies whose container bytes differ
+    * (byte-md5 dedup cannot; MultimodalSpec proves it on a real
+    * BMFF re-mux fixture) while a single edited frame splits the
+    * group (that is the near face's job). Same hash-agg blocking as
+    * every dedup face: ~40 B signatures on the wire, never frames;
+    * output is the signature table (one row per distinct signature
+    * with population and doc range), n_items >= 2 rows being the dup
+    * groups. The stub path derives frame hashes from the item BYTES,
+    * so byte-identical items group even without real video — the
+    * [[qMmPhashDedup]] stub-parity discipline. Rows-only check (the
+    * BMFF walk is not SQL-expressible); fixtures + determinism pinned
+    * in MultimodalSpec. */
+  def qMmVideoDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.withMediaColumns(Tables.documents(s, dir))
+      .filter(col("format") === "mp4")
+    Multimodal.frameHashStage(s, media)
+      .groupBy(col("frame_hashes"), col("decoded"))
+      .agg(count(lit(1)).as("n_items"),
+           min(col("doc_id")).as("min_doc"),
+           max(col("doc_id")).as("max_doc"))
+      .select(xxhash64(col("frame_hashes").cast("string")).as("sig"),
+              col("decoded"), col("n_items"), col("min_doc"), col("max_doc"))
+      .orderBy("sig", "decoded", "min_doc")
+  }
+
   /** The shared-frame machinery of [[qMmVideoNear]] over any
     * (doc_id, frame_hashes, decoded) signature table — exposed so
     * MultimodalSpec can drive controlled clip fixtures through it. */
@@ -1537,6 +1569,7 @@ object Llm {
     "q_mm_resize" -> (qMmResize _),
     "q_mm_frame_sample" -> (qMmFrameSample _),
     "q_mm_video_near" -> (qMmVideoNear _),
+    "q_mm_video_dedup" -> (qMmVideoDedup _),
     "q_mm_audio_envelope" -> (qMmAudioEnvelope _),
     "q_mm_audio_spectrum" -> (qMmAudioSpectrum _),
     "q_mm_decode_stub" -> (qMmDecodeStub _),

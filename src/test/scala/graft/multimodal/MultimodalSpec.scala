@@ -672,6 +672,44 @@ class MultimodalSpec extends SparkSpec {
     assert(ha === hb)
   }
 
+  test("video dedup groups re-muxed containers and byte-identical stubs, splits frame edits") {
+    val s = spark
+    import s.implicits._
+    def frame(seed: Int): Array[Byte] =
+      Array.tabulate[Byte](48)(i => ((i * 13 + seed * 97) & 0xff).toByte)
+    val fs = Seq(frame(1), frame(2), frame(3))
+    val junkBytes = "definitely not a video".getBytes("UTF-8")
+    val media = Seq(
+      (0L, mp4WithFrames(fs), "mp4"),
+      (1L, mp4WithFrames(fs, junk = true), "mp4"), // re-mux: groups with 0
+      (2L, mp4WithFrames(fs.init :+ frame(9)), "mp4"), // edit: splits
+      (3L, junkBytes, "mp4"), // stub path
+      (4L, junkBytes.clone(), "mp4")) // byte-identical stub: groups with 3
+      .toDF("doc_id", "content", "format")
+    val hashed = Multimodal.frameHashStage(spark, media)
+    val groups = hashed
+      .groupBy(col("frame_hashes"), col("decoded"))
+      .agg(count(lit(1)).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect()
+      .map(r => (r.getAs[Boolean]("decoded"), r.getAs[Long]("n"),
+                 r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+    // re-muxed container groups with the original (real path)...
+    assert(groups.contains((true, 2L, 0L, 1L)), groups.mkString(", "))
+    // ...the frame edit stays its own group...
+    assert(groups.contains((true, 1L, 2L, 2L)))
+    // ...and byte-identical stubs group on the byte-derived signature
+    assert(groups.contains((false, 2L, 3L, 4L)))
+    // the registered query: deterministic, one row per distinct
+    // signature, populations sum to the mp4 item count
+    val dir = sf("sf0.001")
+    val q1 = graft.queries.Llm.qMmVideoDedup(spark, dir).collect()
+    val q2 = graft.queries.Llm.qMmVideoDedup(spark, dir).collect()
+    assert(q1.map(_.toString).toSeq === q2.map(_.toString).toSeq)
+    val nMp4 = Multimodal.withMediaColumns(graft.Tables.documents(spark, dir))
+      .filter(col("format") === "mp4").count()
+    assert(q1.map(_.getAs[Long]("n_items")).sum === nMp4)
+  }
+
   test("video near: hot template-frame bucket is capped and audited; under-cap pairing survives") {
     val s = spark
     import s.implicits._
