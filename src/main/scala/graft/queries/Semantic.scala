@@ -52,13 +52,14 @@ object Semantic {
     * [[Llm.qDedupEmbedCosine]]; embeddings never ride the pair join
     * (ids + 12-long signatures only).
     *
-    * Oracle note: the DuckDB twin states the k=8 Lloyd chain, which
-    * is EXACTLY what [[semDedupK]] yields for every fixture corpus
-    * (max 2000 vectors < 8001), and the fixture cells (≤ 2000
-    * members) sit far under the 4096 cap — so both guards are
-    * no-op-by-construction on the oracle path while binding on a real
-    * corpus; SemanticSpec drives an over-populated cell through the
-    * cap to prove the guard itself.
+    * Oracle note: the DuckDB twin derives its Lloyd seed count with
+    * the SAME `GREATEST(8, (n + 999) div 1000)` rule as [[semDedupK]]
+    * (a scalar subquery over embeddings — the k=8-hard-coded shared
+    * CTE diverged at the 10x clone, where 20k vectors derive k=20),
+    * so the clustering is oracle-exact at any scale; fixture cells
+    * sit far under the 4096 cap, so the cap is a no-op on the oracle
+    * path while binding on a real corpus — SemanticSpec drives an
+    * over-populated cell through the guard to prove it.
     *
     * Output: the KEPT vectors (vec_id, cid), i.e. each semantic
     * group's lowest-id representative plus all singletons. tau=0.35
@@ -300,10 +301,34 @@ object Semantic {
     "q_select_dsir_hashed" -> (qSelectDsirHashed _),
   )
 
+  /** The Lloyd CTE prefix with the SEED COUNT DERIVED exactly like
+    * [[semDedupK]] — `GREATEST(8, (n + 999) // 1000)` as a scalar
+    * subquery — so the oracle tracks the production knob at ANY
+    * corpus size (the k=8-hard-coded [[Llm.ivfLloydCtes]] diverged at
+    * the 10x clone, where 20k vectors derive k=20: round-15 3-scale
+    * gate catch). The assign/mean CTE bodies are k-agnostic (they
+    * join the centroid TABLE), so only c0 changes; dq is omitted
+    * (the semantic face never uses query distances). */
+  private lazy val semanticLloydCtes: String = {
+    val iters = (1 to 3).map(k =>
+      Llm.ivfAssignCte(k, s"c${k - 1}") + ",\n" +
+        Llm.ivfCentCte(k, s"c${k - 1}"))
+      .mkString(",\n")
+    s"""WITH kk AS (
+       |  SELECT GREATEST(8, (COUNT(*) + 999) // 1000) AS k FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS cid, i AS pos, CAST(embedding[i] AS DOUBLE) AS c
+       |  FROM embeddings, GENERATE_SERIES(1, 64) AS g0(i), kk
+       |  WHERE vec_id < kk.k),
+       |$iters,
+       |${Llm.ivfAssignCte(4, "c3")}""".stripMargin
+  }
+
   /** Shared DuckDB twin of the SemDeDup query: the learned-IVF Lloyd
-    * CTE prefix verbatim (so the clustering can never drift from the
-    * ANN faces), a4 MATERIALIZED because the pair stage references it
-    * three times (the round-12 CTE-inlining lesson).
+    * CTE prefix with the derived-k seed (so the clustering tracks
+    * [[semDedupK]] at any scale), a4 MATERIALIZED because the pair
+    * stage references it three times (the round-12 CTE-inlining
+    * lesson).
     *
     * The pair cosines use native `list_dot_product` over the
     * PRE-QUANTIZED integer-valued coordinate lists instead of the
@@ -320,7 +345,7 @@ object Semantic {
     * DOUBLE). Verified bit-identical to the exploded SUM(DECIMAL)
     * form at sf0.01 and the 10x clone. */
   private lazy val semanticSql: String =
-    s"""${Llm.ivfLloydCtes},
+    s"""$semanticLloydCtes,
        |a4m AS MATERIALIZED (SELECT vec_id, cid FROM a4),
        |qv AS MATERIALIZED (
        |  SELECT vec_id,

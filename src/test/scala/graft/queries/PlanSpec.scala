@@ -252,6 +252,23 @@ class PlanSpec extends SparkSpec {
       s"semantic dedup pair stage not an equi join:\n$ps")
   }
 
+  test("round-15 operators: hashed-DSIR broadcast, video join shapes, bounded compaction") {
+    // hashed DSIR: the CONSTANT-size bucketed ratio table must
+    // broadcast (that is the whole point of the face), bottom-100
+    // bounded
+    val pd = finalPlan(Semantic.qSelectDsirHashed(spark, sf("sf0.001")))
+    assert(pd.contains("BroadcastHashJoin"),
+      s"hashed-DSIR ratio table not broadcast:\n$pd")
+    assert(pd.contains("TakeOrderedAndProject"),
+      s"hashed-DSIR bottom-100 is a global sort:\n$pd")
+    // video near: the candidate stage is an equi join on the frame
+    // hash — never a cartesian / nested loop over clips
+    val pv = finalPlan(Llm.qMmVideoNear(spark, sf("sf0.001")))
+    assert(!pv.contains("CartesianProduct") &&
+             !pv.contains("BroadcastNestedLoopJoin"),
+      s"video near pair stage not an equi join:\n$pv")
+  }
+
   test("q_join_tpch_q3: both date predicates pushed, segment side broadcast, top-10 bounded") {
     val df = Joins.qJoinTpchQ3(spark, sf("sf0.001"))
     val p = finalPlan(df)
