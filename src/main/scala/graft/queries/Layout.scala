@@ -262,16 +262,20 @@ object Layout {
     * lakehouse OPTIMIZE implementation does). Files are ordered by
     * name within a partition — parquet part files sort by task
     * number, so "consecutive" matches write order. */
-  private[queries] def realManifest(tablePath: String): Seq[(Long, String, Long)] = {
-    val root = new java.io.File(tablePath)
-    root.listFiles().toSeq
-      .filter(d => d.isDirectory && d.getName.startsWith("part="))
+  private[queries] def realManifest(s: SparkSession,
+                                    tablePath: String): Seq[(Long, String, Long)] = {
+    // Hadoop FileSystem, not java.io.File: the same listing works
+    // against HDFS/S3A paths on a real cluster (where the 100 TB
+    // version reads the table format's manifest instead)
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(tablePath)).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("part="))
       .flatMap { d =>
-        val part = d.getName.stripPrefix("part=").toLong
-        d.listFiles().toSeq
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .sortBy(_.getName)
-          .map(f => (part, f.getName, f.length()))
+        val part = d.getPath.getName.stripPrefix("part=").toLong
+        fs.listStatus(d.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (part, f.getPath.getName, f.getLen))
       }
       .sortBy(m => (m._1, m._2))
   }
@@ -313,7 +317,7 @@ object Layout {
   def qLayoutCompactionApply(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val demo = compactDemoPath(s, dir)
-    val plan = planBins(realManifest(s"$demo/table"), CompactTargetBytes)
+    val plan = planBins(realManifest(s, s"$demo/table"), CompactTargetBytes)
     val planDf = plan.toDF("part", "fname", "size_bytes", "bin")
     val applied = graft.ArtifactStore.ensure(
       graft.ArtifactStore.cachePath("compact_applied",
@@ -332,14 +336,19 @@ object Layout {
         .write.partitionBy("part", "bin").mode("overwrite")
         .parquet(s"$tmp/table")
     }
-    val outFiles = new java.io.File(s"$applied/table").listFiles().toSeq
-      .filter(d => d.isDirectory && d.getName.startsWith("part="))
+    val fs = new org.apache.hadoop.fs.Path(s"$applied/table")
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val outFiles = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$applied/table")).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("part="))
       .flatMap { d =>
-        val part = d.getName.stripPrefix("part=").toLong
-        d.listFiles().toSeq.filter(_.getName.startsWith("bin="))
+        val part = d.getPath.getName.stripPrefix("part=").toLong
+        fs.listStatus(d.getPath).toSeq
+          .filter(_.getPath.getName.startsWith("bin="))
           .map { b =>
-            (part, b.getName.stripPrefix("bin=").toLong,
-             b.listFiles().count(f => f.getName.endsWith(".parquet")).toLong)
+            (part, b.getPath.getName.stripPrefix("bin=").toLong,
+             fs.listStatus(b.getPath)
+               .count(f => f.getPath.getName.endsWith(".parquet")).toLong)
           }
       }
     val outDf = outFiles.toDF("part", "bin", "n_files_out")

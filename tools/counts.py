@@ -84,7 +84,7 @@ def main():
         if '--update-readme' in sys.argv and ok:
             path = os.path.join(ROOT, 'README.md')
             readme = open(path).read()
-            new = re.sub(r'\d+ scalatests green across \d+\s+suites',
+            new = re.sub(r'\d+\s+scalatests green across \d+\s+suites',
                          f'{n_t} scalatests green across {n_s} suites',
                          readme)
             open(path, 'w').write(new)
