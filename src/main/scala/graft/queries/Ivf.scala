@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_list, count, expr, greatest, lit, max, sort_array, sqrt, struct}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, collect_list, count, expr, greatest, lit, max, row_number, sort_array, sqrt, struct}
 import graft.{ArtifactStore, Tables}
 
 /** IVF index PERSISTENCE — the train-once / probe-many lifecycle of a
@@ -464,7 +464,7 @@ object Ivf {
 
   /** The full saved index of the STANDING corpus (quantizer trained on
     * standing rows only) — the pre-merge state of the merge face. */
-  private[queries] def ensureStandingFull(s: SparkSession, dir: String): String = {
+  private[graft] def ensureStandingFull(s: SparkSession, dir: String): String = {
     val standing = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
       .filter(col("vec_id") % 10 =!= 9)
@@ -781,7 +781,66 @@ object Ivf {
       .orderBy("nprobe")
   }
 
+  /** One serving pass against a SAVED index: assign each query vector
+    * to its cell under the index's frozen quantizer (broadcast
+    * centroid array — a stateless narrow map), join the inverted
+    * lists on the cell id (partition-pruned read), exact-distance
+    * top-3 per query via the bounded-heap TopKPerKey rewrite. Shared
+    * by the batch contract query and StreamingSpec's per-micro-batch
+    * serve. */
+  private[graft] def serveBatch(s: SparkSession, indexPath: String,
+                                  queries: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = loadCentroids(s, indexPath)
+    val qasg = Llm.ivfAssign(
+        queries.select(col("qid").as("vec_id"), col("qemb").as("embedding")),
+        cent)
+      .select(col("vec_id").as("qid"), col("cid").as("qcid"),
+              col("embedding").as("qemb"))
+    val cand = loadLists(s, indexPath)
+      .join(qasg, col("cid") === col("qcid"))
+      .select(col("qid"), col("vec_id"),
+              expr("graft_sqdist12(embedding, qemb)").as("dist2"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("dist2").asc, col("vec_id").asc)
+    cand.select(col("qid"), col("vec_id"), col("dist2"),
+                row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("qid", "rn")
+  }
+
+  /** ONLINE SERVING — the production half of the build-once index
+    * lifecycle the maintenance verbs (train/save/append/delete/merge)
+    * prepare for: a stream of arriving query vectors (the mod-10
+    * delta slice, the same "new batch" the append face ingests) is
+    * answered against the SAVED standing index — per query, the
+    * exact-distance top-3 among the standing members of its assigned
+    * cell. Why this streams with ZERO state: assignment is a
+    * stateless per-row map against the broadcast frozen quantizer,
+    * the candidate stage is a stream-static join against the
+    * partition-pruned inverted lists, and each query is fully served
+    * within its arrival micro-batch (no cross-batch dependency) — so
+    * per-batch serving is value-identical to one batch pass, which is
+    * what keeps the face ORACLE-GATED (the append CTE prefix with a
+    * second standing-side assignment and a per-query ranked
+    * candidate sweep). StreamingSpec proves stream ≡ batch across 3
+    * forced micro-batch arrivals through a real readStream +
+    * foreachBatch pipeline against the same loaded index. At 100 TB
+    * this is the online retrieval tier: queries never scan the
+    * corpus, only their probed cells' lists. */
+  def qStreamAnnServe(s: SparkSession, dir: String): DataFrame = {
+    graft.expressions.VectorOps.register(s)
+    graft.expressions.VecSum6.register(s)
+    graft.plans.TopKPerKey.register(s)
+    val p = ensureStandingFull(s, dir)
+    val delta = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 10 === 9)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    serveBatch(s, p, delta)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_ann_serve" -> (qStreamAnnServe _),
     "q_sim_recall_eval" -> (qSimRecallEval _),
     "q_sim_ann_pq" -> (qSimAnnPq _),
     "q_sim_ann_ivfpq" -> (qSimAnnIvfPq _),
@@ -795,8 +854,40 @@ object Ivf {
     "q_sim_maxsim_pruned" -> (qSimMaxsimPruned _),
   )
 
+  /** The serving oracle: the append CTE prefix (standing-trained
+    * Lloyd), a SECOND final assignment for the standing members (a5),
+    * and a per-query ranked candidate sweep over same-cell pairs —
+    * exact at every quantization point like all the ivf oracles. */
+  private lazy val streamAnnServeSql: String = {
+    val standing = "e.vec_id % 10 <> 9"
+    val iters = (1 to 3).map(k =>
+      Llm.ivfAssignCte(k, s"c${k - 1}", standing) + ",\n" +
+        Llm.ivfCentCte(k, s"c${k - 1}"))
+      .mkString(",\n")
+    s"""WITH c0 AS (
+       |  SELECT vec_id AS cid, i AS pos, CAST(embedding[i] AS DOUBLE) AS c
+       |  FROM embeddings, GENERATE_SERIES(1, 64) AS g0(i) WHERE vec_id < 8),
+       |$iters,
+       |${Llm.ivfAssignCte(4, "c3", "e.vec_id % 10 = 9")},
+       |${Llm.ivfAssignCte(5, "c3", standing)},
+       |cd AS (
+       |  SELECT q.vec_id AS qid, m.vec_id,
+       |    CAST(SUM(CAST((CAST(me.embedding[i] AS DOUBLE) - CAST(qe.embedding[i] AS DOUBLE))
+       |      * (CAST(me.embedding[i] AS DOUBLE) - CAST(qe.embedding[i] AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS dist2
+       |  FROM a4 q, a5 m, embeddings qe, embeddings me,
+       |       GENERATE_SERIES(1, 64) AS gs(i)
+       |  WHERE m.cid = q.cid AND qe.vec_id = q.vec_id AND me.vec_id = m.vec_id
+       |  GROUP BY q.vec_id, m.vec_id)
+       |SELECT qid, vec_id, dist2, rn FROM (
+       |  SELECT qid, vec_id, dist2,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2 ASC, vec_id ASC) AS BIGINT) AS rn
+       |  FROM cd)
+       |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+  }
+
   /** Indexed face bit-identical to the learned face by construction. */
   val oracle: Map[String, String] = Map(
+    "q_stream_ann_serve" -> streamAnnServeSql,
     "q_sim_recall_eval" -> {
       def sweep(np: Int): String =
         s"""p$np AS (SELECT cid FROM qcells ORDER BY qd ASC, cid ASC LIMIT $np),

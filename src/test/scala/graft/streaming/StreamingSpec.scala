@@ -210,6 +210,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ANN serve: per-micro-batch serving against the saved index equals one batch pass") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    graft.expressions.VectorOps.register(spark)
+    graft.expressions.VecSum6.register(spark)
+    graft.plans.TopKPerKey.register(spark)
+    val dir = sf("sf0.001")
+    val p = graft.queries.Ivf.ensureStandingFull(spark, dir)
+    val delta = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 10 === 9)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    assert(delta.size >= 3, "need enough arriving queries for 3 batches")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val served = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long)]()
+    val q = mem.toDF.toDF("qid", "qemb")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // stateless serving: each arriving query is answered entirely
+        // within its micro-batch, against the SAME loaded index
+        served ++= graft.queries.Ivf.serveBatch(spark, p, batch)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        ()
+      }
+      .start()
+    delta.grouped(math.max(1, (delta.size + 2) / 3)).foreach { b =>
+      mem.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val batchRes = graft.queries.Ivf.qStreamAnnServe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(batchRes.nonEmpty)
+    assert(served.sortBy(x => (x._1, x._4)).toSeq ===
+             batchRes.sortBy(x => (x._1, x._4)).toSeq,
+      "micro-batch serving diverged from the one-shot batch pass")
+  }
+
   test("watermark drops rows older than 10 minutes behind max event time") {
     val s = spark
     import s.implicits._
