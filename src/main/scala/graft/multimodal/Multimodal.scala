@@ -412,6 +412,25 @@ object Multimodal {
     * pseudo frame count. One row PER SAMPLED FRAME (bounded by
     * maxFrames per item), computed where the bytes live — no shuffle,
     * no driver loop. */
+  /** The sampled-frame SELECTION shared by [[frameSample]] and
+    * [[frameHashStage]] — one place owns the mdat-walk dispatch and
+    * the evenly-strided index rule, so the frame-sample face and the
+    * video dedup/near signatures can never drift on WHICH frames they
+    * look at. `real` is Some(boxes) when the ISO-BMFF walk resolved
+    * (index with `sampled`), None on the stub path. */
+  private final case class FrameSel(nTotal: Int, sampled: Seq[Int],
+                                    real: Option[IndexedSeq[(Int, Int)]])
+  private def sampledFrames(bytes: Array[Byte], fmt: String,
+                            maxFrames: Int): FrameSel = {
+    val boxes = if (fmt == "mp4") mdatBoxes(bytes) else Nil
+    val n =
+      if (boxes.nonEmpty) boxes.length
+      else math.max(StubCodec.decode(bytes, fmt).frames, 1)
+    val stride = math.max(1, (n + maxFrames - 1) / maxFrames)
+    FrameSel(n, 0 until n by stride,
+             if (boxes.nonEmpty) Some(boxes.toIndexedSeq) else None)
+  }
+
   def frameSample(spark: SparkSession, media: DataFrame,
                   maxFrames: Int = 4, batchSize: Int = 64): DataFrame = {
     import spark.implicits._
@@ -422,27 +441,23 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.flatMap { case (id, bytes, fmt) =>
-          val real = if (fmt == "mp4") mdatBoxes(bytes) else Nil
-          if (real.nonEmpty) {
-            val n = real.length
-            val stride = math.max(1, (n + maxFrames - 1) / maxFrames)
-            (0 until n by stride).map { fi =>
-              val (off, len) = real(fi)
-              var sum = 0L
-              var p = off
-              while (p < off + len) { sum += (bytes(p) & 0xff); p += 1 }
-              (id, fmt, fi, n, len.toLong, sum, true)
-            }
-          } else {
-            val d = StubCodec.decode(bytes, fmt)
-            val n = math.max(d.frames, 1)
-            val stride = math.max(1, (n + maxFrames - 1) / maxFrames)
-            (0 until n by stride).map { fi =>
-              var z = (id * 0x9e3779b97f4a7c15L) + fi
-              z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-              val len = 32L + ((z ^ (z >>> 27)) & Long.MaxValue) % 4096L
-              (id, fmt, fi, n, len, len * 127L, false)
-            }
+          val sel = sampledFrames(bytes, fmt, maxFrames)
+          sel.real match {
+            case Some(boxes) =>
+              sel.sampled.map { fi =>
+                val (off, len) = boxes(fi)
+                var sum = 0L
+                var p = off
+                while (p < off + len) { sum += (bytes(p) & 0xff); p += 1 }
+                (id, fmt, fi, sel.nTotal, len.toLong, sum, true)
+              }
+            case None =>
+              sel.sampled.map { fi =>
+                var z = (id * 0x9e3779b97f4a7c15L) + fi
+                z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+                val len = 32L + ((z ^ (z >>> 27)) & Long.MaxValue) % 4096L
+                (id, fmt, fi, sel.nTotal, len, len * 127L, false)
+              }
           }
         }
       }
@@ -484,31 +499,27 @@ object Multimodal {
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { case (id, bytes, fmt) =>
-          val real = if (fmt == "mp4") mdatBoxes(bytes) else Nil
-          if (real.nonEmpty) {
-            val n = real.length
-            val stride = math.max(1, (n + maxFrames - 1) / maxFrames)
-            val hashes = (0 until n by stride).map { fi =>
-              val (off, len) = real(fi)
-              fnv64(bytes, off, len)
-            }
-            (id, fmt, n.toLong, hashes.toArray, true)
-          } else {
-            // stub hashes derive from the BYTES (never the id), the
-            // [[Resize.stubThumb]] discipline: byte-identical items
-            // must carry identical signatures so the dedup faces can
-            // group them even on the stub path
-            val d = StubCodec.decode(bytes, fmt)
-            val n = math.max(d.frames, 1)
-            val stride = math.max(1, (n + maxFrames - 1) / maxFrames)
-            val h0 = fnv64(bytes, 0, bytes.length)
-            val hashes = (0 until n by stride).map { fi =>
-              var z = h0 + fi * 0x9e3779b97f4a7c15L
-              z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-              z ^ (z >>> 27)
-            }
-            (id, fmt, n.toLong, hashes.toArray, false)
+          val sel = sampledFrames(bytes, fmt, maxFrames)
+          val hashes = sel.real match {
+            case Some(boxes) =>
+              sel.sampled.map { fi =>
+                val (off, len) = boxes(fi)
+                fnv64(bytes, off, len)
+              }
+            case None =>
+              // stub hashes derive from the BYTES (never the id), the
+              // [[Resize.stubThumb]] discipline: byte-identical items
+              // must carry identical signatures so the dedup faces can
+              // group them even on the stub path
+              val h0 = fnv64(bytes, 0, bytes.length)
+              sel.sampled.map { fi =>
+                var z = h0 + fi * 0x9e3779b97f4a7c15L
+                z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+                z ^ (z >>> 27)
+              }
           }
+          (id, fmt, sel.nTotal.toLong, hashes.toArray,
+           sel.real.isDefined)
         }
       }
     }.toDF("doc_id", "format", "n_frames_total", "frame_hashes", "decoded")

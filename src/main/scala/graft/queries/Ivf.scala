@@ -758,9 +758,13 @@ object Ivf {
       .orderBy(col("dist2").asc, col("vec_id").asc)
       .limit(10).select(col("vec_id").as("tid"))
     val asg = Llm.ivfAssign(e, cent).localCheckpoint(true)
-    val sweeps = Seq(1, 2, 4).map { np =>
-      Llm.ivfSearchCells(asg, q0, Llm.ivfQueryCells(q0, cent, np))
-        .select(lit(np.toLong).as("nprobe"), col("vec_id"))
+    // ONE sweep list feeds both the searches and the zero-row anchor
+    // frame below — a second hand-maintained copy would let a new
+    // nprobe's rows silently vanish through the frame's inner side
+    val nprobes = Seq(1L, 2L, 4L)
+    val sweeps = nprobes.map { np =>
+      Llm.ivfSearchCells(asg, q0, Llm.ivfQueryCells(q0, cent, np.toInt))
+        .select(lit(np).as("nprobe"), col("vec_id"))
     }.reduce(_ unionByName _)
     val hits = sweeps
       .join(broadcast(truth), col("vec_id") === col("tid"), "left_semi")
@@ -772,7 +776,7 @@ object Ivf {
     // query vector is its own nearest neighbor, so n_hit >= 1), but the
     // row contract should not depend on that invariant
     import s.implicits._
-    val frame = Seq(1L, 2L, 4L).toDF("nprobe")
+    val frame = nprobes.toDF("nprobe")
     frame.join(hits, Seq("nprobe"), "left")
       .select(col("nprobe"),
               coalesce(col("hits"), lit(0L)).as("n_hit"))

@@ -262,20 +262,34 @@ object Layout {
     * lakehouse OPTIMIZE implementation does). Files are ordered by
     * name within a partition — parquet part files sort by task
     * number, so "consecutive" matches write order. */
+  /** Hadoop FileSystem for a path — not java.io.File, so the same
+    * listings work against HDFS/S3A on a real cluster (where the
+    * 100 TB version reads the table format's manifest instead). */
+  private def hadoopFs(s: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** `<prefix>=<long>` partition subdirectories of `path` — the one
+    * listing rule shared by the manifest and the compacted-output
+    * walk, so the two can never drift on filters or naming. */
+  private def partDirs(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                       prefix: String): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(prefix + "="))
+      .map(d => (d.getPath.getName.stripPrefix(prefix + "=").toLong, d.getPath))
+
+  /** Parquet data files directly under a partition directory. */
+  private def parquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path) =
+    fs.listStatus(dir).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+
   private[queries] def realManifest(s: SparkSession,
                                     tablePath: String): Seq[(Long, String, Long)] = {
-    // Hadoop FileSystem, not java.io.File: the same listing works
-    // against HDFS/S3A paths on a real cluster (where the 100 TB
-    // version reads the table format's manifest instead)
-    val fs = new org.apache.hadoop.fs.Path(tablePath)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(tablePath)).toSeq
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith("part="))
-      .flatMap { d =>
-        val part = d.getPath.getName.stripPrefix("part=").toLong
-        fs.listStatus(d.getPath).toSeq
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(f => (part, f.getPath.getName, f.getLen))
+    val fs = hadoopFs(s, tablePath)
+    partDirs(fs, tablePath, "part")
+      .flatMap { case (part, d) =>
+        parquetFiles(fs, d).map(f => (part, f.getPath.getName, f.getLen))
       }
       .sortBy(m => (m._1, m._2))
   }
@@ -336,20 +350,12 @@ object Layout {
         .write.partitionBy("part", "bin").mode("overwrite")
         .parquet(s"$tmp/table")
     }
-    val fs = new org.apache.hadoop.fs.Path(s"$applied/table")
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val outFiles = fs
-      .listStatus(new org.apache.hadoop.fs.Path(s"$applied/table")).toSeq
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith("part="))
-      .flatMap { d =>
-        val part = d.getPath.getName.stripPrefix("part=").toLong
-        fs.listStatus(d.getPath).toSeq
-          .filter(_.getPath.getName.startsWith("bin="))
-          .map { b =>
-            (part, b.getPath.getName.stripPrefix("bin=").toLong,
-             fs.listStatus(b.getPath)
-               .count(f => f.getPath.getName.endsWith(".parquet")).toLong)
-          }
+    val fs = hadoopFs(s, s"$applied/table")
+    val outFiles = partDirs(fs, s"$applied/table", "part")
+      .flatMap { case (part, d) =>
+        partDirs(fs, d.toString, "bin").map { case (bin, b) =>
+          (part, bin, parquetFiles(fs, b).length.toLong)
+        }
       }
     val outDf = outFiles.toDF("part", "bin", "n_files_out")
     val rows = s.read.parquet(s"$applied/table")

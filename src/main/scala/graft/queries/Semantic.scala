@@ -76,9 +76,12 @@ object Semantic {
     // thousands of partitions and AQE leaves this a no-op coalesce).
     // Measured at the 100x clone: without it the 200-cell assignment
     // serialized on 2 cores (loadavg ~1 on a 32-core host).
+    // count the RAW table (parquet metadata count — no scan, no
+    // shuffle) BEFORE the repartition; counting the repartitioned
+    // projection would execute the vector shuffle just to get a Long
+    val k = semDedupK(Tables.embeddings(s, dir).count())
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       .repartition(s.sparkContext.defaultParallelism)
-    val k = semDedupK(e.count())
     val cent = Llm.ivfLearnedCentroids(e, k = k)
     // one quantization + self-norm pass per vector, materialized once:
     // the table feeds both pair sides and the final keep join (3 uses)

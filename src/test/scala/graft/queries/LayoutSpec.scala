@@ -196,14 +196,24 @@ class LayoutSpec extends SparkSpec {
     val demoRows = graft.Tables.lineitem(spark, dir).count()
     assert(out.map(_._5).sum === demoRows,
       "compacted table lost or duplicated rows")
-    // the running-sum bin rule on real sizes: every bin except the
-    // last of its partition crossed the target boundary, so planned
-    // bytes >= target/2 (each input file is < target here)
+    // the running-sum bin rule on real sizes — the property the rule
+    // actually guarantees (an individual non-final bin CAN be small if
+    // a boundary-crossing file orphans the next one): the cumulative
+    // bytes of all bins up to and including bin b reach b2 * target
+    // for the next planned bin b2, i.e. average bin fill >= target
+    // across every prefix
     out.groupBy(_._1).foreach { case (part, rows) =>
       val sorted = rows.sortBy(_._2)
-      sorted.init.foreach { case (_, bin, _, bytesIn, _, _) =>
-        assert(bytesIn >= Layout.CompactTargetBytes / 2,
-          s"non-final bin ($part,$bin) holds only $bytesIn bytes")
+      var cum = 0L
+      sorted.toSeq.sliding(2).foreach { pair =>
+        if (pair.length == 2) {
+          val bytesIn = pair(0)._4
+          val nextBin = pair(1)._2
+          cum += bytesIn
+          assert(cum >= nextBin * Layout.CompactTargetBytes,
+            s"partition $part: prefix $cum bytes cannot reach bin $nextBin " +
+              "under the running-sum rule")
+        }
       }
     }
     // serve-twice determinism (both artifacts content-keyed)
