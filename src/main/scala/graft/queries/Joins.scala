@@ -282,6 +282,42 @@ object Joins {
       .limit(100)
   }
 
+  /** TPC-H Q10 (returned-item reporting) — the fourth optimizer pin:
+    * top-20 customers by revenue lost to returned items in one
+    * quarter. The plan family beyond Q3/Q5/Q18: TWO selective
+    * predicates on DIFFERENT fact scans (the o_orderdate quarter into
+    * orders, the l_returnflag = 'R' equality into lineitem — each
+    * prunes its own row groups at 100 TB), a WIDE grouping key
+    * (custkey + three carried attributes), the nation dim broadcast,
+    * and the top-20 over ~customer-cardinality groups as
+    * TakeOrderedAndProject — all PlanSpec-pinned. Exact-decimal
+    * revenue, custkey tiebreak. */
+  def qJoinTpchQ10(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir)
+              .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+                      col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+              .select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+               col("n_name"))
+      .agg(round(sum((dec(col("l_extendedprice")) *
+               (dec(lit(1)) - dec(col("l_discount")))).cast(DecT)), 2)
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
   /** As-of join, direction = FORWARD (completing the pandas merge_asof
     * direction family: [[qJoinAsof]] backward, [[qJoinAsofNearest]]
     * nearest, this one forward): each purchase matches the same
@@ -471,6 +507,7 @@ object Joins {
     "q_join_asof_forward" -> (qJoinAsofForward _),
     "q_join_tpch_q5" -> (qJoinTpchQ5 _),
     "q_join_tpch_q3" -> (qJoinTpchQ3 _),
+    "q_join_tpch_q10" -> (qJoinTpchQ10 _),
     "q_join_tpch_q18" -> (qJoinTpchQ18 _),
     "q_join_interval" -> (qJoinInterval _),
   )
@@ -584,6 +621,23 @@ object Joins {
          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC, o_date_s ASC, l_orderkey ASC
          |LIMIT 10""".stripMargin
+    },
+    "q_join_tpch_q10" -> {
+      val discPrice =
+        s"CAST(${D.dec("l_extendedprice")} * (CAST(1 AS DECIMAL(18,6)) - ${D.dec("l_discount")}) AS DECIMAL(18,6))"
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  CAST(ROUND(SUM($discPrice), 2) AS DOUBLE) AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_lines
+         |FROM lineitem
+         |JOIN orders   ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation   ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate <  TIMESTAMP '1997-04-01'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey ASC
+         |LIMIT 20""".stripMargin
     },
     "q_join_tpch_q18" ->
       s"""WITH heavy AS (

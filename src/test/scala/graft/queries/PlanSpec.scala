@@ -283,6 +283,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"Q3 went cartesian:\n$p")
   }
 
+  test("q_join_tpch_q10: both fact filters pushed, nation broadcast, top-20 bounded") {
+    val df = Joins.qJoinTpchQ10(spark, sf("sf0.001"))
+    val p = finalPlan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"o_orderdate quarter not pushed into the orders scan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"),
+      s"l_returnflag predicate not pushed into the lineitem scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation dim did not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 planned as a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"Q10 went cartesian:\n$p")
+  }
+
   test("q_join_tpch_q18: heavy-order set partial-aggregates map-side, top-100 bounded") {
     val df = Joins.qJoinTpchQ18(spark, sf("sf0.001"))
     val p = finalPlan(df)

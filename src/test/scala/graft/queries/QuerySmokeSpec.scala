@@ -40,8 +40,8 @@ class QuerySmokeSpec extends SparkSpec {
     * accidental registration loss into a named red test. Bump the
     * constant when ADDING queries. */
   test("registry size is pinned (silent gate-shrink tripwire)") {
-    assert(SparkEntry.queries.size == 230,
-      s"expected 230 registered queries, got ${SparkEntry.queries.size} — " +
+    assert(SparkEntry.queries.size == 231,
+      s"expected 231 registered queries, got ${SparkEntry.queries.size} — " +
         "if you added queries, bump this pin; if not, something unregistered")
   }
 }
