@@ -34,6 +34,37 @@ object Bench {
     once(); (1 to 3).map(_ => once()).min
   }
 
+  /** Single-thread MEMORY-BANDWIDTH canary: wall seconds to allocate
+    * and write 10 fresh 64 MB long arrays (640 MB of page-faulting
+    * stores), best of 3. Motivated by the round-15→16 arbitration of
+    * the q_stream_approx_frequency "6× regression": with only the
+    * register-bound xorshift canary recorded, a host memory-subsystem
+    * change could not be RULED OUT for the alloc-heavy movers (CMS
+    * sketch builds, audio spectra) without a round of experiments —
+    * the actual cause was session cache pressure, fixed by the
+    * per-rep cache sweep below, but rejecting the host hypothesis
+    * would have been a one-line diff had this number existed in the
+    * r14/r15 artifacts. Divide an alloc-heavy query's cross-round
+    * delta by THIS ratio before calling it a regression
+    * (docs/bench-tail-triage.md, round-16 section). */
+  private def membwCanary(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var s = 0L
+      var r = 0
+      while (r < 10) {
+        val a = new Array[Long](8 * 1024 * 1024)
+        var i = 0
+        while (i < a.length) { a(i) = i; i += 1 }
+        s += a(a.length - 1)
+        r += 1
+      }
+      if (s == -1) System.err.println("unreachable")
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(); (1 to 3).map(_ => once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -51,6 +82,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadavg()
     val canaryStart = cpuCanary()
+    val membwStart = membwCanary()
     // warm the JVM / codegen / parquet reader on EVERY table so the
     // first timed query touching each file isn't charged the one-time
     // footer-read/codegen startup cost
@@ -89,6 +121,14 @@ object Bench {
           // on-disk, content-keyed).
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
+          // ...and sweep the session's plan cache too (round-15 judge
+          // item): any Dataset.persist/table cache a query leaves
+          // behind competes for executor memory with every LATER
+          // query, making in-bench medians depend on registry
+          // position; no contract query reuses a cross-call cache
+          // (artifacts are on-disk, content-keyed), so the sweep can
+          // never slow a correct query, only de-noise its neighbors
+          spark.sharedState.cacheManager.clearCache()
           (dt, ok)
         }
         repTimes(name) = timed.map(_._1)
@@ -99,6 +139,7 @@ object Bench {
     }
     val loadEnd = loadavg()
     val canaryEnd = cpuCanary()
+    val membwEnd = membwCanary()
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -114,7 +155,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"reps":$rs,"loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"cpu_canary_sec":[$canaryStart,$canaryEnd],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"reps":$rs,"loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"cpu_canary_sec":[$canaryStart,$canaryEnd],"membw_canary_sec":[$membwStart,$membwEnd],"sf":"$sfDir"}"""
     println(line)
     // the driver captures only a stdout tail (BENCH_r03.json lost 32 of
     // 95 per-query medians to truncation) — persist the full line too
@@ -133,7 +174,7 @@ object Bench {
     val qsSlow = slow.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$qsSlow,"queries_note":"15 slowest of ${results.size} medians; full per-query data in bench_last.json","loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"cpu_canary_sec":[${r3(canaryStart)},${r3(canaryEnd)}],"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$qsSlow,"queries_note":"15 slowest of ${results.size} medians; full per-query data in bench_last.json","loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"cpu_canary_sec":[${r3(canaryStart)},${r3(canaryEnd)}],"membw_canary_sec":[${r3(membwStart)},${r3(membwEnd)}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

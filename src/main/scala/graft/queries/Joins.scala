@@ -318,6 +318,97 @@ object Joins {
       .limit(20)
   }
 
+  /** TPC-H Q21 (suppliers who kept orders waiting) — the fifth
+    * optimizer pin, and the one plan family Q3/Q5/Q10/Q18 don't touch:
+    * DEPENDENT SEMI- AND ANTI-JOINS over a MULTI-REFERENCE fact. A
+    * finished-order lineitem is "late" when it shipped > 365 days
+    * after the order date (the fixture has no commit/receipt dates;
+    * the 365-day lag marks ~37% of finished-order lines, so both
+    * branches stay selective). The answer: per supplier of one
+    * nation, how many of its late lines sit in multi-supplier orders
+    * where it was the ONLY late supplier — EXISTS(other supplier on
+    * the order) AND NOT EXISTS(other LATE supplier on the order).
+    *
+    * Plan shape pinned by PlanSpec: the `lo` (lineitem⨝F-orders +
+    * late flag) stream is referenced three times (probe l1, semi l2,
+    * anti l3); the semi and anti plan as equi-joins ON l_orderkey
+    * with the suppkey inequality as a RESIDUAL condition — never a
+    * cartesian/nested-loop (the non-equi part must not become the
+    * join key); supplier and nation broadcast. At 100 TB: the nation
+    * filter shrinks l1 to ~1/25 of late lines BEFORE the semi/anti
+    * shuffles, all three references shuffle on the same l_orderkey
+    * key (one exchange family, AQE-reusable), and the non-equi
+    * residual evaluates per co-partitioned group — the all-pairs
+    * work is bounded by lines-per-order (≤13 in the fixture, ~7 in
+    * TPC-H), never corpus². Count is row-level (one per qualifying
+    * late line), matching the textbook EXISTS semantics. */
+  def qJoinTpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val lo = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(s, dir)
+              .filter(col("o_orderstatus") === "F")
+              .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+              (col("l_shipdate") >
+                col("o_orderdate") + expr("INTERVAL 365 DAYS")).as("late"))
+    // l1 narrows to the probed nation's suppliers FIRST — the semi and
+    // anti joins then run on the survivors, not the corpus
+    val l1 = lo.filter(col("late"))
+      .join(broadcast(Tables.supplier(s, dir)
+              .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)
+              .filter(col("n_name") === "NATION_18")
+              .select(col("n_nationkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+    val l2 = lo.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val l3 = lo.filter(col("late"))
+      .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    l1
+      .join(l2, col("l_orderkey") === col("ok2") &&
+                  col("l_suppkey") =!= col("sk2"), "left_semi")
+      .join(l3, col("l_orderkey") === col("ok3") &&
+                  col("l_suppkey") =!= col("sk3"), "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue) — the sixth optimizer
+    * pin: the CORRELATED SCALAR-AGG SUBQUERY family (revenue from
+    * lines whose quantity is below 20% of that part's average). The
+    * Spark side is written as the DECORRELATED plan the optimizer
+    * must reach — per-part sum/count aggregated ONCE (partial map-side,
+    * PlanSpec-pinned) and equi-joined back, never a per-row re-scan of
+    * lineitem — because the exactness discipline forbids the division
+    * the correlated form implies: `qty < 0.2·avg` is evaluated as the
+    * cross-multiplied `5·qty·cnt < sum` in exact DECIMAL (integer
+    * quantities, so the boundary is exact in both engines; a
+    * double `sum/cnt` could flip a tie ulp). The ORACLE stays the
+    * textbook correlated subquery (cross-multiplied inside), so the
+    * equivalence of the two formulations is what the hash check
+    * proves. Grouped by brand (25 groups) for a multi-row answer.
+    * At 100 TB: the per-part agg shuffles (partkey, partial) pairs
+    * only; the agg side is parts-cardinality (≪ lineitem) and AQE
+    * picks broadcast when it fits; part is broadcast by hint. */
+  def qJoinTpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val pavg = li.groupBy(col("l_partkey"))
+      .agg(dsumDec(col("l_quantity")).as("sq"), count(lit(1)).as("cq"))
+      .select(col("l_partkey").as("pk"), col("sq"), col("cq"))
+    li.join(pavg, col("l_partkey") === col("pk"))
+      .filter(dec(col("l_quantity")) * lit(5) * col("cq") < col("sq"))
+      .join(broadcast(Tables.part(s, dir)
+              .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
   /** As-of join, direction = FORWARD (completing the pandas merge_asof
     * direction family: [[qJoinAsof]] backward, [[qJoinAsofNearest]]
     * nearest, this one forward): each purchase matches the same
@@ -509,6 +600,8 @@ object Joins {
     "q_join_tpch_q3" -> (qJoinTpchQ3 _),
     "q_join_tpch_q10" -> (qJoinTpchQ10 _),
     "q_join_tpch_q18" -> (qJoinTpchQ18 _),
+    "q_join_tpch_q21" -> (qJoinTpchQ21 _),
+    "q_join_tpch_q17" -> (qJoinTpchQ17 _),
     "q_join_interval" -> (qJoinInterval _),
   )
 
@@ -653,6 +746,38 @@ object Joins {
          |JOIN customer ON o_custkey = c_custkey
          |ORDER BY o_totalprice DESC, o_orderkey ASC
          |LIMIT 100""".stripMargin,
+    "q_join_tpch_q21" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         (l_shipdate > o_orderdate + INTERVAL 365 DAY) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM lo l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_18' AND l1.late
+        |  AND EXISTS (SELECT 1 FROM lo l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lo l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |                AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 100""".stripMargin,
+    "q_join_tpch_q17" ->
+      s"""SELECT p_brand,
+         |  CAST(COUNT(*) AS BIGINT) AS n_small,
+         |  ${D.dsum("l1.l_extendedprice")} AS revenue
+         |FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+         |WHERE ${D.dec("l1.l_quantity")} * 5 * (
+         |    SELECT COUNT(*) FROM lineitem l2
+         |    WHERE l2.l_partkey = l1.l_partkey) < (
+         |    SELECT SUM(${D.dec("l2.l_quantity")}) FROM lineitem l2
+         |    WHERE l2.l_partkey = l1.l_partkey)
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin,
     "q_join_asof_forward" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS tsu,
         |  (SELECT MIN(epoch_us(v.ts)) FROM events v

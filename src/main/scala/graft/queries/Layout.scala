@@ -276,7 +276,15 @@ object Layout {
                        prefix: String): Seq[(Long, org.apache.hadoop.fs.Path)] =
     fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
       .filter(d => d.isDirectory && d.getPath.getName.startsWith(prefix + "="))
-      .map(d => (d.getPath.getName.stripPrefix(prefix + "=").toLong, d.getPath))
+      .map { d =>
+        val v = d.getPath.getName.stripPrefix(prefix + "=")
+        // a null-keyed write lands as __HIVE_DEFAULT_PARTITION__ — name
+        // the unexpected directory instead of a bare NumberFormatException
+        // on the driver (round-15 advice item)
+        require(v.nonEmpty && v.forall(_.isDigit),
+          s"non-numeric partition directory under $path: ${d.getPath.getName}")
+        (v.toLong, d.getPath)
+      }
 
   /** Parquet data files directly under a partition directory. */
   private def parquetFiles(fs: org.apache.hadoop.fs.FileSystem,

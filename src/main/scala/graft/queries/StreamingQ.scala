@@ -502,7 +502,23 @@ object StreamingQ {
       .orderBy("user_id", "valid_from_us", "event_id")
   }
 
+  /** Streaming AS-OF enrichment, batch face: each purchase enriched
+    * with the same user's latest strictly-prior view — delegates to
+    * the merge_asof backward plan (one per-user window pass; see
+    * [[Joins.qJoinAsof]]) because on bounded input the streaming and
+    * batch faces are CONTRACTED to agree row-for-row. The streaming
+    * implementation is [[graft.streaming.AsofEnrich]]: watermark-
+    * finalized temporal-nearest state (a purchase is emitted only
+    * once the watermark passes it, so a late prior view landing in a
+    * later micro-batch still wins; below-watermark views compact to
+    * one long per key). StreamingSpec pins multi-batch ≡ batch parity
+    * on exactly that late-arrival fixture, plus the bounded-state
+    * compaction. The oracle is the batch twin's correlated subquery. */
+  def qStreamAsof(s: SparkSession, dir: String): DataFrame =
+    Joins.qJoinAsof(s, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_asof" -> (qStreamAsof _),
     "q_stream_cdc_scd2" -> (qStreamCdcScd2 _),
     "q_stream_cdc_resolved" -> (qStreamCdcResolved _),
     "q_stream_cdc_upsert" -> (qStreamCdcUpsert _),
@@ -528,6 +544,16 @@ object StreamingQ {
   private val esSql = "CAST(FLOOR(EPOCH(ts)) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    // the as-of batch twin's oracle, verbatim from q_join_asof — the
+    // two entries are contracted to the same rows; the streaming face
+    // (AsofEnrich) is pinned against this batch plan in StreamingSpec
+    "q_stream_asof" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS tsu,
+        |  (SELECT MAX(epoch_us(v.ts)) FROM events v
+        |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |     AND epoch_us(v.ts) < epoch_us(p.ts)) AS prior_view_tsu
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
     // round 11: the batch face is pure integer arithmetic (epoch-µs
     // max, integer lookback, positive-value floor division), so it IS
     // oracle-checkable — only the streaming-observable late-row DROP

@@ -224,6 +224,76 @@ class LayoutSpec extends SparkSpec {
       "compaction apply is not serve-deterministic")
   }
 
+  test("compacting a z-ordered table preserves its file-skipping quality") {
+    // the interaction real OPTIMIZE implementations get wrong (round-15
+    // verdict item): bin-packing a CLUSTERED table must group
+    // consecutive-in-cluster-order files — name order IS z order under
+    // zorderWrite (range partitioner task numbering), the same rule
+    // realManifest documents — or the merged footer bounding boxes
+    // inflate to the whole key space and the layout silently loses its
+    // skipping. Pinned: (a) a consecutive-bin compaction never
+    // increases the number of files a narrow suppkey box overlaps and
+    // still skips files afterwards; (b) the same bin sizes grouped
+    // ACROSS the z order (the strided adversarial control) are no
+    // better than consecutive; (c) zero row loss.
+    val li = graft.Tables.lineitem(spark, sf("sf0.01"))
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val base = java.nio.file.Files.createTempDirectory("graft_zc").toString
+    Layout.zorderWrite(li, "l_partkey", "l_suppkey", s"$base/zorder", 16)
+    val files = new java.io.File(s"$base/zorder").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+
+    def compactInto(outDir: String, bins: Seq[Seq[String]]): Unit = {
+      new java.io.File(outDir).mkdirs()
+      bins.zipWithIndex.foreach { case (bin, i) =>
+        spark.read.parquet(bin: _*).coalesce(1)
+          .write.mode("overwrite").parquet(s"$base/tmp_bin")
+        val part = new java.io.File(s"$base/tmp_bin").listFiles
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(f"$outDir/bin-$i%05d.parquet")): Unit
+      }
+    }
+    compactInto(s"$base/consec", files.grouped(2).map(_.toSeq).toSeq)
+    // strided control: same bin count/sizes, files paired ACROSS z
+    val half = files.length / 2
+    compactInto(s"$base/strided",
+      (0 until half).map(i => Seq(files(i), files(i + half))))
+
+    def hits(dir: String): (Int, Int) = {
+      val rs = fileRanges(dir, "l_suppkey")
+      (rs.count { case (mn, mx) => mx >= 2L && mn <= 3L }, rs.size)
+    }
+    val (hPre, nPre) = hits(s"$base/zorder")
+    val (hCon, nCon) = hits(s"$base/consec")
+    val (hStr, _) = hits(s"$base/strided")
+    info(s"suppkey box [2,3]: pre $hPre/$nPre, consecutive $hCon/$nCon, " +
+      s"strided $hStr/$nCon")
+    assert(hPre < nPre, s"fixture must skip pre-compaction: $hPre/$nPre")
+    assert(hCon <= hPre,
+      s"consecutive compaction increased overlapping files: $hCon > $hPre")
+    assert(hCon < nCon,
+      s"compacted z-table lost ALL skipping: $hCon/$nCon")
+    assert(hStr >= hCon,
+      s"strided control out-skipped consecutive bins?! $hStr < $hCon")
+
+    // zero row loss, distributed signature (the zorderProof discipline)
+    def sig(dir: String): Seq[Any] =
+      spark.read.parquet(dir)
+        .agg(count(lit(1)), sum("l_orderkey"), sum("l_partkey"),
+             sum("l_suppkey"),
+             sum(abs(hash(col("l_orderkey"), col("l_partkey"),
+                          col("l_suppkey")).cast("long"))))
+        .collect()(0).toSeq
+    assert(sig(s"$base/zorder") == sig(s"$base/consec"),
+      "consecutive compaction lost or duplicated rows")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(base))
+  }
+
   test("z-order pruning holds at the 10x clone's real file counts") {
     val dir = sys.env.getOrElse("GRAFT_X10_DIR", "/tmp/graft_sf1")
     assume(new java.io.File(s"$dir/lineitem.parquet").exists(),

@@ -38,6 +38,19 @@ class OracleBoundsSpec extends SparkSpec {
       // 2048-char unroll: rolling fingerprint
       assert(maxChars <= 2048,
         s"doc length $maxChars exceeds the 2048-char fingerprint unroll")
+      // 512-bigram unroll: BOTH DSIR oracles (q_select_dsir and
+      // q_select_dsir_hashed) enumerate bigram positions 1..512 via
+      // GENERATE_SERIES while the Spark side enumerates ALL positions
+      // via sequence(1, size(tk)-1) — and DSIR splits on ' ' WITHOUT
+      // dropping empty tokens, so its bound is on the raw split size:
+      // <=513 split tokens per doc keeps positions <=512 (round-15
+      // advice item)
+      val maxSplit = docs
+        .agg(max(size(split(col("text"), " ")))).head().getInt(0)
+      info(s"$scale: max raw split tokens/doc=$maxSplit")
+      assert(maxSplit <= 513,
+        s"raw split token count $maxSplit exceeds the DSIR oracles' " +
+          "512-bigram GENERATE_SERIES unroll (needs <=513)")
       // 16-pair unroll per word: BPE adjacent-pair counting reads
       // positions 1..16 of the symbol list (i < len), i.e. words up to
       // 17 symbols are exact

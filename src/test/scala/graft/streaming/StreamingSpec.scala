@@ -306,6 +306,85 @@ class StreamingSpec extends SparkSpec {
     assert(out(2L) === ((1L, 7.0)), s"user 2 session wrong: $out")
   }
 
+  test("streaming as-of enrichment: late prior view wins, purchases finalize by watermark, matches the batch face") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[AsofEnrich.Ev]
+    val q = AsofEnrich.enrich(mem.toDS(), delay = "10 minutes")
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode(AsofEnrich.outputMode).start()
+
+    // batch 1: user 1's purchase arrives BEFORE the view that precedes
+    // it in event time; user 2 is in-order
+    mem.addData(AsofEnrich.Ev(1L, ts(20), 100L, "purchase"),
+                AsofEnrich.Ev(1L, ts(3), 101L, "view"),
+                AsofEnrich.Ev(2L, ts(2), 200L, "view"),
+                AsofEnrich.Ev(2L, ts(8), 201L, "purchase"))
+    q.processAllAvailable() // watermark after: 10:10
+    // batch 2: user 1's TRUE prior view (10:15 < 10:20) arrives a
+    // whole micro-batch late but inside the watermark — an impl that
+    // answered on arrival would already have emitted prior=10:03;
+    // the 10:25 view is not prior and must not win
+    mem.addData(AsofEnrich.Ev(1L, ts(15), 102L, "view"),
+                AsofEnrich.Ev(1L, ts(25), 103L, "view"))
+    q.processAllAvailable() // watermark after: 10:15
+    // batch 3: an even later prior view (10:19) is STILL legal (the
+    // watermark is 10:15 < 10:20, the purchase is not yet finalized)
+    // and must win; user 2's 10:04 view is behind the watermark ->
+    // dropped by Spark before the state fn (and user 2's purchase was
+    // already finalized when the watermark passed 10:08); the far
+    // sentinel purchase advances the watermark past 10:20
+    mem.addData(AsofEnrich.Ev(1L, ts(19), 104L, "view"),
+                AsofEnrich.Ev(2L, ts(4), 202L, "view"),
+                AsofEnrich.Ev(9L, ts(120), 900L, "purchase"))
+    q.processAllAvailable()
+    mem.addData(AsofEnrich.Ev(9L, ts(240), 901L, "purchase"))
+    q.processAllAvailable() // no-data/timeout batches finalize u1
+    q.stop()
+
+    def us(minute: Int): Long = ts(minute).getTime * 1000L
+    val got = s.table("asof_out").as[AsofEnrich.Enriched].collect()
+      .map(e => e.eventId -> ((e.userId, e.tsu, e.priorViewTsu))).toMap
+    assert(got(100L) === ((1L, us(20), Some(us(19)))),
+      s"the latest in-watermark prior view (10:19) must win: $got")
+    assert(got(201L) === ((2L, us(8), Some(us(2)))), s"u2 wrong: $got")
+    // sentinel 900 (12:00) finalizes once sentinel 901 pushes the
+    // watermark to 13:50, with no prior view; 901 itself stays OPEN
+    // (the watermark never passes 14:00) and must not be emitted —
+    // Append emitted exactly one row per finalized purchase
+    assert(got(900L) === ((9L, us(120), None)), s"sentinel wrong: $got")
+    assert(got.keySet === Set(100L, 201L, 900L), s"unexpected emissions: $got")
+
+    // batch-face parity on the surviving rows (everything except the
+    // watermark-dropped 10:04 view), restricted to finalized
+    // purchases: the same (event_id, user_id, tsu, prior) triples
+    val surviving = Seq(
+      (100L, 1L, ts(20), "purchase"), (101L, 1L, ts(3), "view"),
+      (200L, 2L, ts(2), "view"), (201L, 2L, ts(8), "purchase"),
+      (102L, 1L, ts(15), "view"), (103L, 1L, ts(25), "view"),
+      (104L, 1L, ts(19), "view"),
+      (900L, 9L, ts(120), "purchase"), (901L, 9L, ts(240), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tsu")
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val batch = surviving
+      .select($"event_id", $"user_id", $"event_type",
+              unix_micros($"ts").as("tsu"))
+      .withColumn("prior_view_tsu",
+        max(when($"event_type" === "view", $"tsu")).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"tsu", $"prior_view_tsu")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    got.foreach { case (id, row) =>
+      assert(batch(id) === row,
+        s"stream/batch divergence on finalized purchase $id")
+    }
+  }
+
   test("readStream -> window agg -> parquet file sink with checkpoint") {
     val s = spark
     import s.implicits._

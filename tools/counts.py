@@ -45,7 +45,11 @@ def main():
     # rows-only-by-design faces.
     import glob
     import json
-    recs = sorted(glob.glob(os.path.join(ROOT, 'CORRECTNESS_r*.json')))
+    # sort by the NUMERIC round suffix, not lexicographically — a
+    # lexicographic sort breaks at r100 or on any unpadded record
+    # (round-15 advice item)
+    recs = sorted(glob.glob(os.path.join(ROOT, 'CORRECTNESS_r*.json')),
+                  key=lambda p: int(re.search(r'_r(\d+)', p).group(1)))
     if recs:
         rec = recs[-1]
         d = json.load(open(rec))
@@ -60,8 +64,18 @@ def main():
             print('MISMATCH: failing correctness rows — fix before quoting')
             ok = False
         if n_total != pin:
-            print(f'NOTE: record has {n_total} queries vs pin {pin} — '
-                  'a stale record is expected mid-round, not at round close')
+            # mid-round a stale record is expected (the driver writes it
+            # at round START); at round CLOSE a count mismatch means the
+            # quoted split would silently come from last round's record —
+            # pass --at-close to make that a hard failure (round-15
+            # advice item: the r15 close quoted r14's 222-query record)
+            msg = (f'record has {n_total} queries vs pin {pin} — '
+                   'a stale record is expected mid-round, not at round close')
+            if '--at-close' in sys.argv:
+                print(f'MISMATCH: {msg}')
+                ok = False
+            else:
+                print(f'NOTE: {msg}')
 
     if '--sbt-log' in sys.argv:
         log = open(sys.argv[sys.argv.index('--sbt-log') + 1]).read()

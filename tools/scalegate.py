@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Recorded 100x scale gate (round-15 verdict item: promote the 100x
+probes from ad-hoc triage to a per-round artifact).
+
+Runs graft.ScaleProbe over the DATA-PROPORTIONAL faces — the bench
+head plus every banded/recount family whose cost is claimed
+flat-or-linear — on the 10x and 100x corpus clones, computes each
+query's 10->100x scaling exponent log(t100/t10)/log(10) from the
+min-of-reps times, prints a markdown table (paste into
+docs/bench-tail-triage.md), and FAILS (exit 1) if any exponent
+exceeds --max-exp. A super-linear newcomer now trips this gate
+instead of waiting for judge triage.
+
+Usage:
+  python3 tools/scalegate.py [--reps 2] [--max-exp 1.2]
+      [--queries q1,q2,...] [--small /tmp/graft_sf1]
+      [--big /tmp/graft_sf10] [--out scalegate_last.json]
+
+Clones are built with tools/scale10.py (10x: sf0.1 -> /tmp/graft_sf1;
+100x: /tmp/graft_sf1 -> /tmp/graft_sf10). min-of-reps is used (not
+median) because the clone runs share one JVM and the first rep eats
+codegen; with reps=2 the min is the warmed time.
+"""
+import argparse
+import json
+import math
+import os
+import re
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The data-proportional default set: every family whose 100 TB story
+# is "bucketed/banded/capped, never all-pairs" plus the bench head.
+# Faces with intentionally super-linear exact semantics (brute-force
+# all-pairs baselines like q_sim_knn_all / q_sim_cosine_topk, the
+# declared cross join) are NOT gated — their scale path is the ANN /
+# banded variant that IS.
+DEFAULT_QUERIES = [
+    'q_dedup_semantic',          # SemDeDup: derived-k Lloyd + capped pair join
+    'q_select_dsir_hashed',      # DSIR: constant-size broadcast by construction
+    'q_dedup_minhash_lsh',       # banded LSH, hot-bucket caps
+    'q_dedup_minhash_banded',
+    'q_dedup_clusters_converged',  # fixpoint CC over the banded pair store
+    'q_mm_audio_near',           # banded spectrum join (ids-only pair stage)
+    'q_mm_phash_near',           # banded Hamming join
+    'q_mm_video_near',           # strided frame-hash bands
+    'q_text_fingerprint_fast',   # winnowing recount
+    'q_text_contamination_bloom',  # Bloom sidecar probe
+    'q_text_tfidf',              # corpus-linear explode + vocab agg
+    'q_stream_approx_frequency',  # windowed CMS (the round-15 mover)
+    'q_agg_heavy_hitters',       # Misra-Gries recount
+    'q_sort_percentile_exact',   # distributed exact percentile
+    'q_graph_pagerank',          # bounded-round iterate
+]
+
+
+def run_probe(reps, queries, dirs):
+    cmd = ['sbt', '-batch',
+           f"runMain graft.ScaleProbe {reps} {','.join(queries)} "
+           + ' '.join(dirs)]
+    env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get(
+        'SPARK_GRAFT_CPUS', '32'))
+    p = subprocess.run(cmd, cwd=ROOT, env=env, capture_output=True,
+                       text=True)
+    lines = [l for l in p.stdout.splitlines()
+             if l.startswith('{"query":')]
+    if p.returncode != 0 and not lines:
+        sys.stderr.write(p.stdout[-4000:] + p.stderr[-2000:])
+        sys.exit(f'ScaleProbe failed (rc={p.returncode})')
+    return [json.loads(l) for l in lines]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--reps', type=int, default=2)
+    ap.add_argument('--max-exp', type=float, default=1.2)
+    ap.add_argument('--queries', default=','.join(DEFAULT_QUERIES))
+    ap.add_argument('--small', default='/tmp/graft_sf1')
+    ap.add_argument('--big', default='/tmp/graft_sf10')
+    ap.add_argument('--out', default=os.path.join(ROOT, 'scalegate_last.json'))
+    args = ap.parse_args()
+
+    for d in (args.small, args.big):
+        if not os.path.isdir(d):
+            sys.exit(f'{d} missing — build clones with tools/scale10.py '
+                     '(sf0.1 -> 10x -> 100x) before gating')
+    queries = args.queries.split(',')
+    recs = run_probe(args.reps, queries, [args.small, args.big])
+    by = {}
+    for r in recs:
+        by.setdefault(r['query'], {})[r['dir']] = r
+
+    scale = 10.0  # big/small corpus ratio (both clones step by 10x)
+    rows, worst, failed = [], (None, -1.0), []
+    for q in queries:
+        small, big = by.get(q, {}).get(args.small), by.get(q, {}).get(args.big)
+        if not small or not big:
+            failed.append((q, 'missing probe output (crashed?)'))
+            continue
+        exp = math.log(big['min'] / small['min']) / math.log(scale)
+        rows.append((q, small['min'], big['min'], exp,
+                     small['rows'], big['rows']))
+        if exp > worst[1]:
+            worst = (q, exp)
+        if exp > args.max_exp:
+            failed.append((q, f'exponent {exp:.2f} > {args.max_exp}'))
+
+    print('| query | 10x min (s) | 100x min (s) | exp 10->100x | rows 10x/100x |')
+    print('|---|---|---|---|---|')
+    for q, t1, t2, e, r1, r2 in rows:
+        print(f'| `{q}` | {t1:.2f} | {t2:.2f} | {e:.2f} | {r1}/{r2} |')
+    json.dump({'max_exp': args.max_exp, 'reps': args.reps,
+               'rows': [dict(query=q, t_small=t1, t_big=t2, exp=round(e, 3),
+                             rows_small=r1, rows_big=r2)
+                        for q, t1, t2, e, r1, r2 in rows],
+               'failed': [list(f) for f in failed]},
+              open(args.out, 'w'), indent=1)
+    print(f'\nworst exponent: {worst[0]} {worst[1]:.2f}; '
+          f'record: {args.out}')
+    if failed:
+        for q, why in failed:
+            print(f'GATE FAIL {q}: {why}')
+        sys.exit(1)
+    print(f'GATE OK: all {len(rows)} exponents <= {args.max_exp}')
+
+
+if __name__ == '__main__':
+    main()
