@@ -438,37 +438,117 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  /** Shared contamination pair core, EXACT-DUP-COLLAPSED (round-16
+    * scale-gate catch: the first recorded 10→100x run measured the old
+    * doc-level mh0 blocking at exponent 1.50 — the clone replicates
+    * texts verbatim, so every exact-duplicate cluster made the
+    * candidate join quadratic in corpus size; a real crawl's
+    * boilerplate does the same). The fix is what production pipelines
+    * do: canonicalize EXACT duplicates before any pairwise work —
+    * J(e,t) depends only on the two TEXTS, so grouping each side by
+    * text, verifying once per distinct (text_e, text_t) pair, and
+    * re-expanding the counts afterward is RESULT-IDENTICAL (the
+    * oracle stays the plain doc-level semantics) while the pair stage
+    * becomes quadratic only in DISTINCT texts. Signatures, gram
+    * counts, and the Bloom gate all compute once per distinct text.
+    * The [[MaxBandBucket]] cap guards the residual hazard (a hot mh0
+    * bucket of DISTINCT near-dup texts — real boilerplate): over-cap
+    * buckets skip the join, [[contaminationOverCapBuckets]] audits
+    * them, and at every oracle-checked scale the distinct-text
+    * buckets sit far under the cap, so the checked answers are the
+    * uncapped exact ones. Group/expansion keys are the raw text (an
+    * exact key; at petabyte scale you'd fingerprint it first).
+    * Returns verified DISTINCT-TEXT pairs: (text_e, ne, e_min,
+    * text_t, nt, t_min, jaccard). */
+  private[queries] def contaminationPairs(s: SparkSession, dir: String,
+                                          bloomGate: Boolean,
+                                          maxBucket: Int = MaxBandBucket): DataFrame = {
+    graft.expressions.ShingleOps.register(s)
+    val docs = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
+    def side(isEval: Boolean): DataFrame = {
+      val f = if (isEval) col("doc_id") % 5 === 0 else col("doc_id") % 5 =!= 0
+      val (n, m) = if (isEval) ("ne", "e_min") else ("nt", "t_min")
+      docs.filter(f).groupBy("text")
+        .agg(count(lit(1)).as(n), min(col("doc_id")).as(m))
+        .select(col("text"), col(n), col(m),
+                expr("graft_minhash_sig(text)").getField("mh0").as("mh0"),
+                expr("graft_cgram_count(text, 4)").as("cg"))
+    }
+    val evalG = side(isEval = true)
+      .select(col("text").as("text_e"), col("ne"), col("e_min"),
+              col("mh0"), col("cg").as("ce"))
+    val trainAll = side(isEval = false)
+    val trainGated =
+      if (!bloomGate) trainAll
+      else {
+        val bloomFile = ensureEvalBloom(s, dir)
+        trainAll
+          .withColumn("hits", expr(s"graft_bloom_hits(text, 4, '$bloomFile')"))
+          .filter(col("hits") * 3 >= col("cg"))
+          .drop("hits")
+      }
+    val train = trainGated
+      .select(col("text").as("text_t"), col("nt"), col("t_min"),
+              col("mh0").as("nh0"), col("cg").as("ct"))
+    // hot-bucket cap on the COMBINED distinct-text population per mh0
+    // (the minhashPairsOn skip-and-account shape; e_b x t_b pairs per
+    // bucket are bounded by cap^2 by construction)
+    val okBuckets = evalG.select(col("mh0"))
+      .unionByName(train.select(col("nh0").as("mh0")))
+      .groupBy("mh0").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket)
+      .select(col("mh0"))
+    evalG.join(okBuckets, "mh0")
+      .join(train, col("mh0") === col("nh0"))
+      .select(col("text_e"), col("ne"), col("e_min"),
+              col("text_t"), col("nt"), col("t_min"), col("ce"), col("ct"),
+              expr("graft_cgram_common(text_e, text_t, 4)").as("nc"))
+      .select(col("text_e"), col("ne"), col("e_min"),
+              col("text_t"), col("nt"), col("t_min"),
+              (col("nc").cast("double") / (col("ce") + col("ct") - col("nc")))
+                .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** Dropped-mass audit for [[contaminationPairs]]' bucket cap: one
+    * row per over-cap mh0 bucket with its population — the SAME
+    * measure the cap gates on (distinct texts per side, summed over
+    * the two sides), from the same tiny agg (the lshOverCapBuckets
+    * shape). */
+  private[queries] def contaminationOverCapBuckets(
+      s: SparkSession, dir: String,
+      maxBucket: Int = MaxBandBucket): DataFrame = {
+    graft.expressions.ShingleOps.register(s)
+    Tables.documents(s, dir)
+      .select((col("doc_id") % 5 === 0).as("is_eval"), col("text"))
+      .distinct()
+      .select(expr("graft_minhash_sig(text)").getField("mh0").as("mh0"))
+      .groupBy("mh0").agg(count(lit(1)).as("bucket_texts"))
+      .filter(col("bucket_texts") > maxBucket)
+      .orderBy("mh0")
+  }
+
   /** Train/eval decontamination: eval docs (doc_id % 5 = 0) that are
     * NEAR-duplicates of any train doc — candidates blocked on a shared
     * min-hash (mh0), verified by exact char-4-gram Jaccard >= 0.5.
     * Reports each contaminated eval doc with its closest train source.
     * The canonical pre-training hygiene op: exact-hash overlap misses
-    * light edits; n-gram overlap is the standard check. */
+    * light edits; n-gram overlap is the standard check. Pairwise work
+    * runs on DISTINCT texts ([[contaminationPairs]]) and re-expands:
+    * an eval doc's n_sources is the sum of its matched train groups'
+    * sizes, first_source the min over their min ids. */
   def qTextContamination(s: SparkSession, dir: String): DataFrame = {
-    graft.expressions.ShingleOps.register(s)
-    val docs = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("text"),
-              expr("graft_minhash_sig(text)").getField("mh0").as("mh0"),
-              expr("graft_cgram_count(text, 4)").as("cg"))
-    val eval0 = docs.filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id").as("eval_id"), col("mh0"),
-              col("text").as("text_e"), col("cg").as("ce"))
-    val train = docs.filter(col("doc_id") % 5 =!= 0)
-      .select(col("doc_id").as("train_id"), col("mh0").as("nh0"),
-              col("text").as("text_t"), col("cg").as("ct"))
-    eval0.join(train, col("mh0") === col("nh0"))
-      .select(col("eval_id"), col("train_id"),
-              expr("graft_cgram_common(text_e, text_t, 4)").as("nc"),
-              col("ce"), col("ct"))
-      .select(col("eval_id"), col("train_id"),
-              (col("nc").cast("double") / (col("ce") + col("ct") - col("nc")))
-                .as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-      .groupBy("eval_id")
-      .agg(count(lit(1)).as("n_sources"),
-           min(col("train_id")).as("first_source"),
+    val repAgg = contaminationPairs(s, dir, bloomGate = false)
+      .groupBy("text_e")
+      .agg(sum(col("nt")).as("n_sources"),
+           min(col("t_min")).as("first_source"),
            max(col("jaccard")).as("max_jaccard"))
+    Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("eval_id"), col("text").as("text_e"))
+      .join(repAgg, "text_e")
+      .select(col("eval_id"), col("n_sources"), col("first_source"),
+              col("max_jaccard"))
       .orderBy("eval_id")
   }
 
@@ -527,40 +607,25 @@ object Llm {
     * survives; false positives only admit candidates the exact
     * confirm kills. The oracle therefore states plain exact
     * semantics. At 100 TB: the sidecar is a few MB of bits loaded
-    * once per executor, the gate runs inside the scan's codegen
-    * stage, and only gated docs' signatures enter the shuffle.
+    * once per executor, the gate probes once per DISTINCT train text
+    * (the [[contaminationPairs]] collapse), and only gated texts
+    * enter the pair shuffle.
     * Honest caveat: on the SYNTHETIC testdata the eval slice's 4-gram
     * union saturates the tiny shared vocabulary, so the gate keeps
     * ~everything there (BloomSpec proves the prune on a
     * divergent-vocabulary fixture instead — the real-corpus regime,
     * where eval suites are a sliver of the crawl's n-gram space). */
   def qTextContaminationBloom(s: SparkSession, dir: String): DataFrame = {
-    val bloomFile = ensureEvalBloom(s, dir)
-    val docs = Tables.documents(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
-    val train = docs.filter(col("doc_id") % 5 =!= 0)
-      .select(col("doc_id").as("train_id"), col("text").as("text_t"),
-              expr("graft_minhash_sig(text)").getField("mh0").as("nh0"),
-              expr("graft_cgram_count(text, 4)").as("ct"),
-              expr(s"graft_bloom_hits(text, 4, '$bloomFile')").as("hits"))
-      .filter(col("hits") * 3 >= col("ct"))
-    val eval0 = docs.filter(col("doc_id") % 5 === 0)
-      .select(col("doc_id").as("eval_id"),
-              expr("graft_minhash_sig(text)").getField("mh0").as("mh0"),
-              col("text").as("text_e"),
-              expr("graft_cgram_count(text, 4)").as("ce"))
-    eval0.join(train, col("mh0") === col("nh0"))
-      .select(col("eval_id"), col("train_id"),
-              expr("graft_cgram_common(text_e, text_t, 4)").as("nc"),
-              col("ce"), col("ct"))
-      .select(col("eval_id"), col("train_id"),
-              (col("nc").cast("double") / (col("ce") + col("ct") - col("nc")))
-                .as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-      .groupBy("train_id")
-      .agg(count(lit(1)).as("n_eval_hits"),
-           min(col("eval_id")).as("first_eval"),
+    val repAgg = contaminationPairs(s, dir, bloomGate = true)
+      .groupBy("text_t")
+      .agg(sum(col("ne")).as("n_eval_hits"),
+           min(col("e_min")).as("first_eval"),
            max(col("jaccard")).as("max_jaccard"))
+    Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("train_id"), col("text").as("text_t"))
+      .join(repAgg, "text_t")
+      .select(col("train_id"), col("n_eval_hits"), col("first_eval"),
+              col("max_jaccard"))
       .orderBy("train_id")
   }
 

@@ -153,4 +153,26 @@ class BloomSpec extends SparkSpec {
     assert(undercounts === 0L,
       s"$undercounts train docs report fewer bloom hits than true eval overlap")
   }
+
+  test("contamination hot-bucket cap skips over-cap buckets and the audit accounts them") {
+    // round-16 scale-gate catch: the doc-level mh0 blocking was
+    // quadratic under exact-duplicate clusters (10->100x exponent
+    // 1.50). The collapsed core is result-identical (the lossless
+    // test above pins that) and carries the minhashPairsOn-style cap;
+    // this pins the cap's skip-and-account behavior plus that the
+    // default cap NEVER binds at oracle-checked scales (so the checked
+    // answers are the uncapped exact ones).
+    val uncapped = Llm.contaminationPairs(spark, dir, bloomGate = false)
+      .count()
+    assert(uncapped > 0L)
+    val capped = Llm.contaminationPairs(spark, dir, bloomGate = false,
+      maxBucket = 1).count()
+    val audit = Llm.contaminationOverCapBuckets(spark, dir, maxBucket = 1)
+      .count()
+    assert(capped < uncapped,
+      s"cap=1 skipped nothing: $capped vs $uncapped pairs")
+    assert(audit > 0L, "cap=1 dropped pairs but the audit reports no buckets")
+    assert(Llm.contaminationOverCapBuckets(spark, dir).count() === 0L,
+      "default cap binds at sf0.01 — oracle-checked answers would be capped")
+  }
 }
