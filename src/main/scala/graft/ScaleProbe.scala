@@ -42,6 +42,11 @@ object ScaleProbe {
           val dt = (System.nanoTime() - t0) / 1e9
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
+          // ...and the session plan cache (the Bench discipline from
+          // the round-16 arbitration): 15 queries x N dirs share this
+          // JVM, and a neighbor's leftover cache would inflate a min
+          // time into a spurious exponent
+          spark.sharedState.cacheManager.clearCache()
           (dt, n)
         }
         val sorted = times.map(_._1).sorted

@@ -14,14 +14,17 @@ import org.apache.spark.sql.functions._
 object Demo {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val distributed = args.lift(1).contains("distributed")
+    // both mode flags are position-independent (args(0) stays the data
+    // dir): "Demo <dir> order distributed" and "Demo <dir> distributed
+    // order" must mean the same probe
+    val distributed = args.drop(1).contains("distributed")
     // "order" mode: factorize (orderkey x suppkey) instead of
     // (partkey x suppkey) — the ORDER domain is what the scale clones
     // actually grow (scale10.py shifts l_orderkey per copy; part/supp
     // ids replicate), so this is the mode that gives a real
     // cells-grow-10x sampler probe (round-15 verdict item: measure
     // the per-sweep cost exponent at the clone, not argue it)
-    val orderMode = args.contains("order")
+    val orderMode = args.drop(1).contains("order")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", "4")

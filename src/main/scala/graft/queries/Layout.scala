@@ -280,8 +280,10 @@ object Layout {
         val v = d.getPath.getName.stripPrefix(prefix + "=")
         // a null-keyed write lands as __HIVE_DEFAULT_PARTITION__ — name
         // the unexpected directory instead of a bare NumberFormatException
-        // on the driver (round-15 advice item)
-        require(v.nonEmpty && v.forall(_.isDigit),
+        // on the driver (round-15 advice item). Accept any long-ranged
+        // integer (negative keys parse; <=18 digits cannot overflow
+        // Long, so toLong below is total)
+        require(v.matches("-?\\d{1,18}"),
           s"non-numeric partition directory under $path: ${d.getPath.getName}")
         (v.toLong, d.getPath)
       }

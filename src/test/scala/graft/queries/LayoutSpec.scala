@@ -255,10 +255,14 @@ class LayoutSpec extends SparkSpec {
       }
     }
     compactInto(s"$base/consec", files.grouped(2).map(_.toSeq).toSeq)
-    // strided control: same bin count/sizes, files paired ACROSS z
+    // adversarial control with the SAME bin-size multiset for any file
+    // count (grouped(2) = floor(n/2) pairs + a singleton iff n is odd;
+    // mirror pairing produces exactly the same): pair first-with-last
+    // — the most z-DISTANT files — middle file solo when n is odd
     val half = files.length / 2
     compactInto(s"$base/strided",
-      (0 until half).map(i => Seq(files(i), files(i + half))))
+      (0 until half).map(i => Seq(files(i), files(files.length - 1 - i))) ++
+        (if (files.length % 2 == 1) Seq(Seq(files(half))) else Nil))
 
     def hits(dir: String): (Int, Int) = {
       val rs = fileRanges(dir, "l_suppkey")

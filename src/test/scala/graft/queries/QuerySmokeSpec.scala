@@ -40,8 +40,9 @@ class QuerySmokeSpec extends SparkSpec {
     * accidental registration loss into a named red test. Bump the
     * constant when ADDING queries. */
   test("registry size is pinned (silent gate-shrink tripwire)") {
-    assert(SparkEntry.queries.size == 234,
-      s"expected 231 registered queries, got ${SparkEntry.queries.size} — " +
+    val pin = 234
+    assert(SparkEntry.queries.size == pin,
+      s"expected $pin registered queries, got ${SparkEntry.queries.size} — " +
         "if you added queries, bump this pin; if not, something unregistered")
   }
 }

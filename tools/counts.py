@@ -28,7 +28,9 @@ def main():
     ok = True
     smoke = open(os.path.join(
         ROOT, 'src/test/scala/graft/queries/QuerySmokeSpec.scala')).read()
-    pin = int(re.search(r'queries\.size == (\d+)', smoke).group(1))
+    m = re.search(r'queries\.size == (\d+)', smoke) or \
+        re.search(r'val pin = (\d+)', smoke)
+    pin = int(m.group(1))
     survey = open(os.path.join(ROOT, 'SURVEY.md')).read()
     survey_rows = len(set(re.findall(r'^\| `(q_[a-z0-9_]+)` \|',
                                      survey, re.M)))
@@ -45,11 +47,26 @@ def main():
     # rows-only-by-design faces.
     import glob
     import json
+    # --verify-out DIR: derive the oracle/rows-only split from THIS
+    # round's own Verify dump (oracle_sql.json holds exactly the
+    # oracle-gated keys) — the machine source for close-time prose,
+    # since the driver's CORRECTNESS_r{N} for the closing round is
+    # only written AFTER the round (round-16 review finding: the r16
+    # close would otherwise quote a hand-derived 208/26)
+    if '--verify-out' in sys.argv:
+        vout = sys.argv[sys.argv.index('--verify-out') + 1]
+        oracle_keys = json.load(open(os.path.join(vout, 'oracle_sql.json')))
+        n_or = len(oracle_keys)
+        print(f'verify dump {vout}: {pin} queries = '
+              f'{n_or} oracle-gated + {pin - n_or} rows-only')
     # sort by the NUMERIC round suffix, not lexicographically — a
     # lexicographic sort breaks at r100 or on any unpadded record
     # (round-15 advice item)
     recs = sorted(glob.glob(os.path.join(ROOT, 'CORRECTNESS_r*.json')),
                   key=lambda p: int(re.search(r'_r(\d+)', p).group(1)))
+    if not recs and '--at-close' in sys.argv:
+        print('MISMATCH: no CORRECTNESS_r*.json record found at close')
+        ok = False
     if recs:
         rec = recs[-1]
         d = json.load(open(rec))
@@ -71,7 +88,9 @@ def main():
             # advice item: the r15 close quoted r14's 222-query record)
             msg = (f'record has {n_total} queries vs pin {pin} — '
                    'a stale record is expected mid-round, not at round close')
-            if '--at-close' in sys.argv:
+            if '--at-close' in sys.argv and '--verify-out' not in sys.argv:
+                # without a fresh dump to quote from, the stale record
+                # would silently become the quoted split
                 print(f'MISMATCH: {msg}')
                 ok = False
             else:

@@ -25,7 +25,6 @@ import argparse
 import json
 import math
 import os
-import re
 import subprocess
 import sys
 
@@ -48,8 +47,12 @@ DEFAULT_QUERIES = [
     'q_mm_video_near',           # strided frame-hash bands
     'q_text_fingerprint_fast',   # winnowing recount
     'q_text_contamination_bloom',  # Bloom sidecar probe
+    'q_text_contamination',      # same blocking, no gate (r16 fix twin)
     'q_text_tfidf',              # corpus-linear explode + vocab agg
     'q_stream_approx_frequency',  # windowed CMS (the round-15 mover)
+    'q_stream_asof',             # per-user window pass (r16 addition)
+    'q_join_tpch_q21',           # dependent semi/anti over the fact (r16)
+    'q_join_tpch_q17',           # per-part agg + equi-join back (r16)
     'q_agg_heavy_hitters',       # Misra-Gries recount
     'q_sort_percentile_exact',   # distributed exact percentile
     'q_graph_pagerank',          # bounded-round iterate
@@ -117,8 +120,9 @@ def main():
                         for q, t1, t2, e, r1, r2 in rows],
                'failed': [list(f) for f in failed]},
               open(args.out, 'w'), indent=1)
-    print(f'\nworst exponent: {worst[0]} {worst[1]:.2f}; '
-          f'record: {args.out}')
+    if worst[0] is not None:
+        print(f'\nworst exponent: {worst[0]} {worst[1]:.2f}; '
+              f'record: {args.out}')
     if failed:
         for q, why in failed:
             print(f'GATE FAIL {q}: {why}')
