@@ -65,6 +65,37 @@ object Bench {
     once(); (1 to 3).map(_ => once()).min
   }
 
+  /** ALL-CORES memory-bandwidth canary: wall seconds for 32 threads
+    * to each allocate+write 4x 64 MB long arrays concurrently, best
+    * of 2. Round-16 follow-up to the single-thread canary: six
+    * full-bench runs on one afternoon degraded 106 -> 130 s while the
+    * single-thread CPU AND membw canaries stayed flat — a co-tenant
+    * on the physical host was eating PARALLEL memory bandwidth, which
+    * no single-thread probe can see. Divide cross-round totals by the
+    * ratio of THIS number before reading anything into them. */
+  private def membwParCanary(): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val threads = (1 to 32).map { t =>
+        new Thread(() => {
+          var s = 0L
+          var r = 0
+          while (r < 4) {
+            val a = new Array[Long](8 * 1024 * 1024)
+            var i = 0
+            while (i < a.length) { a(i) = i; i += 1 }
+            s += a(a.length - 1)
+            r += 1
+          }
+          if (s == -1) System.err.println("unreachable")
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(); (1 to 2).map(_ => once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -83,6 +114,7 @@ object Bench {
     val loadStart = loadavg()
     val canaryStart = cpuCanary()
     val membwStart = membwCanary()
+    val membwParStart = membwParCanary()
     // warm the JVM / codegen / parquet reader on EVERY table so the
     // first timed query touching each file isn't charged the one-time
     // footer-read/codegen startup cost
@@ -140,6 +172,7 @@ object Bench {
     val loadEnd = loadavg()
     val canaryEnd = cpuCanary()
     val membwEnd = membwCanary()
+    val membwParEnd = membwParCanary()
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -155,7 +188,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"reps":$rs,"loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"cpu_canary_sec":[$canaryStart,$canaryEnd],"membw_canary_sec":[$membwStart,$membwEnd],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"reps":$rs,"loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"cpu_canary_sec":[$canaryStart,$canaryEnd],"membw_canary_sec":[$membwStart,$membwEnd],"membw_par_canary_sec":[$membwParStart,$membwParEnd],"sf":"$sfDir"}"""
     println(line)
     // the driver captures only a stdout tail (BENCH_r03.json lost 32 of
     // 95 per-query medians to truncation) — persist the full line too
@@ -174,7 +207,7 @@ object Bench {
     val qsSlow = slow.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$qsSlow,"queries_note":"15 slowest of ${results.size} medians; full per-query data in bench_last.json","loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"cpu_canary_sec":[${r3(canaryStart)},${r3(canaryEnd)}],"membw_canary_sec":[${r3(membwStart)},${r3(membwEnd)}],"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$qsSlow,"queries_note":"15 slowest of ${results.size} medians; full per-query data in bench_last.json","loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"cpu_canary_sec":[${r3(canaryStart)},${r3(canaryEnd)}],"membw_canary_sec":[${r3(membwStart)},${r3(membwEnd)}],"membw_par_canary_sec":[${r3(membwParStart)},${r3(membwParEnd)}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }
