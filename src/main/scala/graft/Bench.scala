@@ -73,10 +73,18 @@ object Bench {
     * on the physical host was eating PARALLEL memory bandwidth, which
     * no single-thread probe can see. Divide cross-round totals by the
     * ratio of THIS number before reading anything into them. */
+  /** Thread count for [[membwParCanary]] — sized to the host (round-16
+    * advice item: a hardcoded 32 on a smaller host measures scheduler
+    * contention, not parallel bandwidth) and recorded in the emitted
+    * JSON so cross-round canary ratios are only compared like-for-like. */
+  private val membwParThreads: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
+
   private def membwParCanary(): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
-      val threads = (1 to 32).map { t =>
+      val threads = (1 to membwParThreads).map { t =>
         new Thread(() => {
           var s = 0L
           var r = 0
@@ -132,7 +140,14 @@ object Bench {
     // (a crash could otherwise make the bench look faster)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val repTimes = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    val results: Seq[(String, Double)] = SparkEntry.queries.toSeq.flatMap {
+    // iterate the registry in SORTED key order: in-bench medians are
+    // documented to depend on registry position (session cache
+    // pressure — docs/bench-tail-triage.md), so a Map-order iteration
+    // makes cross-round per-query diffs compare different neighbor
+    // sets whenever the registry grows. Sorting pins the order; expect
+    // a one-time reshuffle of per-query numbers the round this landed.
+    val results: Seq[(String, Double)] = SparkEntry.queries.toSeq
+      .sortBy(_._1).flatMap {
       case (name, fn) =>
         val timed = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
@@ -188,7 +203,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"reps":$rs,"loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"cpu_canary_sec":[$canaryStart,$canaryEnd],"membw_canary_sec":[$membwStart,$membwEnd],"membw_par_canary_sec":[$membwParStart,$membwParEnd],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"reps":$rs,"loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"cpu_canary_sec":[$canaryStart,$canaryEnd],"membw_canary_sec":[$membwStart,$membwEnd],"membw_par_canary_sec":[$membwParStart,$membwParEnd],"membw_par_threads":$membwParThreads,"sf":"$sfDir"}"""
     println(line)
     // the driver captures only a stdout tail (BENCH_r03.json lost 32 of
     // 95 per-query medians to truncation) — persist the full line too
@@ -207,7 +222,7 @@ object Bench {
     val qsSlow = slow.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$qsSlow,"queries_note":"15 slowest of ${results.size} medians; full per-query data in bench_last.json","loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"cpu_canary_sec":[${r3(canaryStart)},${r3(canaryEnd)}],"membw_canary_sec":[${r3(membwStart)},${r3(membwEnd)}],"membw_par_canary_sec":[${r3(membwParStart)},${r3(membwParEnd)}],"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"queries":$qsSlow,"queries_note":"15 slowest of ${results.size} medians; full per-query data in bench_last.json","loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"cpu_canary_sec":[${r3(canaryStart)},${r3(canaryEnd)}],"membw_canary_sec":[${r3(membwStart)},${r3(membwEnd)}],"membw_par_canary_sec":[${r3(membwParStart)},${r3(membwParEnd)}],"membw_par_threads":$membwParThreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,7 +30,12 @@ object Graph {
     * partial-agg sum + damped update — shared by the fixed-3 oracle
     * face and [[pagerankConverged]] so the two can never drift. */
   private def prStep(edges: DataFrame, deg: DataFrame, nodes: DataFrame,
-                     rank: DataFrame): DataFrame = {
+                     rank: DataFrame, unit: Long = 1000000L): DataFrame = {
+    // damping 0.85 expressed in the rank unit: base = 0.15*unit,
+    // damp = 0.85*unit (exact for every unit divisible by 100 — ppm
+    // for the fixed-3 face, centi-rank for the orbit-converged one)
+    val base = 15L * unit / 100L
+    val damp = 85L * unit / 100L
     val contrib = edges
       .join(rank, col("src") === col("node"))
       .join(deg, "src")
@@ -46,8 +51,8 @@ object Graph {
       .agg(sum(col("c").cast("decimal(38,0)")).as("inc"))
     nodes.join(contrib, col("node") === col("dst"), "left")
       .select(col("node"),
-        expr("150000L + (850000L * coalesce(inc, CAST(0 AS DECIMAL(38,0))))" +
-          " div 1000000L").as("rank_ppm"))
+        expr(s"${base}L + (${damp}L * coalesce(inc, CAST(0 AS DECIMAL(38,0))))" +
+          s" div ${unit}L").as("rank_ppm"))
   }
 
   /** Per-invocation counter folded into Observation names — the
@@ -112,6 +117,106 @@ object Graph {
       rank = next
     }
     (rank.orderBy("node"), iters)
+  }
+
+  /** Rank unit and round backstop for [[qGraphPagerankConverged]] —
+    * CONTRACT constants (the oracle unrolls exactly [[PrRounds]] CTE
+    * rounds at unit [[PrUnit]]), not engine knobs. Centi-rank (start
+    * 100, floor 15) rather than ppm because the orbit-settle round is
+    * governed by log_{1/0.85}(initial delta): at ppm resolution the
+    * bipartite graph needs 73-98 rounds to enter its exact 2-cycle
+    * (measured at sf0.001/sf0.01/sf0.1), at centi resolution 6-12 —
+    * the only knob that turns an O(100)-round loop into an O(10)-round
+    * one without touching the damping semantics. PrRounds must stay
+    * EVEN: the backstop case must land on the same cycle phase as the
+    * oracle's unroll (see [[pagerankOrbitConverged]]). */
+  private[queries] val PrUnit = 100L
+  private[queries] val PrRounds = 24
+
+  /** PageRank iterated until the rank vector enters its exact
+    * period-2 orbit — r_t == r_{t-2} — or the `maxIters` backstop.
+    *
+    * Why orbit detection and not delta tolerance: on a BIPARTITE
+    * graph the walk operator has eigenvalue -1, so the damped
+    * iteration contracts onto a persistent 2-CYCLE, not a fixpoint —
+    * the per-step delta settles to a nonzero constant (measured 123 /
+    * 13 / 70 ppm at the three gate scales) and a tol=0 loop would
+    * always run its full backstop. r_t == r_{t-2} is the true
+    * stationary condition (period 1, the classic fixpoint, satisfies
+    * it too) and it is EXACT — no float epsilon, bit-stable.
+    *
+    * Oracle contract (the kcore/LPA no-op trick, phase-aware): once
+    * r_t == r_{t-2}, every later state alternates r_{t-2}, r_{t-1},
+    * ... — so an oracle that unrolls exactly N rounds equals the
+    * engine iff the engine stops on an iteration of N's PARITY. The
+    * loop therefore only stops when the orbit is detected AND
+    * (N - t) is even (detection persists, so at worst one extra
+    * iteration aligns the phase); the backstop case runs exactly N
+    * on both sides. Same one-action-per-round discipline as
+    * [[pagerankConverged]]: the orbit metric rides the eager
+    * checkpoint's Observation, lineage through Lineage.truncate.
+    * Returns (ranks ordered by node, iterations run). */
+  private[queries] def pagerankOrbitConverged(
+      edges0: DataFrame, srcCol: String, dstCol: String,
+      unit: Long = PrUnit, maxIters: Int = PrRounds): (DataFrame, Int) = {
+    require(maxIters % 2 == 0, "maxIters must be even (cycle phase)")
+    val inv = invocations.incrementAndGet()
+    val edges = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var prev2: DataFrame = null // r_{t-2}; null until two states exist
+    var prev = nodes.withColumn("rank_ppm", lit(unit))
+      .localCheckpoint(true)
+    var iters = 0
+    var stop = false
+    while (!stop && iters < maxIters) {
+      iters += 1
+      val stepped = prStep(edges, deg, nodes, prev, unit)
+      var d2 = Long.MaxValue
+      val next =
+        if (prev2 == null) graft.Lineage.truncate(stepped)
+        else {
+          val obs = Observation(s"pro_${inv}_iter_$iters")
+          val n = graft.Lineage.truncate(
+            stepped
+              .join(prev2.select(col("node").as("p2node"),
+                                 col("rank_ppm").as("p2")),
+                    col("node") === col("p2node"))
+              .observe(obs, coalesce(max(abs(col("rank_ppm") - col("p2"))),
+                                     lit(0L)).as("d2"))
+              .select(col("node"), col("rank_ppm")))
+          d2 = obs.get("d2").asInstanceOf[Long]
+          n
+        }
+      stop = d2 == 0L && (maxIters - iters) % 2 == 0
+      prev2 = prev
+      prev = next
+    }
+    (prev.orderBy("node"), iters)
+  }
+
+  /** PageRank run to its exact stationary orbit on the bipartite
+    * customer↔supplier graph (same substrate as [[qGraphPagerank]] /
+    * [[qGraphKcoreConverged]]) in centi-rank units — the converged
+    * face next to the fixed-3-iteration one, completing the converged
+    * family (CC, k-core, LPA all ship theirs). Output rank column is
+    * `rank_cu` (centi-units) so the two faces' schemas can't be
+    * confused. GraphSpec pins observed rounds strictly below the
+    * [[PrRounds]] backstop at the gate scales. */
+  def qGraphPagerankConverged(s: SparkSession, dir: String): DataFrame = {
+    val ed = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = ed.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(ed.select(col("b").as("src"), col("a").as("dst")))
+    pagerankOrbitConverged(edges, "src", "dst")._1
+      .select(col("node"), col("rank_ppm").as("rank_cu"))
+      .orderBy("node")
   }
 
   def qGraphPagerank(s: SparkSession, dir: String): DataFrame = {
@@ -570,6 +675,7 @@ object Graph {
     "q_graph_bfs" -> (qGraphBfs _),
     "q_graph_communities" -> (qGraphCommunities _),
     "q_graph_pagerank" -> (qGraphPagerank _),
+    "q_graph_pagerank_converged" -> (qGraphPagerankConverged _),
     "q_graph_triangles" -> (qGraphTriangles _),
   )
 
@@ -705,7 +811,47 @@ object Graph {
   }
   private lazy val kcoreSql: String = kcoreSqlN(3)
 
+  /** [[qGraphPagerankConverged]]'s oracle: exactly [[PrRounds]]
+    * unrolled damped-walk rounds at unit [[PrUnit]] over the bipartite
+    * graph — exact vs the engine's orbit-stopped loop because the
+    * engine only stops on an iteration of PrRounds' parity once the
+    * state is in its period-2 orbit (post-orbit rounds alternate the
+    * same two states), and the backstop case runs PrRounds on both
+    * sides. MATERIALIZED per the 10x rule — and because a 24-deep
+    * inlined round expression would otherwise explode the plan. */
+  private lazy val pagerankConvergedSql: String = {
+    val base = 15L * PrUnit / 100L
+    val damp = 85L * PrUnit / 100L
+    def iter(n: Int): String =
+      s"""c$n AS MATERIALIZED (
+         |  SELECT e.dst AS node, SUM(r${n - 1}.rank_ppm // d.deg) AS inc
+         |  FROM edges e
+         |  JOIN r${n - 1} ON r${n - 1}.node = e.src
+         |  JOIN deg d ON d.node = e.src
+         |  GROUP BY e.dst),
+         |r$n AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |    $base + ($damp * COALESCE(c$n.inc, 0)) // $PrUnit AS rank_ppm
+         |  FROM nodes LEFT JOIN c$n ON nodes.node = c$n.node)""".stripMargin
+    val rounds = (1 to PrRounds).map(iter).mkString(",\n")
+    s"""WITH ed AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM ed
+       |  UNION ALL
+       |  SELECT b AS src, a AS dst FROM ed),
+       |deg AS MATERIALIZED (
+       |  SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+       |r0 AS MATERIALIZED (SELECT node, $PrUnit AS rank_ppm FROM nodes),
+       |$rounds
+       |SELECT node, CAST(rank_ppm AS BIGINT) AS rank_cu
+       |FROM r$PrRounds ORDER BY node""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_graph_pagerank_converged" -> pagerankConvergedSql,
     "q_graph_link_predict" ->
       s"""WITH e AS (
          |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sp

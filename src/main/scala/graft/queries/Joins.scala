@@ -409,6 +409,68 @@ object Joins {
       .orderBy(col("p_brand"))
   }
 
+  /** TPC-H Q2 (region-minimum-cost supplier) — the seventh optimizer
+    * pin: the CORRELATED MIN SUBQUERY OVER A MULTI-DIM JOIN family
+    * (for each qualifying part, the supplier(s) in one region whose
+    * offer matches the region's minimum cost for that part). The
+    * fixture has no partsupp table, so the supply-offer relation is
+    * derived — min(l_extendedprice) per (part, supplier) — which
+    * keeps the decorrelation shape intact while adding a second
+    * level: the correlated subquery ranges over an AGGREGATE, not a
+    * base table. The Spark side is the decorrelated plan the
+    * optimizer must reach: ONE lineitem pass builds the offer
+    * aggregate; the supplier→nation→region dim chain broadcasts into
+    * it; the per-part region minimum is a second aggregate over the
+    * (already offer-sized) result joined back on (partkey, cost) —
+    * never a per-part re-scan of lineitem. The regional offer set
+    * feeds two consumers (the min and the equality join), so it is
+    * materialized once (localCheckpoint; persist on a cluster). The
+    * ORACLE stays the textbook correlated form — `cost = (SELECT
+    * MIN ...)` re-correlated per part — so the hash check proves the
+    * two formulations equivalent. Cost equality is EXACT: min picks a
+    * stored double, both engines compare identical bit patterns — no
+    * derived arithmetic crosses the comparison. Deterministic output:
+    * (p_partkey, s_name) is unique per row (one offer per pair), so
+    * ORDER BY it makes the LIMIT 100 hash-stable. */
+  def qJoinTpchQ2(s: SparkSession, dir: String): DataFrame = {
+    val rsup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+              .join(broadcast(Tables.region(s, dir)
+                      .filter(col("r_name") === "EUROPE")
+                      .select(col("r_regionkey"))),
+                    col("n_regionkey") === col("r_regionkey"))
+              .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val pf = Tables.part(s, dir)
+      .filter(col("p_type") === "STANDARD" && col("p_size") >= 25)
+      .select(col("p_partkey"), col("p_name"))
+    // ONE fact pass: the per-(part, supplier) offer aggregate —
+    // partial map-side on (partkey, suppkey), offers-cardinality
+    // (≪ lineitem) on the wire
+    val offers = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("cost"))
+    // part + region filters applied BEFORE the min: correlation is
+    // per-part and the region restriction is part of the subquery, so
+    // pre-filtering drops whole part groups without changing any
+    // surviving part's minimum
+    val regional = offers
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(rsup), col("l_suppkey") === col("s_suppkey"))
+      .localCheckpoint(true)
+    val minCost = regional.groupBy(col("p_partkey").as("mpk"))
+      .agg(min(col("cost")).as("min_cost"))
+    regional
+      .join(minCost, col("p_partkey") === col("mpk") &&
+                       col("cost") === col("min_cost"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+              col("s_acctbal"), col("cost"))
+      .orderBy(col("p_partkey"), col("s_name"))
+      .limit(100)
+  }
+
   /** As-of join, direction = FORWARD (completing the pandas merge_asof
     * direction family: [[qJoinAsof]] backward, [[qJoinAsofNearest]]
     * nearest, this one forward): each purchase matches the same
@@ -602,6 +664,7 @@ object Joins {
     "q_join_tpch_q18" -> (qJoinTpchQ18 _),
     "q_join_tpch_q21" -> (qJoinTpchQ21 _),
     "q_join_tpch_q17" -> (qJoinTpchQ17 _),
+    "q_join_tpch_q2" -> (qJoinTpchQ2 _),
     "q_join_interval" -> (qJoinInterval _),
   )
 
@@ -778,6 +841,28 @@ object Joins {
          |    WHERE l2.l_partkey = l1.l_partkey)
          |GROUP BY p_brand
          |ORDER BY p_brand""".stripMargin,
+    "q_join_tpch_q2" ->
+      """WITH offer AS MATERIALIZED (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    MIN(l_extendedprice) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |rsup AS MATERIALIZED (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT p_partkey, p_name, s_name, n_name, s_acctbal, cost
+        |FROM part
+        |JOIN offer o ON p_partkey = o.pk
+        |JOIN rsup s ON s.s_suppkey = o.sk
+        |WHERE p_type = 'STANDARD' AND p_size >= 25
+        |  AND o.cost = (
+        |    SELECT MIN(o2.cost)
+        |    FROM offer o2 JOIN rsup s2 ON s2.s_suppkey = o2.sk
+        |    WHERE o2.pk = p_partkey)
+        |ORDER BY p_partkey, s_name
+        |LIMIT 100""".stripMargin,
     "q_join_asof_forward" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS tsu,
         |  (SELECT MIN(epoch_us(v.ts)) FROM events v

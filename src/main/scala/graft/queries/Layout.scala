@@ -280,12 +280,17 @@ object Layout {
         val v = d.getPath.getName.stripPrefix(prefix + "=")
         // a null-keyed write lands as __HIVE_DEFAULT_PARTITION__ — name
         // the unexpected directory instead of a bare NumberFormatException
-        // on the driver (round-15 advice item). Accept any long-ranged
-        // integer (negative keys parse; <=18 digits cannot overflow
-        // Long, so toLong below is total)
-        require(v.matches("-?\\d{1,18}"),
+        // on the driver (round-15 advice item). Accept the full Long
+        // range: 19-digit keys up to Long.MaxValue are legitimate
+        // (round-16 advice item — the earlier {1,18} pattern rejected
+        // them), so the digit check only screens the non-numeric case
+        // and Try(toLong) catches the 19-digit overflow edge.
+        require(v.matches("-?\\d{1,19}"),
           s"non-numeric partition directory under $path: ${d.getPath.getName}")
-        (v.toLong, d.getPath)
+        val key = scala.util.Try(v.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"partition key overflows Long under $path: ${d.getPath.getName}"))
+        (key, d.getPath)
       }
 
   /** Parquet data files directly under a partition directory. */
@@ -338,12 +343,15 @@ object Layout {
     * same cost OPTIMIZE pays in any lakehouse — and each bin's output
     * lands from one task, so small files collapse without a global
     * sort or a driver loop over bins. */
-  def qLayoutCompactionApply(s: SparkSession, dir: String): DataFrame = {
+  /** The compacted (v2) table artifact — extracted from
+    * [[qLayoutCompactionApply]] so the snapshot-read face can resolve
+    * the same content-keyed artifact without re-running the rewrite. */
+  private[queries] def compactAppliedPath(s: SparkSession, dir: String,
+      plan: Seq[(Long, String, Long, Long)]): String = {
     import s.implicits._
     val demo = compactDemoPath(s, dir)
-    val plan = planBins(realManifest(s, s"$demo/table"), CompactTargetBytes)
     val planDf = plan.toDF("part", "fname", "size_bytes", "bin")
-    val applied = graft.ArtifactStore.ensure(
+    graft.ArtifactStore.ensure(
       graft.ArtifactStore.cachePath("compact_applied",
         graft.ArtifactStore.contentKey(s"$dir/lineitem.parquet",
           s"$compactDemoVersion-applied-t$CompactTargetBytes-v1"))) { tmp =>
@@ -360,6 +368,14 @@ object Layout {
         .write.partitionBy("part", "bin").mode("overwrite")
         .parquet(s"$tmp/table")
     }
+  }
+
+  def qLayoutCompactionApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val demo = compactDemoPath(s, dir)
+    val plan = planBins(realManifest(s, s"$demo/table"), CompactTargetBytes)
+    val planDf = plan.toDF("part", "fname", "size_bytes", "bin")
+    val applied = compactAppliedPath(s, dir, plan)
     val fs = hadoopFs(s, s"$applied/table")
     val outFiles = partDirs(fs, s"$applied/table", "part")
       .flatMap { case (part, d) =>
@@ -379,7 +395,63 @@ object Layout {
       .orderBy("part", "bin")
   }
 
+  /** Every parquet data file under `root`, recursively — the
+    * manifest walk a snapshot resolves to (partition layout differs
+    * between versions: v1 is part=, v2 part=/bin=). */
+  private def allParquetFiles(fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path): Seq[String] =
+    fs.listStatus(root).toSeq.flatMap { st =>
+      if (st.isDirectory) allParquetFiles(fs, st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet"))
+        Seq(st.getPath.toString)
+      else Nil
+    }
+
+  /** SNAPSHOT / TIME-TRAVEL READ over the compaction chain — the
+    * Delta/Iceberg contract that makes OPTIMIZE safe to run live:
+    * version 1 is the fragmented pre-compaction table, version 2 the
+    * compacted rewrite, and a reader pinned to EITHER version sees
+    * exactly the same rows. Each version resolves to its own
+    * content-keyed artifact's file manifest (driver-side metadata —
+    * ~10^5-10^6 entries at 100 TB, the same bounded listing every
+    * table format's log holds; here the "log" is the ArtifactStore
+    * chain, which never deletes v1 when v2 is published, so both
+    * snapshots stay servable) and the scan reads EXACTLY the
+    * manifest's files — never a live directory listing that a
+    * concurrent rewrite could race.
+    *
+    * The query is the same month-level rollup served from both pins,
+    * tagged by version; the ORACLE computes the one answer from the
+    * source lineitem and emits it under both tags — so the hash gate
+    * proves BOTH reads equal the pre-compaction truth (v1) AND that
+    * the rewrite changed nothing a reader can see (v2). LayoutSpec
+    * additionally pins on footers that publishing v2 left every v1
+    * file byte-identical. */
+  def qLayoutSnapshotRead(s: SparkSession, dir: String): DataFrame = {
+    val demo = compactDemoPath(s, dir)
+    val plan = planBins(realManifest(s, s"$demo/table"), CompactTargetBytes)
+    val applied = compactAppliedPath(s, dir, plan)
+    def snapshot(version: Long, table: String): DataFrame = {
+      val fs = hadoopFs(s, table)
+      val files = allParquetFiles(fs, new org.apache.hadoop.fs.Path(table))
+      // basePath keeps the hive partition columns; the explicit file
+      // list IS the snapshot pin
+      s.read.option("basePath", table).parquet(files: _*)
+        // hive partition inference types `part=` as INT; the contract
+        // (and the manifest) is BIGINT
+        .groupBy(col("part").cast("long").as("part"))
+        .agg(count(lit(1)).as("n_rows"),
+             graft.sql.Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .select(lit(version).as("version"), col("part"),
+                col("n_rows"), col("sum_price"))
+    }
+    snapshot(1L, s"$demo/table")
+      .unionByName(snapshot(2L, s"$applied/table"))
+      .orderBy("version", "part")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_layout_snapshot_read" -> (qLayoutSnapshotRead _),
     "q_layout_compaction" -> (qLayoutCompaction _),
     "q_layout_compaction_apply" -> (qLayoutCompactionApply _),
     "q_layout_hilbert" -> (qLayoutHilbert _),
@@ -449,6 +521,20 @@ object Layout {
         |  MIN(file_id) AS first_file, MAX(file_id) AS last_file
         |FROM binned GROUP BY part, bin
         |ORDER BY part, bin""".stripMargin,
+    // one answer computed from the SOURCE table, emitted under both
+    // version tags: proves v1 == truth and v2 == truth (so v1 == v2 —
+    // the rewrite is invisible to readers)
+    "q_layout_snapshot_read" ->
+      s"""WITH a AS MATERIALIZED (
+         |  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+         |      AS part,
+         |    COUNT(*) AS n_rows,
+         |    ${graft.sql.DetSql.dsum("l_extendedprice")} AS sum_price
+         |  FROM lineitem GROUP BY 1)
+         |SELECT CAST(1 AS BIGINT) AS version, part, n_rows, sum_price FROM a
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT) AS version, part, n_rows, sum_price FROM a
+         |ORDER BY version, part""".stripMargin,
     "q_layout_hilbert" -> hilbertSql,
     "q_scan_dpp_months" ->
       s"""WITH m AS (

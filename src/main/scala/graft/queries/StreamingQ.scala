@@ -517,8 +517,41 @@ object StreamingQ {
   def qStreamAsof(s: SparkSession, dir: String): DataFrame =
     Joins.qJoinAsof(s, dir)
 
+  /** Stream-stream AS-OF JOIN, batch face: each purchase joined to
+    * the latest strictly-prior view's ROW — id and timestamp, the
+    * matched-payload contract that separates a temporal JOIN from the
+    * enrichment face ([[qStreamAsof]], which carries only the max
+    * timestamp). One per-user window pass: argmax via
+    * max(struct(tsu, event_id)) over the prior-view frame — the
+    * (tsu, id) total order is the tie-break contract, mirrored in the
+    * streaming state machine and the oracle's ORDER BY ts DESC, id
+    * DESC LIMIT 1. The streaming implementation is
+    * [[graft.streaming.AsofJoin]]: purchases and views as two
+    * SEPARATE watermarked streams, co-partitioned by user through
+    * flatMapGroupsWithState at the min of the two watermarks;
+    * StreamingSpec pins multi-batch ≡ batch parity on both-side-late
+    * fixtures and that a lagging view stream holds back purchase
+    * finalization. */
+  def qStreamAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("tsu"))
+    val w = Window.partitionBy("user_id").orderBy("tsu")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    e.withColumn("pv",
+        max(when(col("event_type") === "view",
+                 struct(col("tsu"), col("event_id")))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("tsu"),
+              col("pv.event_id").as("view_id"),
+              col("pv.tsu").as("view_tsu"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_asof" -> (qStreamAsof _),
+    "q_stream_asof_join" -> (qStreamAsofJoin _),
     "q_stream_cdc_scd2" -> (qStreamCdcScd2 _),
     "q_stream_cdc_resolved" -> (qStreamCdcResolved _),
     "q_stream_cdc_upsert" -> (qStreamCdcUpsert _),
@@ -552,6 +585,21 @@ object StreamingQ {
         |  (SELECT MAX(epoch_us(v.ts)) FROM events v
         |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
         |     AND epoch_us(v.ts) < epoch_us(p.ts)) AS prior_view_tsu
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
+    // the textbook correlated argmax: matched row picked by
+    // (ts DESC, id DESC) — the same (tsu, id) total order as the
+    // engine's max(struct) and the streaming state machine's ord
+    "q_stream_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS tsu,
+        |  (SELECT v.event_id FROM events v
+        |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |     AND epoch_us(v.ts) < epoch_us(p.ts)
+        |   ORDER BY epoch_us(v.ts) DESC, v.event_id DESC
+        |   LIMIT 1) AS view_id,
+        |  (SELECT MAX(epoch_us(v.ts)) FROM events v
+        |   WHERE v.user_id = p.user_id AND v.event_type = 'view'
+        |     AND epoch_us(v.ts) < epoch_us(p.ts)) AS view_tsu
         |FROM events p WHERE p.event_type = 'purchase'
         |ORDER BY p.event_id""".stripMargin,
     // round 11: the batch face is pure integer arithmetic (epoch-µs

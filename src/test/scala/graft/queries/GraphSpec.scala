@@ -144,6 +144,72 @@ class GraphSpec extends SparkSpec {
     assert(rows.map(_._2).sum <= n * 1000000L, "mass created")
   }
 
+  /** Driver-side reference of the orbit-stopped centi-rank iteration:
+    * same integer arithmetic, same r_t == r_{t-2} + parity stop. */
+  private def prOrbitRef(edges: Seq[(Long, Long)], unit: Long,
+                         maxIters: Int): (Map[Long, Long], Int) = {
+    val out = edges.groupBy(_._1)
+    val nodes = edges.map(_._1).distinct
+    val base = 15L * unit / 100L
+    val damp = 85L * unit / 100L
+    var prev2: Map[Long, Long] = null
+    var rank = nodes.map(_ -> unit).toMap
+    var iters = 0
+    var stop = false
+    while (!stop && iters < maxIters) {
+      iters += 1
+      val inc = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / out(src).size }.sum
+      }
+      val next = nodes.map { n =>
+        n -> (base + (damp * inc.getOrElse(n, 0L)) / unit)
+      }.toMap
+      val d2 = if (prev2 == null) Long.MaxValue
+               else nodes.map(n => math.abs(next(n) - prev2(n))).max
+      stop = d2 == 0L && (maxIters - iters) % 2 == 0
+      prev2 = rank
+      rank = next
+    }
+    (rank, iters)
+  }
+
+  test("orbit-converged pagerank: stops inside the backstop, matches the driver reference") {
+    // the REAL sf0.001 bipartite graph — the substrate the registered
+    // face runs on, where tol-based stopping provably cannot work
+    // (the per-step delta settles to a nonzero 2-cycle constant)
+    val ed = graft.Tables.orders(spark, sf("sf0.001"))
+      .join(graft.Tables.lineitem(spark, sf("sf0.001")),
+            org.apache.spark.sql.functions.expr("o_orderkey = l_orderkey"))
+      .selectExpr("o_custkey * 2 AS a", "l_suppkey * 2 + 1 AS b")
+      .distinct()
+    val pairs = ed.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = pairs.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val s = spark
+    import s.implicits._
+    val (gotDf, iters) = Graph.pagerankOrbitConverged(
+      sym.toDF("src", "dst"), "src", "dst")
+    info(s"sf0.001 bipartite graph entered its orbit at iteration $iters")
+    // observed < backstop: the face demonstrably CONVERGED rather
+    // than ran out of budget (measured settle rounds 6-12 across the
+    // gate scales; the backstop is 24)
+    assert(iters < Graph.PrRounds,
+      s"orbit not reached inside the $iters-round backstop")
+    // parity contract: the stop iteration shares PrRounds' parity, so
+    // the PrRounds-unrolled oracle lands on the same cycle phase
+    assert((Graph.PrRounds - iters) % 2 == 0, "stop phase mismatch")
+    val got = gotDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (want, wantIters) = prOrbitRef(sym, Graph.PrUnit, Graph.PrRounds)
+    assert(iters == wantIters,
+      s"iteration count diverged from reference: $iters vs $wantIters")
+    assert(got == want, "orbit-converged ranks diverged from the reference")
+    // determinism across runs (loop + observation state is per-call)
+    val (again, iters2) = Graph.pagerankOrbitConverged(
+      sym.toDF("src", "dst"), "src", "dst")
+    assert(iters2 == iters &&
+      again.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == got,
+      "orbit-converged pagerank is not deterministic")
+  }
+
   test("bfs: frontier expansion equals a driver brute force (min hop) and is deterministic") {
     def run() = Graph.qGraphBfs(spark, sf("sf0.001")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

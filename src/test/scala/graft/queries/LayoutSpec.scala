@@ -224,6 +224,27 @@ class LayoutSpec extends SparkSpec {
       "compaction apply is not serve-deterministic")
   }
 
+  test("snapshot read: v1 files survive the v2 publish byte-identical; both versions serve the same rollup") {
+    val dir = sf("sf0.01")
+    // v1 manifest (name, size) BEFORE forcing the v2 build
+    val demo = Layout.compactDemoPath(spark, dir)
+    val before = Layout.realManifest(spark, s"$demo/table")
+    // force the compacted v2 artifact into existence (and the face's
+    // own result while at it)
+    val out = Layout.qLayoutSnapshotRead(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the OPTIMIZE-is-invisible contract, on footers: publishing v2
+    // touched NO v1 file — same names, same byte sizes
+    val after = Layout.realManifest(spark, s"$demo/table")
+    assert(after === before,
+      "v2 publish modified the v1 snapshot's files")
+    // both version pins serve the identical rollup
+    val v1 = out.filter(_._1 == 1L).map(t => (t._2, t._3, t._4)).sortBy(_._1)
+    val v2 = out.filter(_._1 == 2L).map(t => (t._2, t._3, t._4)).sortBy(_._1)
+    assert(v1.nonEmpty && v1.toSeq === v2.toSeq,
+      "version-pinned reads diverged across the rewrite")
+  }
+
   test("compacting a z-ordered table preserves its file-skipping quality") {
     // the interaction real OPTIMIZE implementations get wrong (round-15
     // verdict item): bin-packing a CLUSTERED table must group

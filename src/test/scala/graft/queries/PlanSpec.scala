@@ -373,6 +373,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"part dim did not broadcast:\n$p")
   }
 
+  test("q_join_tpch_q2: one fact pass into the offer agg, dims broadcast, min equi-joined back") {
+    val df = Joins.qJoinTpchQ2(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val p = finalPlan(df)
+    // the single fact pass lives inside the localCheckpoint that
+    // materializes the regional offer set — the FINAL plan must
+    // contain NO lineitem scan at all (a scan here would mean the
+    // correlated min re-read the fact table)
+    val nLineitemScans = allNodes(plan).count {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
+      case _ => false
+    }
+    assert(nLineitemScans == 0,
+      s"regional offers not reused — lineitem re-scanned in the final plan:\n$p")
+    // the per-part minimum joins back on (partkey, cost) as an equi
+    // join; nothing in the plan may degenerate to nested-loop
+    assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+      s"Q2 degenerated to a non-equi join:\n$p")
+    // no parquet scan of ANY table may survive into the final plan —
+    // the dim chains (part filter, supplier→nation→region) were
+    // broadcast-joined inside the checkpoint; a scan here would mean
+    // dim work leaked past it
+    assert(!p.contains("Scan parquet"),
+      s"final plan re-scans parquet — work leaked past the checkpoint:\n$p")
+    // the min-cost equality joins back as a real join (equi on
+    // partkey with the cost equality as key or residual)
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+             p.contains("SortMergeJoin"),
+      s"min-cost join missing from the final plan:\n$p")
+    // bounded output: the top-100 plans as per-partition heaps
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 planned as a global sort:\n$p")
+  }
+
   test("q_join_tpch_q5: all four dimension sides broadcast; date predicate pushed") {
     val df = Joins.qJoinTpchQ5(spark, sf("sf0.001"))
     df.collect()

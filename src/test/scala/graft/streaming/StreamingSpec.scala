@@ -385,6 +385,90 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("two-stream as-of join: lagging view stream holds back finalization; both-side lateness matches the batch face") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val pMem = MemoryStream[AsofJoin.Purchase]
+    val vMem = MemoryStream[AsofJoin.View]
+    val q = AsofJoin.join(pMem.toDS(), vMem.toDS(), delay = "10 minutes")
+      .writeStream.format("memory").queryName("asofjoin_out")
+      .outputMode(AsofJoin.outputMode).start()
+
+    // batch 1: the PURCHASE stream races far ahead (its own watermark
+    // candidate passes 10:20), but the view stream has produced
+    // nothing — the operator watermark is the MIN of the two, so the
+    // purchase must NOT finalize yet (a prior view may still arrive
+    // on the lagging stream)
+    pMem.addData(AsofJoin.Purchase(1L, ts(20), 100L),
+                 AsofJoin.Purchase(1L, ts(40), 105L))
+    q.processAllAvailable()
+    assert(s.table("asofjoin_out").count() === 0L,
+      "purchase finalized while the view stream's watermark lagged")
+    // batch 2: the view stream catches up — u1's true prior view
+    // (10:15) arrives a whole trigger late, plus a same-microsecond
+    // tie pair (10:15, id 97) that the (tsu, id) order must break
+    // toward the larger id, and a not-prior view at 10:25
+    vMem.addData(AsofJoin.View(1L, ts(15), 96L),
+                 AsofJoin.View(1L, ts(15), 97L),
+                 AsofJoin.View(1L, ts(25), 98L),
+                 AsofJoin.View(2L, ts(2), 200L))
+    q.processAllAvailable() // min watermark still behind 10:20
+    // batch 3: BOTH sides advance their watermarks past every open
+    // purchase (sentinel rows at 12:00+), finalizing u1
+    pMem.addData(AsofJoin.Purchase(9L, ts(120), 900L))
+    vMem.addData(AsofJoin.View(9L, ts(120), 901L))
+    q.processAllAvailable()
+    pMem.addData(AsofJoin.Purchase(9L, ts(240), 902L))
+    vMem.addData(AsofJoin.View(9L, ts(240), 903L))
+    q.processAllAvailable()
+    q.stop()
+
+    def us(minute: Int): Long = ts(minute).getTime * 1000L
+    val got = s.table("asofjoin_out").as[AsofJoin.Joined].collect()
+      .map(e => e.eventId -> ((e.userId, e.tsu, e.viewId, e.viewTsu)))
+      .toMap
+    // the late-arriving 10:15 tie pair: id 97 wins (tsu DESC, id DESC)
+    assert(got(100L) === ((1L, us(20), Some(97L), Some(us(15)))),
+      s"late prior view / tie-break wrong: $got")
+    // the 10:40 purchase sees 10:25 as its latest prior view
+    assert(got(105L) === ((1L, us(40), Some(98L), Some(us(25)))),
+      s"second purchase wrong: $got")
+    // sentinel purchase at 12:00 finalizes with its co-timed view NOT
+    // matching (strictly prior required)
+    assert(got(900L) === ((9L, us(120), None, None)), s"sentinel: $got")
+    assert(got.keySet === Set(100L, 105L, 900L),
+      s"unexpected emissions: $got")
+
+    // batch-face parity on all surviving rows, finalized purchases only
+    val events = Seq(
+      (100L, 1L, ts(20), "purchase"), (105L, 1L, ts(40), "purchase"),
+      (96L, 1L, ts(15), "view"), (97L, 1L, ts(15), "view"),
+      (98L, 1L, ts(25), "view"), (200L, 2L, ts(2), "view"),
+      (900L, 9L, ts(120), "purchase"), (901L, 9L, ts(120), "view"),
+      (902L, 9L, ts(240), "purchase"), (903L, 9L, ts(240), "view"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tsu")
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val batch = events
+      .select($"event_id", $"user_id", $"event_type",
+              unix_micros($"ts").as("tsu"))
+      .withColumn("pv", max(when($"event_type" === "view",
+                                 struct($"tsu", $"event_id"))).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"tsu",
+              $"pv.event_id".as("view_id"), $"pv.tsu".as("view_tsu"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    got.foreach { case (id, row) =>
+      assert(batch(id) === row,
+        s"stream/batch divergence on finalized purchase $id")
+    }
+  }
+
   test("readStream -> window agg -> parquet file sink with checkpoint") {
     val s = spark
     import s.implicits._

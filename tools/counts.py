@@ -24,6 +24,25 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def flag_value(flag):
+    """Value following `flag` in argv — named failure instead of the
+    bare IndexError a trailing valueless flag used to raise (round-16
+    advice item)."""
+    i = sys.argv.index(flag)
+    if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith('--'):
+        sys.exit(f'{flag} requires a value')
+    return sys.argv[i + 1]
+
+
+def newest_mtime(root):
+    """Newest file mtime under `root` (0 if absent)."""
+    latest = 0.0
+    for dirpath, _, names in os.walk(root):
+        for n in names:
+            latest = max(latest, os.path.getmtime(os.path.join(dirpath, n)))
+    return latest
+
+
 def main():
     ok = True
     smoke = open(os.path.join(
@@ -54,9 +73,24 @@ def main():
     # only written AFTER the round (round-16 review finding: the r16
     # close would otherwise quote a hand-derived 208/26)
     if '--verify-out' in sys.argv:
-        vout = sys.argv[sys.argv.index('--verify-out') + 1]
+        vout = flag_value('--verify-out')
         oracle_keys = json.load(open(os.path.join(vout, 'oracle_sql.json')))
         n_or = len(oracle_keys)
+        # the dump must describe THIS registry, not a stale run from an
+        # older tree (round-16 advice item: a stale dump was quoted
+        # silently) — every dumped oracle key must be a registered
+        # SURVEY 2B row and the oracle count can never exceed the pin
+        stray = sorted(set(oracle_keys) - set(re.findall(
+            r'^\| `(q_[a-z0-9_]+)` \|', survey, re.M)))
+        if stray:
+            print(f'MISMATCH: stale verify dump — {len(stray)} oracle '
+                  f'key(s) not in the SURVEY 2B registry: '
+                  f'{", ".join(stray[:5])}')
+            ok = False
+        if n_or > pin:
+            print(f'MISMATCH: stale verify dump — {n_or} oracle keys '
+                  f'exceed the registry pin {pin}')
+            ok = False
         print(f'verify dump {vout}: {pin} queries = '
               f'{n_or} oracle-gated + {pin - n_or} rows-only')
     # sort by the NUMERIC round suffix, not lexicographically — a
@@ -97,7 +131,19 @@ def main():
                 print(f'NOTE: {msg}')
 
     if '--sbt-log' in sys.argv:
-        log = open(sys.argv[sys.argv.index('--sbt-log') + 1]).read()
+        log_path = flag_value('--sbt-log')
+        # close-time provenance (round-16 judge item: the r16 close
+        # quoted a log predating the last four commits): the quoted sbt
+        # log must POSTDATE every file under src/test, or the count it
+        # reports describes an older suite
+        if '--at-close' in sys.argv:
+            tests_mtime = newest_mtime(os.path.join(ROOT, 'src/test'))
+            if os.path.getmtime(log_path) < tests_mtime:
+                print(f'MISMATCH: {log_path} predates the newest file '
+                      f'under src/test — re-run `sbt -batch test | tee` '
+                      f'after the final test change')
+                ok = False
+        log = open(log_path).read()
         # strip ANSI color codes sbt leaves in a captured log
         log = re.sub(r'\x1b\[[0-9;]*m', '', log)
         tests = re.findall(r'Tests: succeeded (\d+), failed (\d+)', log)

@@ -102,7 +102,17 @@ def main():
         if not small or not big:
             failed.append((q, 'missing probe output (crashed?)'))
             continue
-        exp = math.log(big['min'] / small['min']) / math.log(scale)
+        # clamp sub-resolution times to an epsilon (round-16 advice
+        # item: a 0-second probe min would raise ZeroDivisionError /
+        # math domain error here) — a face faster than 1 ms at either
+        # scale is below timer resolution and its exponent is noise
+        # anyway, so name the clamp instead of crashing
+        t_small, t_big = small['min'], big['min']
+        if t_small < 1e-3 or t_big < 1e-3:
+            print(f'WARN {q}: probe min below 1 ms '
+                  f'({t_small:.6f}/{t_big:.6f}) — clamped for the exponent')
+            t_small, t_big = max(t_small, 1e-3), max(t_big, 1e-3)
+        exp = math.log(t_big / t_small) / math.log(scale)
         # a face whose ANSWER grows super-linearly between the clones
         # (q_dedup_minhash_lsh's verified pairs grow C(100,2)/C(10,2)
         # = 109x — every clone copy duplicates every text) must be
@@ -110,9 +120,29 @@ def main():
         # O(input^max_exp + output), i.e. time exponent <= max(max_exp,
         # output exponent). A real regression (time super-linear while
         # the answer is not) still fails.
-        exp_rows = (math.log(big['rows'] / small['rows']) / math.log(scale)
-                    if small['rows'] > 0 and big['rows'] > 0 else 0.0)
+        if small['rows'] > 0 and big['rows'] > 0:
+            exp_rows = math.log(big['rows'] / small['rows']) / math.log(scale)
+        elif big['rows'] > 0:
+            # 0 -> N rows (round-16 advice item: defaulting this to 0
+            # silently denied the face any output allowance AND hid the
+            # transition) — treat the small side as 1 row for the
+            # allowance and flag the transition loudly
+            exp_rows = math.log(big['rows']) / math.log(scale)
+            print(f'WARN {q}: rows went 0 -> {big["rows"]} between '
+                  f'clones; output exponent computed against 1 row')
+        else:
+            exp_rows = 0.0
         allowed = max(args.max_exp, exp_rows)
+        if exp_rows > args.max_exp:
+            # the output-aware allowance is weaker than the documented
+            # work <= O(input^max_exp + output) bound when output
+            # writing is a negligible runtime share (round-16 advice
+            # item) — make every allowance raise visible in the gate
+            # output so a quadratic hiding under it is reviewable
+            print(f'WARN {q}: output exponent {exp_rows:.2f} raises the '
+                  f'allowance above max-exp {args.max_exp} — time '
+                  f'exponent {exp:.2f} is gated against output growth, '
+                  f'review that output writing dominates the delta')
         rows.append((q, small['min'], big['min'], exp,
                      small['rows'], big['rows']))
         if exp > worst[1]:
