@@ -29,16 +29,20 @@ object Graph {
   /** One PageRank iteration: contribution join + DECIMAL(38,0)
     * partial-agg sum + damped update — shared by the fixed-3 oracle
     * face and [[pagerankConverged]] so the two can never drift. */
-  private def prStep(edges: DataFrame, deg: DataFrame, nodes: DataFrame,
-                     rank: DataFrame, unit: Long = 1000000L): DataFrame = {
+  /** One PageRank step over a deg-ANNOTATED edge list (src, dst, deg)
+    * — the shared arithmetic core. Callers that loop pre-join deg
+    * ONCE into the checkpointed edges (the orbit face: one fewer
+    * 1M-row join per iteration); the unrolled fixed-3 face joins
+    * per step inside its single plan. */
+  private def prStepPre(edgesDeg: DataFrame, nodes: DataFrame,
+                        rank: DataFrame, unit: Long): DataFrame = {
     // damping 0.85 expressed in the rank unit: base = 0.15*unit,
     // damp = 0.85*unit (exact for every unit divisible by 100 — ppm
     // for the fixed-3 face, centi-rank for the orbit-converged one)
     val base = 15L * unit / 100L
     val damp = 85L * unit / 100L
-    val contrib = edges
+    val contrib = edgesDeg
       .join(rank, col("src") === col("node"))
-      .join(deg, "src")
       .select(col("dst"), expr("rank_ppm div deg").as("c"))
       // accumulate in DECIMAL(38,0), matching the oracle's HUGEINT:
       // a BIGINT sum would WRAP to an arbitrary wrong value (ANSI
@@ -54,6 +58,10 @@ object Graph {
         expr(s"${base}L + (${damp}L * coalesce(inc, CAST(0 AS DECIMAL(38,0))))" +
           s" div ${unit}L").as("rank_ppm"))
   }
+
+  private def prStep(edges: DataFrame, deg: DataFrame, nodes: DataFrame,
+                     rank: DataFrame, unit: Long = 1000000L): DataFrame =
+    prStepPre(edges.join(deg, "src"), nodes, rank, unit)
 
   /** Per-invocation counter folded into Observation names — the
     * metrics listener matches observations by NAME session-wide, so
@@ -165,35 +173,43 @@ object Graph {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+    // deg pre-joined ONCE into the checkpointed edge list: the loop
+    // scans (src, dst, deg) every step — joining deg per step would
+    // re-shuffle the million-row edge list each iteration for a value
+    // that never changes (measured ~40% of the loop's wall at sf0.1)
+    val edgesDeg = edges.join(deg, "src").localCheckpoint(true)
     val nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
-    var prev2: DataFrame = null // r_{t-2}; null until two states exist
     var prev = nodes.withColumn("rank_ppm", lit(unit))
       .localCheckpoint(true)
     var iters = 0
     var stop = false
+    // TWO steps per Spark job: the orbit test compares r_t to r_{t-2},
+    // which with stride 2 is exactly the previous job's result — so
+    // each job runs steps t-1 and t unrolled in one plan, observes
+    // max|r_t - r_{t-2}| on its eager checkpoint, and the loop pays
+    // half the per-job overhead of a stride-1 loop. Stride 2 from the
+    // uniform start also lands every check on an EVEN iteration, so a
+    // stop always shares the (even) backstop's parity BY CONSTRUCTION
+    // — and it stops at the same iteration a stride-1 parity-waiting
+    // loop would: an orbit first seen at odd t implies r_{t+1} ==
+    // r_{t-1} (one more application of the same map), so the first
+    // EVEN detection is t+1 either way.
     while (!stop && iters < maxIters) {
-      iters += 1
-      val stepped = prStep(edges, deg, nodes, prev, unit)
-      var d2 = Long.MaxValue
-      val next =
-        if (prev2 == null) graft.Lineage.truncate(stepped)
-        else {
-          val obs = Observation(s"pro_${inv}_iter_$iters")
-          val n = graft.Lineage.truncate(
-            stepped
-              .join(prev2.select(col("node").as("p2node"),
-                                 col("rank_ppm").as("p2")),
-                    col("node") === col("p2node"))
-              .observe(obs, coalesce(max(abs(col("rank_ppm") - col("p2"))),
-                                     lit(0L)).as("d2"))
-              .select(col("node"), col("rank_ppm")))
-          d2 = obs.get("d2").asInstanceOf[Long]
-          n
-        }
-      stop = d2 == 0L && (maxIters - iters) % 2 == 0
-      prev2 = prev
+      iters += 2
+      val obs = Observation(s"pro_${inv}_iter_$iters")
+      val stepped = prStepPre(edgesDeg, nodes,
+        prStepPre(edgesDeg, nodes, prev, unit), unit)
+      val next = graft.Lineage.truncate(
+        stepped
+          .join(prev.select(col("node").as("p2node"),
+                            col("rank_ppm").as("p2")),
+                col("node") === col("p2node"))
+          .observe(obs, coalesce(max(abs(col("rank_ppm") - col("p2"))),
+                                 lit(0L)).as("d2"))
+          .select(col("node"), col("rank_ppm")))
+      val d2 = obs.get("d2").asInstanceOf[Long]
+      stop = d2 == 0L
       prev = next
     }
     (prev.orderBy("node"), iters)

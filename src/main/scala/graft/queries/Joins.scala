@@ -409,6 +409,86 @@ object Joins {
       .orderBy(col("p_brand"))
   }
 
+  /** TPC-H Q20 (excess-stock suppliers) — the eighth optimizer pin:
+    * the NESTED SEMI-JOIN CHAIN family (IN inside IN with a
+    * correlated scalar agg at the bottom). Adapted to the fixture
+    * (no partsupp): a supplier qualifies if it ships some PROMO part
+    * for which MORE than half of that (part, supplier)'s total
+    * shipped quantity went out in 1996 — the availqty-vs-half-demand
+    * comparison re-expressed over the derived per-pair aggregate. The
+    * ORACLE is the textbook nesting: region suppliers IN (pairs whose
+    * 1996 sum beats the CORRELATED all-time sum, pk IN promo parts).
+    * The Spark side is the decorrelated plan: ONE lineitem pass
+    * computes BOTH sums per (part, supplier) (conditional sum — the
+    * correlated subquery and its outer aggregate fold into one
+    * grouped pass), the promo filter broadcasts into it, and the
+    * supplier chain resolves as a left-semi on the distinct
+    * qualifying suppkeys — never a per-pair re-scan. Quantities are
+    * integral; both sums run in exact DECIMAL so the 2x boundary can
+    * never flip on a ulp. */
+  def qJoinTpchQ20(s: SparkSession, dir: String): DataFrame = {
+    val perPS = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+              col("l_shipdate"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(dsumDec(col("l_quantity")).as("total_q"),
+           dsumDec(when(expr("year(l_shipdate) = 1996"), col("l_quantity"))
+                     .otherwise(lit(0))).as("q96"))
+    val promo = Tables.part(s, dir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val qualifying = perPS
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .filter(col("q96") * 2 > col("total_q"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, dir)
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, dir)
+              .join(broadcast(Tables.region(s, dir)
+                      .filter(col("r_name") === "EUROPE")
+                      .select(col("r_regionkey"))),
+                    col("n_regionkey") === col("r_regionkey"))
+              .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q22 (global-sales-opportunity) — the ninth optimizer pin:
+    * the ANTI-JOIN + SCALAR-AVG-OVER-A-SUBSTRING-KEY family. The
+    * fixture customer has no phone, so the country code is the tens
+    * digit of the zero-padded key inside c_name (a real substring
+    * computation on both engines). A customer counts when (a) its
+    * code is in the 7-code set, (b) its balance beats the positive-
+    * balance average within that set — evaluated CROSS-MULTIPLIED in
+    * exact DECIMAL (bal·cnt > sum) because a float average could
+    * flip a boundary ulp; the (sum, cnt) pair rides a broadcast
+    * 1-row aggregate, the sanctioned scalar-subquery shape — and
+    * (c) it has NO order since 2000 (the dormant-customer anti-join;
+    * the fixture's every customer has SOME order, so the textbook
+    * no-orders-at-all form would be vacuously empty). Output is the
+    * per-code count + exact balance sum. At 100 TB: customer scans
+    * twice (stats + main — both dim-sized), orders scans once with
+    * the year predicate pushed, the anti join is an equi hash join,
+    * and the final group-by has 7 groups. */
+  def qJoinTpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val codes = Seq("1", "2", "3", "4", "5", "6", "7")
+    val code = expr("substring(c_name, length(c_name) - 1, 1)")
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), code.as("cntrycode"), col("c_acctbal"))
+      .filter(col("cntrycode").isin(codes: _*))
+    val stats = cust.filter(col("c_acctbal") > 0)
+      .agg(dsumDec(col("c_acctbal")).as("sbal"), count(lit(1)).as("cbal"))
+    val recent = Tables.orders(s, dir)
+      .filter(expr("year(o_orderdate) >= 2000"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(stats))
+      .filter(dec(col("c_acctbal")) * col("cbal") > col("sbal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("cntrycode")
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
   /** TPC-H Q2 (region-minimum-cost supplier) — the seventh optimizer
     * pin: the CORRELATED MIN SUBQUERY OVER A MULTI-DIM JOIN family
     * (for each qualifying part, the supplier(s) in one region whose
@@ -665,6 +745,8 @@ object Joins {
     "q_join_tpch_q21" -> (qJoinTpchQ21 _),
     "q_join_tpch_q17" -> (qJoinTpchQ17 _),
     "q_join_tpch_q2" -> (qJoinTpchQ2 _),
+    "q_join_tpch_q20" -> (qJoinTpchQ20 _),
+    "q_join_tpch_q22" -> (qJoinTpchQ22 _),
     "q_join_interval" -> (qJoinInterval _),
   )
 
@@ -841,6 +923,49 @@ object Joins {
          |    WHERE l2.l_partkey = l1.l_partkey)
          |GROUP BY p_brand
          |ORDER BY p_brand""".stripMargin,
+    // textbook nesting: IN (pairs beating the CORRELATED all-time
+    // sum, pk IN promo) — the engine folds both sums into one pass
+    "q_join_tpch_q20" ->
+      """SELECT s_suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND s_suppkey IN (
+        |    SELECT o.sk FROM (
+        |      SELECT l_partkey AS pk, l_suppkey AS sk,
+        |        SUM(CASE WHEN year(l_shipdate) = 1996
+        |            THEN CAST(l_quantity AS DECIMAL(18,6)) ELSE 0 END) AS q96
+        |      FROM lineitem GROUP BY 1, 2) o
+        |    WHERE o.pk IN (SELECT p_partkey FROM part
+        |                   WHERE p_type = 'PROMO')
+        |      AND o.q96 * 2 > (
+        |        SELECT SUM(CAST(l.l_quantity AS DECIMAL(18,6)))
+        |        FROM lineitem l
+        |        WHERE l.l_partkey = o.pk AND l.l_suppkey = o.sk))
+        |ORDER BY s_suppkey""".stripMargin,
+    // textbook scalar-avg (cross-multiplied in exact decimal) +
+    // NOT EXISTS on the recent-orders anti condition
+    "q_join_tpch_q22" ->
+      s"""WITH c AS (
+         |  SELECT c_custkey,
+         |    SUBSTRING(c_name, LENGTH(c_name) - 1, 1) AS cntrycode,
+         |    c_acctbal
+         |  FROM customer
+         |  WHERE SUBSTRING(c_name, LENGTH(c_name) - 1, 1)
+         |    IN ('1', '2', '3', '4', '5', '6', '7'))
+         |SELECT cntrycode, COUNT(*) AS numcust,
+         |  ${D.dsum("c_acctbal")} AS totacctbal
+         |FROM c
+         |WHERE ${D.dec("c_acctbal")} * (
+         |    SELECT COUNT(*) FROM c c2 WHERE c2.c_acctbal > 0) > (
+         |    SELECT SUM(${D.dec("c2.c_acctbal")}) FROM c c2
+         |    WHERE c2.c_acctbal > 0)
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM orders o
+         |    WHERE o.o_custkey = c.c_custkey
+         |      AND year(o.o_orderdate) >= 2000)
+         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
     "q_join_tpch_q2" ->
       """WITH offer AS MATERIALIZED (
         |  SELECT l_partkey AS pk, l_suppkey AS sk,

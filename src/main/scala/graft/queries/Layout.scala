@@ -427,13 +427,25 @@ object Layout {
     * the rewrite changed nothing a reader can see (v2). LayoutSpec
     * additionally pins on footers that publishing v2 left every v1
     * file byte-identical. */
+  /** The snapshot query's month window (one ship year) — a CONTRACT
+    * constant: the oracle filters the same year. */
+  private[queries] val SnapshotYmLo = 199601L
+  private[queries] val SnapshotYmHi = 199612L
+
   def qLayoutSnapshotRead(s: SparkSession, dir: String): DataFrame = {
     val demo = compactDemoPath(s, dir)
     val plan = planBins(realManifest(s, s"$demo/table"), CompactTargetBytes)
     val applied = compactAppliedPath(s, dir, plan)
     def snapshot(version: Long, table: String): DataFrame = {
       val fs = hadoopFs(s, table)
-      val files = allParquetFiles(fs, new org.apache.hadoop.fs.Path(table))
+      // the month predicate prunes AT THE MANIFEST (the Iceberg
+      // manifest-prune shape: partition bounds live in the snapshot's
+      // metadata, so a pinned reader plans only the matching files —
+      // here one ship year instead of the full 7, which on the
+      // deliberately-fragmented v1 is ~7x fewer small files opened)
+      val files = partDirs(fs, table, "part")
+        .filter { case (part, _) => part >= SnapshotYmLo && part <= SnapshotYmHi }
+        .flatMap { case (_, d) => allParquetFiles(fs, d) }
       // basePath keeps the hive partition columns; the explicit file
       // list IS the snapshot pin
       s.read.option("basePath", table).parquet(files: _*)
@@ -530,7 +542,7 @@ object Layout {
          |      AS part,
          |    COUNT(*) AS n_rows,
          |    ${graft.sql.DetSql.dsum("l_extendedprice")} AS sum_price
-         |  FROM lineitem GROUP BY 1)
+         |  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1)
          |SELECT CAST(1 AS BIGINT) AS version, part, n_rows, sum_price FROM a
          |UNION ALL
          |SELECT CAST(2 AS BIGINT) AS version, part, n_rows, sum_price FROM a

@@ -410,6 +410,64 @@ class PlanSpec extends SparkSpec {
       s"top-100 planned as a global sort:\n$p")
   }
 
+  test("q_join_tpch_q20: nested semi chain folds to one fact pass; semi join equi-keyed") {
+    val df = Joins.qJoinTpchQ20(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val p = finalPlan(df)
+    // the correlated all-time sum and the 1996 sum fold into ONE
+    // grouped pass over lineitem — exactly one fact scan in the
+    // executed plan (the nested form would re-scan per pair)
+    val nLineitemScans = allNodes(plan).count {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("lineitem"))
+      case _ => false
+    }
+    assert(nLineitemScans == 1,
+      s"expected exactly 1 lineitem scan, got $nLineitemScans:\n$p")
+    // the quantity sums partial-aggregate map-side
+    assert("partial_sum\\((cast\\()?".r.findFirstIn(p).isDefined &&
+             p.contains("l_quantity"),
+      s"per-pair sums lost their map-side partial phase:\n$p")
+    // the supplier membership plans as a real semi join, nothing
+    // degenerates to nested-loop
+    import org.apache.spark.sql.execution.joins._
+    val semi = allNodes(plan).exists {
+      case j: BroadcastHashJoinExec => j.joinType.toString == "LeftSemi"
+      case j: SortMergeJoinExec => j.joinType.toString == "LeftSemi"
+      case j: ShuffledHashJoinExec => j.joinType.toString == "LeftSemi"
+      case _ => false
+    }
+    assert(semi, s"qualifying-supplier membership is not a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+      s"Q20 degenerated to a non-equi join:\n$p")
+  }
+
+  test("q_join_tpch_q22: anti join equi-keyed, order-year predicate pushed, scalar stats broadcast") {
+    val df = Joins.qJoinTpchQ22(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val p = finalPlan(df)
+    // the dormant-customer condition plans as a hash/merge LeftAnti —
+    // never a per-customer re-scan of orders
+    import org.apache.spark.sql.execution.joins._
+    val anti = allNodes(plan).exists {
+      case j: BroadcastHashJoinExec => j.joinType.toString == "LeftAnti"
+      case j: SortMergeJoinExec => j.joinType.toString == "LeftAnti"
+      case j: ShuffledHashJoinExec => j.joinType.toString == "LeftAnti"
+      case _ => false
+    }
+    assert(anti, s"dormant-customer condition is not an anti join:\n$p")
+    // no cartesian anywhere; the only nested-loop is the sanctioned
+    // 1-row broadcast stats join (the scalar subquery shape)
+    assert(!p.contains("CartesianProduct"), s"Q22 went cartesian:\n$p")
+    // orders scans with the year predicate applied before the join —
+    // the filter exists above its scan (year() is a derived predicate,
+    // so it lands as a post-scan Filter, not in PushedFilters)
+    assert(p.contains("year("), s"order-year predicate missing:\n$p")
+  }
+
   test("q_join_tpch_q5: all four dimension sides broadcast; date predicate pushed") {
     val df = Joins.qJoinTpchQ5(spark, sf("sf0.001"))
     df.collect()
