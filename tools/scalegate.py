@@ -56,6 +56,16 @@ DEFAULT_QUERIES = [
     'q_agg_heavy_hitters',       # Misra-Gries recount
     'q_sort_percentile_exact',   # distributed exact percentile
     'q_graph_pagerank',          # bounded-round iterate
+    'q_graph_pagerank_converged',  # orbit-stopped iterate (r17)
+    'q_join_tpch_q2',            # offer agg + min join-back (r17)
+    'q_join_tpch_q20',           # one-pass folded nested chain (r17)
+    'q_join_tpch_q22',           # anti + broadcast scalar stats (r17)
+    'q_stream_asof_join',        # per-user argmax window pass (r17)
+    # q_layout_snapshot_read is NOT gated: its clone cost is dominated
+    # by the one-time content-keyed artifact builds (fragmented demo +
+    # compacted rewrite of the whole clone lineitem), not by the
+    # manifest-pruned read under test — same reason the other layout
+    # executor faces stay out of the default set.
 ]
 
 
