@@ -489,6 +489,70 @@ object Joins {
       .orderBy("cntrycode")
   }
 
+  /** TPC-H Q13 (customer order-count distribution) — the eleventh
+    * optimizer pin: the DOUBLE-AGGREGATION family (GROUP BY over the
+    * result of a GROUP BY) on a null-preserving outer join: per
+    * customer, count the non-excluded orders THROUGH a left join
+    * whose filter lives in the JOIN CONDITION (an o-side filter in
+    * WHERE would silently turn the outer join inner and drop the
+    * zero-order customers — the classic Q13 trap, which is exactly
+    * what the count(o_orderkey)-counts-matches semantics and the
+    * oracle both encode); then the distribution of those counts.
+    * Plan shape: orders filter pushes to its scan, the join shuffles
+    * on custkey (both sides customer-cardinality after the first
+    * agg), the SECOND aggregate re-shuffles only (c_count) pairs —
+    * customer-cardinality rows into a ~tens-of-groups key space with
+    * map-side partials. (custdist DESC, c_count DESC) is a total
+    * order, so the output is hash-stable without a limit. */
+  def qJoinTpchQ13(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_custkey"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q19 (discounted revenue over disjunctive predicates) — the
+    * tenth optimizer pin: the DISJUNCTION-OF-CONJUNCTIVE-RANGES
+    * family. The query is written the textbook way — ONE three-branch
+    * OR mixing part columns (brand, size) and lineitem columns
+    * (quantity) applied AFTER the join — and what the pin tests is
+    * that the optimizer DERIVES the single-side implications and
+    * pushes them into both scans (Spark's
+    * PushExtraPredicateThroughJoin / extractPredicatesWithinOutputSet):
+    * the quantity-range OR reaches the lineitem scan and the
+    * brand/size OR reaches the part scan, so at 100 TB the fact scan
+    * skips row groups on the quantity ranges instead of reading
+    * everything into the join. Revenue per brand in the exact-decimal
+    * discipline (DECIMAL product, cents-rounded export). */
+  def qJoinTpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val disjunction =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+         col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 25) &&
+         col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(20, 35) &&
+         col("l_quantity").between(20, 30))
+    val discPrice = (dec(col("l_extendedprice")) *
+      (dec(lit(1)) - dec(col("l_discount")))).cast(DecT)
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+              col("l_extendedprice"), col("l_discount"))
+      .join(broadcast(Tables.part(s, dir)
+              .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+            col("l_partkey") === col("p_partkey"))
+      .filter(disjunction)
+      .groupBy(col("p_brand"))
+      .agg(round(sum(discPrice), 2).cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
   /** TPC-H Q2 (region-minimum-cost supplier) — the seventh optimizer
     * pin: the CORRELATED MIN SUBQUERY OVER A MULTI-DIM JOIN family
     * (for each qualifying part, the supplier(s) in one region whose
@@ -747,6 +811,8 @@ object Joins {
     "q_join_tpch_q2" -> (qJoinTpchQ2 _),
     "q_join_tpch_q20" -> (qJoinTpchQ20 _),
     "q_join_tpch_q22" -> (qJoinTpchQ22 _),
+    "q_join_tpch_q19" -> (qJoinTpchQ19 _),
+    "q_join_tpch_q13" -> (qJoinTpchQ13 _),
     "q_join_interval" -> (qJoinInterval _),
   )
 
@@ -923,6 +989,27 @@ object Joins {
          |    WHERE l2.l_partkey = l1.l_partkey)
          |GROUP BY p_brand
          |ORDER BY p_brand""".stripMargin,
+    "q_join_tpch_q13" ->
+      """WITH co AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_join_tpch_q19" ->
+      s"""SELECT p_brand,
+         |  CAST(ROUND(SUM($discPriceSql), 2) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 35
+         |       AND l_quantity BETWEEN 20 AND 30)
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     // textbook nesting: IN (pairs beating the CORRELATED all-time
     // sum, pk IN promo) — the engine folds both sums into one pass
     "q_join_tpch_q20" ->

@@ -410,6 +410,51 @@ class PlanSpec extends SparkSpec {
       s"top-100 planned as a global sort:\n$p")
   }
 
+  test("q_join_tpch_q13: outer join preserved, priority filter pushed, both aggs partial") {
+    val df = Joins.qJoinTpchQ13(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val p = finalPlan(df)
+    // the exclusion filter lives on the ORDERS side only — pushed to
+    // its scan, and the join stays a null-preserving LeftOuter (the
+    // Q13 trap is a WHERE-side filter silently turning it inner and
+    // dropping the zero-order customers)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderpriority), Not(EqualTo(o_orderpriority,1-URGENT))"),
+      s"priority exclusion not pushed into the orders scan:\n$p")
+    import org.apache.spark.sql.execution.joins._
+    val outer = allNodes(plan).exists {
+      case j: BroadcastHashJoinExec => j.joinType.toString == "LeftOuter"
+      case j: SortMergeJoinExec => j.joinType.toString == "LeftOuter"
+      case j: ShuffledHashJoinExec => j.joinType.toString == "LeftOuter"
+      case _ => false
+    }
+    assert(outer, s"left join degenerated (zero-order customers lost):\n$p")
+    // both aggregation levels keep their map-side partial phase
+    assert(p.contains("partial_count"),
+      s"double aggregation lost its partial phases:\n$p")
+    assert(!p.contains("CartesianProduct"), s"Q13 went cartesian:\n$p")
+  }
+
+  test("q_join_tpch_q19: both single-side disjunctions derived and pushed into their scans") {
+    val df = Joins.qJoinTpchQ19(spark, sf("sf0.001"))
+    val p = finalPlan(df)
+    // the textbook mixed OR is written ONCE after the join — the
+    // optimizer must DERIVE the per-table implications
+    // (PushExtraPredicateThroughJoin) and push them: the
+    // quantity-range OR into the lineitem scan...
+    assert("PushedFilters: \\[[^\\]]*Or\\([^\\]]*l_quantity".r.findFirstIn(p).isDefined ||
+             "DataFilters: \\[[^\\]]*l_quantity[^\\]]*OR".r.findFirstIn(p).isDefined,
+      s"quantity disjunction not pushed to the lineitem scan:\n$p")
+    // ...and the brand/size OR into the part scan
+    assert("PushedFilters: \\[[^\\]]*Or\\([^\\]]*p_brand".r.findFirstIn(p).isDefined ||
+             "DataFilters: \\[[^\\]]*p_brand[^\\]]*OR".r.findFirstIn(p).isDefined,
+      s"brand/size disjunction not pushed to the part scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim did not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+             !p.contains("BroadcastNestedLoopJoin"),
+      s"Q19 degenerated to a non-equi join:\n$p")
+  }
+
   test("q_join_tpch_q20: nested semi chain folds to one fact pass; semi join equi-keyed") {
     val df = Joins.qJoinTpchQ20(spark, sf("sf0.001"))
     df.collect()

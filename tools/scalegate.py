@@ -61,6 +61,8 @@ DEFAULT_QUERIES = [
     'q_join_tpch_q20',           # one-pass folded nested chain (r17)
     'q_join_tpch_q22',           # anti + broadcast scalar stats (r17)
     'q_stream_asof_join',        # per-user argmax window pass (r17)
+    'q_join_tpch_q19',           # disjunctive pushdown fact scan (r17)
+    'q_join_tpch_q13',           # double aggregation over outer join (r17)
     # q_layout_snapshot_read is NOT gated: its clone cost is dominated
     # by the one-time content-keyed artifact builds (fragmented demo +
     # compacted rewrite of the whole clone lineitem), not by the
