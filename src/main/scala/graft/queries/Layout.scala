@@ -462,8 +462,48 @@ object Layout {
       .orderBy("version", "part")
   }
 
+  /** The incremental face's snapshot boundary: snap@t2 = every
+    * partition strictly BEFORE this month, snap@t3 = the full table —
+    * so the t2→t3 delta is the 1999+ ship months. CONTRACT constant
+    * (the oracle filters the same boundary). */
+  private[queries] val IncrementalBoundaryYm = 199901L
+
+  /** INCREMENTAL READ between two snapshots — the Delta CDF /
+    * Iceberg incremental-scan verb that completes the lakehouse
+    * family (plan → apply → snapshot read → incremental read): a
+    * consumer that already processed snapshot t2 reads ONLY the
+    * files snapshot t3 ADDED, never re-scanning the table. In an
+    * append-only table format a commit is a manifest delta, so two
+    * snapshots of the same physical table are two file lists and the
+    * increment is their set difference — here snap@t2 is the
+    * fragmented demo table's manifest restricted to pre-1999 ship
+    * months and snap@t3 the full manifest, so the delta is exactly
+    * the 1999+ partitions' files. The read aggregates the delta
+    * rows per month; the ORACLE computes the same months from source
+    * lineitem, so the hash gate proves the delta file set contains
+    * exactly the appended rows — no duplicates from t2, no gaps.
+    * LayoutSpec additionally pins the set algebra on the manifests
+    * (t2 ∩ delta = ∅, t2 ∪ delta = t3). At 100 TB the delta plan
+    * touches only the new files' bytes — the property that makes
+    * downstream incremental consumers O(append) instead of
+    * O(table). */
+  def qLayoutIncrementalRead(s: SparkSession, dir: String): DataFrame = {
+    val demo = compactDemoPath(s, dir)
+    val table = s"$demo/table"
+    val fs = hadoopFs(s, table)
+    val delta = partDirs(fs, table, "part")
+      .filter { case (part, _) => part >= IncrementalBoundaryYm }
+      .flatMap { case (_, d) => allParquetFiles(fs, d) }
+    s.read.option("basePath", table).parquet(delta: _*)
+      .groupBy(col("part").cast("long").as("part"))
+      .agg(count(lit(1)).as("n_rows"),
+           graft.sql.Det.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("part")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_layout_snapshot_read" -> (qLayoutSnapshotRead _),
+    "q_layout_incremental_read" -> (qLayoutIncrementalRead _),
     "q_layout_compaction" -> (qLayoutCompaction _),
     "q_layout_compaction_apply" -> (qLayoutCompactionApply _),
     "q_layout_hilbert" -> (qLayoutHilbert _),
@@ -547,6 +587,16 @@ object Layout {
          |UNION ALL
          |SELECT CAST(2 AS BIGINT) AS version, part, n_rows, sum_price FROM a
          |ORDER BY version, part""".stripMargin,
+    // the delta file set must contain exactly the appended months'
+    // rows: the oracle recomputes them from the source table
+    "q_layout_incremental_read" ->
+      s"""SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+         |    AS part,
+         |  COUNT(*) AS n_rows,
+         |  ${graft.sql.DetSql.dsum("l_extendedprice")} AS sum_price
+         |FROM lineitem
+         |WHERE year(l_shipdate) * 100 + month(l_shipdate) >= 199901
+         |GROUP BY 1 ORDER BY part""".stripMargin,
     "q_layout_hilbert" -> hilbertSql,
     "q_scan_dpp_months" ->
       s"""WITH m AS (

@@ -245,6 +245,29 @@ class LayoutSpec extends SparkSpec {
       "version-pinned reads diverged across the rewrite")
   }
 
+  test("incremental read: the snapshot delta is exact set algebra on the manifest") {
+    val dir = sf("sf0.01")
+    val demo = Layout.compactDemoPath(spark, dir)
+    val full = Layout.realManifest(spark, s"$demo/table")
+      .map { case (p, f, _) => (p, f) }.toSet
+    val t2 = full.filter(_._1 < 199901L)
+    // the delta the face reads = files of the >= 199901 partitions
+    val delta = full.filter(_._1 >= 199901L)
+    assert(t2.intersect(delta).isEmpty, "delta overlaps the t2 snapshot")
+    assert(t2.union(delta) === full, "t2 + delta does not reassemble t3")
+    assert(delta.nonEmpty, "the fixture has no 1999+ ship months")
+    // and the face's row total equals the appended rows exactly
+    val got = Layout.qLayoutIncrementalRead(spark, dir).collect()
+    val wantRows = graft.Tables.lineitem(spark, dir)
+      .filter(org.apache.spark.sql.functions.expr(
+        "year(l_shipdate) * 100 + month(l_shipdate) >= 199901"))
+      .count()
+    assert(got.map(_.getLong(1)).sum === wantRows,
+      "incremental read lost or duplicated appended rows")
+    // every month in the output is inside the delta window
+    assert(got.forall(_.getLong(0) >= 199901L), "pre-boundary month leaked")
+  }
+
   test("compacting a z-ordered table preserves its file-skipping quality") {
     // the interaction real OPTIMIZE implementations get wrong (round-15
     // verdict item): bin-packing a CLUSTERED table must group
