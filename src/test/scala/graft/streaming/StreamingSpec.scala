@@ -469,6 +469,79 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("two-stream as-of join: randomized bounded-disorder streams match the batch face (3 seeds)") {
+    // randomized parity: events arrive with BOUNDED disorder (arrival
+    // jitter strictly below the 10-minute watermark delay), which
+    // PROVES no row can be watermark-dropped — any earlier-arrived
+    // event k satisfies t_k <= t_i + 9 < t_i + 10, so the watermark
+    // when i lands is at most t_i - 1. Under that invariant the
+    // stream must reproduce the batch argmax EXACTLY on every
+    // finalized purchase, for any batch slicing — far stronger than
+    // one hand-built fixture.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    for (seed <- Seq(11L, 42L, 97L)) {
+      val rnd = new scala.util.Random(seed)
+      val events = (0 until 48).map { i =>
+        val user = 1L + rnd.nextInt(4)
+        val t = rnd.nextInt(240)
+        val isView = rnd.nextInt(10) < 7
+        (100L + i, user, t, isView)
+      }
+      val tMax = events.map(_._3).max
+      // arrival order = event time + jitter in [0, 9] minutes
+      val arrival = events.sortBy { case (id, _, t, _) =>
+        (t + rnd.nextInt(10), id)
+      }
+      // 5 contiguous arrival chunks; sentinels on BOTH streams at the
+      // end advance the min watermark past every real purchase
+      val cuts = Seq.fill(4)(rnd.nextInt(arrival.size)).sorted
+      val chunks = (Seq(0) ++ cuts ++ Seq(arrival.size)).sliding(2).toSeq
+        .map { case Seq(a, b) => arrival.slice(a, b) }
+      val pMem = MemoryStream[AsofJoin.Purchase]
+      val vMem = MemoryStream[AsofJoin.View]
+      val qname = s"asofjoin_prop_$seed"
+      val q = AsofJoin.join(pMem.toDS(), vMem.toDS(), delay = "10 minutes")
+        .writeStream.format("memory").queryName(qname)
+        .outputMode(AsofJoin.outputMode).start()
+      chunks.foreach { ch =>
+        val vs = ch.filter(_._4).map(e => AsofJoin.View(e._2, ts(e._3), e._1))
+        val ps = ch.filterNot(_._4)
+          .map(e => AsofJoin.Purchase(e._2, ts(e._3), e._1))
+        if (vs.nonEmpty) vMem.addData(vs: _*)
+        if (ps.nonEmpty) pMem.addData(ps: _*)
+        q.processAllAvailable()
+      }
+      pMem.addData(AsofJoin.Purchase(9L, ts(tMax + 30), 9000L))
+      vMem.addData(AsofJoin.View(9L, ts(tMax + 30), 9001L))
+      q.processAllAvailable()
+      pMem.addData(AsofJoin.Purchase(9L, ts(tMax + 60), 9002L))
+      vMem.addData(AsofJoin.View(9L, ts(tMax + 60), 9003L))
+      q.processAllAvailable()
+      q.stop()
+
+      val got = s.table(qname).as[AsofJoin.Joined].collect()
+        .filter(_.eventId < 9000L)
+        .map(e => e.eventId -> ((e.userId, e.tsu, e.viewId, e.viewTsu)))
+        .toMap
+      // driver-side batch reference: latest strictly-prior view by
+      // (tsu, id), over ALL real events (nothing was droppable)
+      def us(minute: Int): Long = ts(minute).getTime * 1000L
+      val views = events.filter(_._4)
+      val want = events.filterNot(_._4).map { case (id, u, t, _) =>
+        val cand = views.filter(v => v._2 == u && us(v._3) < us(t))
+        val best = cand.sortBy(v => (us(v._3), v._1)).lastOption
+        id -> ((u, us(t), best.map(_._1), best.map(v => us(v._3))))
+      }.toMap
+      assert(got.keySet === want.keySet,
+        s"seed $seed: finalized set mismatch (got ${got.keySet.size} vs ${want.keySet.size})")
+      got.foreach { case (id, row) =>
+        assert(want(id) === row, s"seed $seed: purchase $id diverged")
+      }
+    }
+  }
+
   test("readStream -> window agg -> parquet file sink with checkpoint") {
     val s = spark
     import s.implicits._
