@@ -446,14 +446,7 @@ object Layout {
       val files = partDirs(fs, table, "part")
         .filter { case (part, _) => part >= SnapshotYmLo && part <= SnapshotYmHi }
         .flatMap { case (_, d) => allParquetFiles(fs, d) }
-      // basePath keeps the hive partition columns; the explicit file
-      // list IS the snapshot pin
-      s.read.option("basePath", table).parquet(files: _*)
-        // hive partition inference types `part=` as INT; the contract
-        // (and the manifest) is BIGINT
-        .groupBy(col("part").cast("long").as("part"))
-        .agg(count(lit(1)).as("n_rows"),
-             graft.sql.Det.dsum(col("l_extendedprice")).as("sum_price"))
+      monthRollup(s, table, files)
         .select(lit(version).as("version"), col("part"),
                 col("n_rows"), col("sum_price"))
     }
@@ -461,6 +454,19 @@ object Layout {
       .unionByName(snapshot(2L, s"$applied/table"))
       .orderBy("version", "part")
   }
+
+  /** The manifest-pinned month rollup shared by the snapshot and
+    * incremental faces — ONE copy of the contract-bearing aggregate
+    * so the two can never drift on columns or decimal discipline.
+    * basePath keeps the hive partition columns; the explicit file
+    * list IS the snapshot pin. Partition inference types `part=` as
+    * INT; the contract (and the manifest) is BIGINT. */
+  private def monthRollup(s: SparkSession, table: String,
+                          files: Seq[String]): DataFrame =
+    s.read.option("basePath", table).parquet(files: _*)
+      .groupBy(col("part").cast("long").as("part"))
+      .agg(count(lit(1)).as("n_rows"),
+           graft.sql.Det.dsum(col("l_extendedprice")).as("sum_price"))
 
   /** The incremental face's snapshot boundary: snap@t2 = every
     * partition strictly BEFORE this month, snap@t3 = the full table —
@@ -494,11 +500,7 @@ object Layout {
     val delta = partDirs(fs, table, "part")
       .filter { case (part, _) => part >= IncrementalBoundaryYm }
       .flatMap { case (_, d) => allParquetFiles(fs, d) }
-    s.read.option("basePath", table).parquet(delta: _*)
-      .groupBy(col("part").cast("long").as("part"))
-      .agg(count(lit(1)).as("n_rows"),
-           graft.sql.Det.dsum(col("l_extendedprice")).as("sum_price"))
-      .orderBy("part")
+    monthRollup(s, table, delta).orderBy("part")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -51,8 +51,10 @@ def main():
         re.search(r'val pin = (\d+)', smoke)
     pin = int(m.group(1))
     survey = open(os.path.join(ROOT, 'SURVEY.md')).read()
-    survey_rows = len(set(re.findall(r'^\| `(q_[a-z0-9_]+)` \|',
-                                     survey, re.M)))
+    # the ONE copy of the 2B-row regex: the pin-parity check and the
+    # stray-dump check below must agree on what a registered row is
+    survey_keys = set(re.findall(r'^\| `(q_[a-z0-9_]+)` \|', survey, re.M))
+    survey_rows = len(survey_keys)
     print(f'registry pin:   {pin}')
     print(f'survey 2B rows: {survey_rows}')
     if pin != survey_rows:
@@ -74,14 +76,14 @@ def main():
     # close would otherwise quote a hand-derived 208/26)
     if '--verify-out' in sys.argv:
         vout = flag_value('--verify-out')
-        oracle_keys = json.load(open(os.path.join(vout, 'oracle_sql.json')))
+        oracle_path = os.path.join(vout, 'oracle_sql.json')
+        oracle_keys = json.load(open(oracle_path))
         n_or = len(oracle_keys)
         # the dump must describe THIS registry, not a stale run from an
         # older tree (round-16 advice item: a stale dump was quoted
         # silently) — every dumped oracle key must be a registered
         # SURVEY 2B row and the oracle count can never exceed the pin
-        stray = sorted(set(oracle_keys) - set(re.findall(
-            r'^\| `(q_[a-z0-9_]+)` \|', survey, re.M)))
+        stray = sorted(set(oracle_keys) - survey_keys)
         if stray:
             print(f'MISMATCH: stale verify dump — {len(stray)} oracle '
                   f'key(s) not in the SURVEY 2B registry: '
@@ -91,6 +93,17 @@ def main():
             print(f'MISMATCH: stale verify dump — {n_or} oracle keys '
                   f'exceed the registry pin {pin}')
             ok = False
+        # the subset checks above cannot catch an OLDER dump whose keys
+        # are all still registered (round-17 review finding) — at close
+        # the dump must also POSTDATE every file under src/main, i.e.
+        # come from a Verify run of the current build
+        if '--at-close' in sys.argv:
+            main_mtime = newest_mtime(os.path.join(ROOT, 'src/main'))
+            if os.path.getmtime(oracle_path) < main_mtime:
+                print(f'MISMATCH: {oracle_path} predates the newest file '
+                      f'under src/main — re-run graft.Verify on the '
+                      f'current build before quoting its split')
+                ok = False
         print(f'verify dump {vout}: {pin} queries = '
               f'{n_or} oracle-gated + {pin - n_or} rows-only')
     # sort by the NUMERIC round suffix, not lexicographically — a

@@ -142,6 +142,17 @@ def main():
             exp_rows = math.log(big['rows']) / math.log(scale)
             print(f'WARN {q}: rows went 0 -> {big["rows"]} between '
                   f'clones; output exponent computed against 1 row')
+        elif small['rows'] > 0:
+            # N -> 0 rows between the clones is a BROKEN face, not a
+            # scaling question (e.g. a literal predicate the
+            # key-shifted clone no longer satisfies): its runtime
+            # collapses with it, so the time exponent looks healthy —
+            # fail the gate by name instead of passing silently
+            # (round-17 review finding, the mirror of the 0->N case)
+            failed.append((q, f'rows collapsed {small["rows"]} -> 0 at '
+                              f'the big clone — face broken at scale, '
+                              f'not gated on time'))
+            exp_rows = 0.0
         else:
             exp_rows = 0.0
         allowed = max(args.max_exp, exp_rows)
