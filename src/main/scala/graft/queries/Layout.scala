@@ -503,8 +503,76 @@ object Layout {
     monthRollup(s, table, delta).orderBy("part")
   }
 
+  /** The MERGE changeset's partition window and row predicate —
+    * CONTRACT constants (the oracle applies the identical update). */
+  private[queries] val MergeYmLo = 199701L
+  private[queries] val MergeYmHi = 199712L
+  private val mergeVersion = "merge-upsert-1997-ok3-x2-v1"
+
+  /** The copy-on-write MERGE artifact: ONLY the touched (1997)
+    * partitions, rewritten with the update applied. Touched-partition
+    * discovery is manifest METADATA (the changeset is keyed by ship
+    * month, so the file-level pruning a real MERGE does against
+    * column stats collapses to partition pruning here). The doubling
+    * update is exact in both engines (×2 never rounds a double). */
+  private[queries] def mergeUpsertPath(s: SparkSession, dir: String): String = {
+    val demo = compactDemoPath(s, dir)
+    graft.ArtifactStore.ensure(graft.ArtifactStore.cachePath("merge_upsert",
+      graft.ArtifactStore.contentKey(s"$dir/lineitem.parquet",
+        s"$compactDemoVersion-$mergeVersion"))) { tmp =>
+      val fs = hadoopFs(s, s"$demo/table")
+      val touched = partDirs(fs, s"$demo/table", "part")
+        .filter { case (p, _) => p >= MergeYmLo && p <= MergeYmHi }
+        .flatMap { case (_, d) => allParquetFiles(fs, d) }
+      s.read.option("basePath", s"$demo/table").parquet(touched: _*)
+        .withColumn("l_extendedprice",
+          when(col("l_orderkey") % 3 === 0, col("l_extendedprice") * 2)
+            .otherwise(col("l_extendedprice")))
+        .repartition(12, col("part"))
+        .sortWithinPartitions("part", "l_orderkey", "l_linenumber")
+        .write.partitionBy("part").mode("overwrite").parquet(s"$tmp/table")
+    }
+  }
+
+  /** MERGE / COPY-ON-WRITE UPSERT — the last lakehouse verb in the
+    * family (plan → apply → snapshot read → incremental read →
+    * MERGE): apply a keyed changeset (double the price of every
+    * orderkey ≡ 0 mod 3 line shipped in 1997) to the fragmented
+    * table WITHOUT rewriting the table — only the touched
+    * partitions' rows are rewritten into a NEW artifact, and the
+    * merged snapshot's manifest is (base files for untouched months)
+    * ∪ (merge-artifact files for touched months): the new snapshot
+    * REFERENCES the old files, which is exactly what copy-on-write
+    * means in Delta/Iceberg — an update to 1 year of a 7-year table
+    * costs O(touched partitions), and time travel to the pre-merge
+    * snapshot stays free because the base files are never modified
+    * (LayoutSpec pins them byte-identical, pins the merge artifact
+    * to ONLY the touched window, and pins zero row loss). The face
+    * serves the month rollup over the MERGED manifest; the ORACLE
+    * applies the identical CASE update to source lineitem, so the
+    * hash gate proves the assembled snapshot equals the logically
+    * merged table — untouched months unchanged, touched months
+    * updated, no duplicates and no gaps at the seam. */
+  def qLayoutMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val demo = compactDemoPath(s, dir)
+    val merged = mergeUpsertPath(s, dir)
+    val fsB = hadoopFs(s, s"$demo/table")
+    val untouched = partDirs(fsB, s"$demo/table", "part")
+      .filter { case (p, _) => p < MergeYmLo || p > MergeYmHi }
+      .flatMap { case (_, d) => allParquetFiles(fsB, d) }
+    val fsM = hadoopFs(s, s"$merged/table")
+    val touched = partDirs(fsM, s"$merged/table", "part")
+      .flatMap { case (_, d) => allParquetFiles(fsM, d) }
+    // partition sets are disjoint by construction, so the per-month
+    // rollups can aggregate each side independently and union
+    monthRollup(s, s"$demo/table", untouched)
+      .unionByName(monthRollup(s, s"$merged/table", touched))
+      .orderBy("part")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_layout_snapshot_read" -> (qLayoutSnapshotRead _),
+    "q_layout_merge_upsert" -> (qLayoutMergeUpsert _),
     "q_layout_incremental_read" -> (qLayoutIncrementalRead _),
     "q_layout_compaction" -> (qLayoutCompaction _),
     "q_layout_compaction_apply" -> (qLayoutCompactionApply _),
@@ -589,6 +657,20 @@ object Layout {
          |UNION ALL
          |SELECT CAST(2 AS BIGINT) AS version, part, n_rows, sum_price FROM a
          |ORDER BY version, part""".stripMargin,
+    // the merged snapshot must equal the logically-updated table:
+    // the oracle applies the identical CASE update to source rows
+    "q_layout_merge_upsert" ->
+      s"""SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+         |    AS part,
+         |  COUNT(*) AS n_rows,
+         |  CAST(ROUND(SUM(CAST(
+         |    CASE WHEN year(l_shipdate) * 100 + month(l_shipdate)
+         |           BETWEEN 199701 AND 199712
+         |         AND l_orderkey % 3 = 0
+         |    THEN l_extendedprice * 2 ELSE l_extendedprice END
+         |    AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
+         |FROM lineitem
+         |GROUP BY 1 ORDER BY part""".stripMargin,
     // the delta file set must contain exactly the appended months'
     // rows: the oracle recomputes them from the source table
     "q_layout_incremental_read" ->

@@ -268,6 +268,48 @@ class LayoutSpec extends SparkSpec {
     assert(got.forall(_.getLong(0) >= 199901L), "pre-boundary month leaked")
   }
 
+  test("merge upsert: copy-on-write — base files untouched, artifact holds only the touched window, zero row loss") {
+    val dir = sf("sf0.01")
+    val demo = Layout.compactDemoPath(spark, dir)
+    val before = Layout.realManifest(spark, s"$demo/table")
+    // force the merge artifact + get the served rollup
+    val out = Layout.qLayoutMergeUpsert(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // CoW contract on footers: publishing the merge modified NO base
+    // file — time travel to the pre-merge snapshot stays free
+    val after = Layout.realManifest(spark, s"$demo/table")
+    assert(after === before, "merge publish modified the base snapshot")
+    // the merge artifact contains ONLY the touched window's partitions
+    val merged = Layout.mergeUpsertPath(spark, dir)
+    val artParts = Layout.realManifest(spark, s"$merged/table")
+      .map(_._1).distinct
+    assert(artParts.nonEmpty &&
+             artParts.forall(p => p >= 199701L && p <= 199712L),
+      s"merge artifact leaked outside the touched window: $artParts")
+    // zero row loss across the seam, and every source month served
+    val src = graft.Tables.lineitem(spark, dir)
+    assert(out.map(_._2).sum === src.count(),
+      "merged snapshot lost or duplicated rows")
+    val wantMonths = src.selectExpr(
+        "CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet === wantMonths, "month set mismatch")
+    // the update actually landed: every touched month's sum differs
+    // from the pre-merge rollup (prices only ever doubled, never
+    // reduced, and every 1997 month has some orderkey % 3 == 0 line)
+    val pre = graft.Tables.lineitem(spark, dir)
+      .filter(org.apache.spark.sql.functions.expr(
+        "year(l_shipdate) = 1997"))
+      .groupBy(org.apache.spark.sql.functions.expr(
+        "CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)").as("ym"))
+      .agg(graft.sql.Det.dsum(org.apache.spark.sql.functions.col("l_extendedprice")).as("sp"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.filter(t => t._1 >= 199701L && t._1 <= 199712L).foreach {
+      case (ym, _, sp) =>
+        assert(sp > pre(ym), s"month $ym: merge update did not land")
+    }
+  }
+
   test("compacting a z-ordered table preserves its file-skipping quality") {
     // the interaction real OPTIMIZE implementations get wrong (round-15
     // verdict item): bin-packing a CLUSTERED table must group
