@@ -18,7 +18,7 @@ object Bench {
     * physical machine underneath). The canary makes that shift visible
     * in-artifact: divide cross-round query deltas by the canary ratio
     * before calling anything a regression. */
-  private def cpuCanary(): Double = {
+  private[graft] def cpuCanary(): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
       var x = 0x9e3779b97f4a7c15L
@@ -47,7 +47,7 @@ object Bench {
     * r14/r15 artifacts. Divide an alloc-heavy query's cross-round
     * delta by THIS ratio before calling it a regression
     * (docs/bench-tail-triage.md, round-16 section). */
-  private def membwCanary(): Double = {
+  private[graft] def membwCanary(): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
       var s = 0L
@@ -77,11 +77,11 @@ object Bench {
     * advice item: a hardcoded 32 on a smaller host measures scheduler
     * contention, not parallel bandwidth) and recorded in the emitted
     * JSON so cross-round canary ratios are only compared like-for-like. */
-  private val membwParThreads: Int =
+  private[graft] val membwParThreads: Int =
     sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption)
       .getOrElse(Runtime.getRuntime.availableProcessors)
 
-  private def membwParCanary(): Double = {
+  private[graft] def membwParCanary(): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
       val threads = (1 to membwParThreads).map { t =>

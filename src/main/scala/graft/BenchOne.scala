@@ -44,19 +44,31 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadStart = loadavg()
+    // the par-membw canary pair IS the arbitration precondition (the
+    // r16→r17 lesson: read it FIRST — a 43 s vs flat ~13 s pair means
+    // the host is contended and the reps mean nothing), so record it
+    // in-artifact exactly like the full Bench does
+    val membwParStart = Bench.membwParCanary()
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // same per-rep sweep as Bench: stale localCheckpoint blocks and
+      // plan caches otherwise make later reps measure cache pressure
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
+      dt
     }
+    val membwParEnd = Bench.membwParCanary()
     val loadEnd = loadavg()
     def jarr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
     val sorted = times.sorted
     println(
-      s"""{"query":"$name","reps":${jarr(times)},"median":${sorted(sorted.size / 2)},"min":${sorted.head},"loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"sf":"$sfDir"}""")
+      s"""{"query":"$name","reps":${jarr(times)},"median":${sorted(sorted.size / 2)},"min":${sorted.head},"loadavg_start":${jarr(loadStart)},"loadavg_end":${jarr(loadEnd)},"membw_par_canary_sec":[$membwParStart,$membwParEnd],"membw_par_threads":${Bench.membwParThreads},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

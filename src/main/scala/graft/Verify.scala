@@ -55,6 +55,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // build-keyed provenance (round-17 advice item): record the hash
+    // of the source tree this dump was built from — sbt runMain
+    // recompiles first, so src/main at run time IS the running build.
+    // counts.py --at-close recomputes and compares instead of mtimes.
+    val srcHash = Provenance.treeHash(Provenance.repoRoot, Seq("src/main"))
+    Files.writeString(Paths.get(s"$outDir/provenance.json"),
+      s"""{"src_main_hash": "$srcHash"}""")
     spark.stop()
   }
 }

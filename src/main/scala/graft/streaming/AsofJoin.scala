@@ -26,7 +26,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Finalization rule (same argument as AsofEnrich): a purchase at
   * event time `tp` is emitted once the operator watermark passes
   * `tp` — until then a view with `tv < tp` may still legally arrive on
-  * the view stream. Emitted exactly once, Append mode.
+  * the view stream. Emitted exactly once, Append mode. The converse
+  * lateness rule is enforced too: a purchase ARRIVING at/below the
+  * watermark is dropped (the view state it would join against is
+  * already argmax-compacted, so any answer would be best-effort, not
+  * batch-equal — beyond-lateness rows get no result, exactly like
+  * Spark's built-in stream-stream joins).
   *
   * State is BOUNDED per key — the 100 TB property: views at or below
   * the watermark can never be told apart by any still-open purchase
@@ -84,12 +89,23 @@ object AsofJoin {
       Buf(Long.MinValue, Long.MinValue, Nil, Nil))
     var views = prev.views
     var purchases = prev.purchases
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
     rows.foreach { e =>
       val t = tsUs(e.ts)
+      // Spark does NOT drop below-watermark input for
+      // flatMapGroupsWithState — the operator owns the lateness rule.
+      // A purchase arriving with tp <= watermark would finalize
+      // immediately against the already-compacted view state (views
+      // with tv < tp that lost the argmax compaction are gone), so its
+      // answer could silently differ from batch semantics: DROP it,
+      // mirroring the finalization contract's lateness rule (a row
+      // later than the allowed delay gets no result — round-17 advice
+      // item). A below-watermark VIEW is safe to keep: every still-open
+      // purchase has tp > wm >= tv, so folding it into the compacted
+      // argmax only refines matches the same way an on-time view would.
       if (e.isView) views ::= (t, e.eventId)
-      else purchases ::= (t, e.eventId)
+      else if (t > wmUs) purchases ::= (t, e.eventId)
     }
-    val wmUs = state.getCurrentWatermarkMs() * 1000L
     val (done, open) = purchases.partition(_._1 <= wmUs)
     val out = done.sortBy(identity).map { case (tp, id) =>
       val cand = ((prev.compactTsu, prev.compactId) :: views)

@@ -34,13 +34,28 @@ def flag_value(flag):
     return sys.argv[i + 1]
 
 
-def newest_mtime(root):
-    """Newest file mtime under `root` (0 if absent)."""
-    latest = 0.0
-    for dirpath, _, names in os.walk(root):
-        for n in names:
-            latest = max(latest, os.path.getmtime(os.path.join(dirpath, n)))
-    return latest
+def tree_hash(roots):
+    """sha256 over every regular file under the given repo-relative
+    roots, sorted by unix-style relative path, each contributing
+    `relpath \\0 bytes \\0` — MUST stay in lock-step with
+    graft.Provenance.treeHash (the Scala twin that stamps Verify dumps
+    and the sbt log). Replaces the old mtime comparison, which a fresh
+    git checkout falsified both ways (round-17 advice item)."""
+    import hashlib
+    md = hashlib.sha256()
+    files = []
+    for r in roots:
+        root = os.path.join(ROOT, r)
+        for dirpath, dirnames, names in os.walk(root):
+            dirnames.sort()
+            for n in names:
+                p = os.path.join(dirpath, n)
+                if os.path.isfile(p):
+                    files.append((os.path.relpath(p, ROOT).replace(os.sep, '/'), p))
+    for rel, p in sorted(files):
+        md.update(rel.encode('utf-8')); md.update(b'\0')
+        md.update(open(p, 'rb').read()); md.update(b'\0')
+    return md.hexdigest()
 
 
 def main():
@@ -95,15 +110,27 @@ def main():
             ok = False
         # the subset checks above cannot catch an OLDER dump whose keys
         # are all still registered (round-17 review finding) — at close
-        # the dump must also POSTDATE every file under src/main, i.e.
-        # come from a Verify run of the current build
+        # the dump must carry the BUILD-KEYED provenance hash graft.Verify
+        # stamps (provenance.json, sha256 of src/main at run time) and it
+        # must equal the current tree's hash. Content keying, not mtimes:
+        # a fresh checkout can't falsify it, and a missing stamp fails
+        # loudly instead of passing silently (round-17 advice item).
         if '--at-close' in sys.argv:
-            main_mtime = newest_mtime(os.path.join(ROOT, 'src/main'))
-            if os.path.getmtime(oracle_path) < main_mtime:
-                print(f'MISMATCH: {oracle_path} predates the newest file '
-                      f'under src/main — re-run graft.Verify on the '
-                      f'current build before quoting its split')
+            prov_path = os.path.join(vout, 'provenance.json')
+            if not os.path.isfile(prov_path):
+                print(f'MISMATCH: {prov_path} missing — the dump predates '
+                      f'the provenance stamp; re-run graft.Verify on the '
+                      f'current build')
                 ok = False
+            else:
+                stamped = json.load(open(prov_path)).get('src_main_hash')
+                current = tree_hash(['src/main'])
+                if stamped != current:
+                    print(f'MISMATCH: verify dump was built from a '
+                          f'different src/main (stamped {stamped[:12]}…, '
+                          f'current {current[:12]}…) — re-run graft.Verify '
+                          f'before quoting its split')
+                    ok = False
         print(f'verify dump {vout}: {pin} queries = '
               f'{n_or} oracle-gated + {pin - n_or} rows-only')
     # sort by the NUMERIC round suffix, not lexicographically — a
@@ -145,18 +172,27 @@ def main():
 
     if '--sbt-log' in sys.argv:
         log_path = flag_value('--sbt-log')
-        # close-time provenance (round-16 judge item: the r16 close
-        # quoted a log predating the last four commits): the quoted sbt
-        # log must POSTDATE every file under src/test, or the count it
-        # reports describes an older suite
-        if '--at-close' in sys.argv:
-            tests_mtime = newest_mtime(os.path.join(ROOT, 'src/test'))
-            if os.path.getmtime(log_path) < tests_mtime:
-                print(f'MISMATCH: {log_path} predates the newest file '
-                      f'under src/test — re-run `sbt -batch test | tee` '
-                      f'after the final test change')
-                ok = False
         log = open(log_path).read()
+        # close-time provenance (round-16 judge item, re-keyed to content
+        # round 18): ProvenanceSpec prints `PROVENANCE src_hash=<sha256 of
+        # src/main+src/test>` into every suite run, so the log itself
+        # certifies WHICH tree it tested — compare against the current
+        # tree instead of mtimes (round-17 advice item)
+        if '--at-close' in sys.argv:
+            pm = re.search(r'PROVENANCE src_hash=([0-9a-f]{64})', log)
+            if not pm:
+                print(f'MISMATCH: no PROVENANCE line in {log_path} — the '
+                      f'log predates ProvenanceSpec; re-run '
+                      f'`sbt -batch test | tee`')
+                ok = False
+            else:
+                current = tree_hash(['src/main', 'src/test'])
+                if pm.group(1) != current:
+                    print(f'MISMATCH: sbt log tested a different tree '
+                          f'(stamped {pm.group(1)[:12]}…, current '
+                          f'{current[:12]}…) — re-run `sbt -batch test | '
+                          f'tee` after the final source change')
+                    ok = False
         # strip ANSI color codes sbt leaves in a captured log
         log = re.sub(r'\x1b\[[0-9;]*m', '', log)
         tests = re.findall(r'Tests: succeeded (\d+), failed (\d+)', log)

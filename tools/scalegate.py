@@ -152,28 +152,38 @@ def main():
             failed.append((q, f'rows collapsed {small["rows"]} -> 0 at '
                               f'the big clone — face broken at scale, '
                               f'not gated on time'))
-            exp_rows = 0.0
+            # a broken face's time exponent is meaningless — keep it out
+            # of the exponent table and the worst-line, like the
+            # missing-probe branch (round-17 advice item)
+            continue
         else:
             exp_rows = 0.0
-        allowed = max(args.max_exp, exp_rows)
+        # ADDITIVE output bound (round-16/17 carried advice item): the
+        # documented contract is work <= O(input^max_exp + output), so
+        # the time budget is t_small*scale^max_exp (the input term)
+        # PLUS c*(rows_big/rows_small)*t_small (output writing at the
+        # small clone's whole-face rate, c=1 — generous, since writing
+        # is never slower per row than the full face). Unlike the old
+        # max(exp, exp_rows) rule, a quadratic face whose output also
+        # happens to grow quadratically can no longer hide: its input
+        # term blows the additive budget even when the exponents tie.
+        ratio_rows = (big['rows'] / max(small['rows'], 1)) if big['rows'] > 0 else 0.0
+        t_allowed = t_small * scale ** args.max_exp + ratio_rows * t_small
         if exp_rows > args.max_exp:
-            # the output-aware allowance is weaker than the documented
-            # work <= O(input^max_exp + output) bound when output
-            # writing is a negligible runtime share (round-16 advice
-            # item) — make every allowance raise visible in the gate
-            # output so a quadratic hiding under it is reviewable
-            print(f'WARN {q}: output exponent {exp_rows:.2f} raises the '
-                  f'allowance above max-exp {args.max_exp} — time '
-                  f'exponent {exp:.2f} is gated against output growth, '
-                  f'review that output writing dominates the delta')
+            print(f'WARN {q}: output exponent {exp_rows:.2f} above '
+                  f'max-exp {args.max_exp} — additive budget '
+                  f'{t_allowed:.2f}s includes the {ratio_rows:.0f}x '
+                  f'output term; time exponent {exp:.2f}')
         rows.append((q, small['min'], big['min'], exp,
                      small['rows'], big['rows']))
         if exp > worst[1]:
             worst = (q, exp)
-        if exp > allowed:
-            failed.append((q, f'exponent {exp:.2f} > allowed {allowed:.2f} '
-                              f'(max of {args.max_exp} and output exp '
-                              f'{exp_rows:.2f})'))
+        if t_big > t_allowed:
+            failed.append((q, f'time {t_big:.2f}s > additive budget '
+                              f'{t_allowed:.2f}s '
+                              f'({t_small:.2f}*{scale:.0f}^{args.max_exp}'
+                              f' + {ratio_rows:.1f}x output term); '
+                              f'exp {exp:.2f}, output exp {exp_rows:.2f}'))
 
     print('| query | 10x min (s) | 100x min (s) | exp 10->100x | rows 10x/100x |')
     print('|---|---|---|---|---|')
