@@ -549,7 +549,110 @@ object StreamingQ {
       .orderBy("event_id")
   }
 
+  /** The CDC→lakehouse chain's commit boundary — event-time µs of
+    * 2024-01-16T00:00:00Z, mid-corpus of the 2024-01 events feed.
+    * CONTRACT constant: the oracle splits the feed at the same
+    * instant. */
+  private[queries] val CdcCommitBoundaryUs = 1705363200000000L
+  private val cdcLakehouseVersion = "cdc-lakehouse-2commit-v1"
+
+  /** The last-writer-wins state of a change feed — ONE spelling of
+    * the argmax shared by the upsert face, both lakehouse commits and
+    * the snapshot resolver, so none can drift on the (tsu, event_id)
+    * total order. */
+  private def lwwState(df: DataFrame): DataFrame =
+    df.select(col("user_id"),
+        struct(unix_micros(col("ts")).as("tsu"), col("event_id"),
+               col("event_type"), col("value")).as("st"))
+      .groupBy("user_id")
+      .agg(max(col("st")).as("last"))
+      .select(col("user_id"), col("last.tsu").as("last_tsu"),
+              col("last.event_id").as("last_event_id"),
+              col("last.event_type").as("last_type"),
+              col("last.value").as("last_value"))
+
+  /** The CDC→VERSIONED-TABLE artifact: two upsert commits of the
+    * events change feed into one logical table. Commit 1 = the
+    * resolved state after the first half of the feed; commit 2 = ONLY
+    * the keys whose state changed in the second half (exactly what a
+    * streaming foreachBatch upsert writer commits — O(changed keys),
+    * never a state rewrite). The artifact carries its own manifest
+    * per the round-17 item-3 discipline. */
+  private[queries] def cdcLakehousePath(s: SparkSession, dir: String): String =
+    graft.ArtifactStore.ensure(graft.ArtifactStore.cachePath("cdc_lakehouse",
+      graft.ArtifactStore.contentKey(s"$dir/events.parquet",
+        cdcLakehouseVersion))) { tmp =>
+      val ev = Tables.events(s, dir)
+      val st1 = lwwState(ev.filter(unix_micros(col("ts")) < CdcCommitBoundaryUs))
+        .localCheckpoint(true)
+      st1.coalesce(1).write.mode("overwrite").parquet(s"$tmp/c1")
+      // a key's state changed iff its overall argmax differs from its
+      // pre-boundary argmax — (tsu, event_id) is unique, so comparing
+      // the winning event_id suffices
+      val delta = lwwState(ev)
+        .join(st1.select(col("user_id"),
+                         col("last_event_id").as("prev_event_id")),
+              Seq("user_id"), "left")
+        .filter(col("prev_event_id").isNull ||
+                col("last_event_id") =!= col("prev_event_id"))
+        .drop("prev_event_id")
+      delta.coalesce(1).write.mode("overwrite").parquet(s"$tmp/c2")
+      Layout.writeArtifactManifest(tmp)
+    }
+
+  /** STREAMING CDC → VERSIONED TABLE ROUND TRIP (round-17 verdict
+    * item 6) — the end-to-end a production pipeline actually runs,
+    * pinning the exactly-once handoff between the two green families:
+    * a CDC upsert feed committed into a snapshot chain
+    * ([[cdcLakehousePath]]: commit 1 = first-half state, commit 2 =
+    * the second half's changed keys only), then served BACK from the
+    * table — snapshot 1 (commit 1), snapshot 2 (commits 1+2 resolved
+    * last-writer-wins per key), and the INCREMENTAL read (commit 2
+    * alone, what a downstream consumer processes without re-scanning
+    * state). File sets resolve from the artifact's persisted
+    * manifest; the reader-side resolve is the same max-struct argmax
+    * as every CDC face — at 100 TB this is Delta/Iceberg MERGE
+    * semantics with the merge-on-read resolve in the reader.
+    *
+    * The ORACLE recomputes all three versions from the raw feed
+    * (v1 = last state of pre-boundary events; v2 = last state of all
+    * events; v3/delta = post-boundary-active users' final state), so
+    * the hash gate proves no row was lost, duplicated or stale-served
+    * across the stream→table→reader handoff. The true streaming twin
+    * (MemoryStream batches split at the same boundary, foreachBatch
+    * Update-mode commits) is pinned equal to this batch face in
+    * StreamingSpec. */
+  def qStreamCdcLakehouse(s: SparkSession, dir: String): DataFrame = {
+    val root = cdcLakehousePath(s, dir)
+    def commit(sub: String): DataFrame =
+      s.read.parquet(Layout.manifestEntries(root)
+        .filter(_._1.startsWith(sub + "/"))
+        .map { case (rel, _) => s"$root/$rel" }: _*)
+    val c1 = commit("c1")
+    val c2 = commit("c2")
+    // snapshot 2 = last-writer-wins across commits: same argmax
+    // struct order as the feed-level resolve (commit 2's rows always
+    // carry newer (tsu, event_id) for their keys by construction)
+    val v2 = c1.unionByName(c2)
+      .groupBy("user_id")
+      .agg(max(struct(col("last_tsu"), col("last_event_id"),
+                      col("last_type"), col("last_value"))).as("st"))
+      .select(col("user_id"), col("st.last_type").as("last_type"),
+              col("st.last_value").as("last_value"))
+    def roll(df: DataFrame, version: Long): DataFrame =
+      df.groupBy(col("last_type"))
+        .agg(count(lit(1)).as("n_users"), dsum(col("last_value")).as("sum_value"))
+        .select(lit(version).as("version"), col("last_type"),
+                col("n_users"), col("sum_value"))
+    roll(c1.select(col("user_id"), col("last_type"), col("last_value")), 1L)
+      .unionByName(roll(v2, 2L))
+      .unionByName(roll(c2.select(col("user_id"), col("last_type"),
+                                  col("last_value")), 3L))
+      .orderBy("version", "last_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_cdc_lakehouse" -> (qStreamCdcLakehouse _),
     "q_stream_asof" -> (qStreamAsof _),
     "q_stream_asof_join" -> (qStreamAsofJoin _),
     "q_stream_cdc_scd2" -> (qStreamCdcScd2 _),
@@ -640,6 +743,43 @@ object StreamingQ {
         |      ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // the three versions recomputed from the RAW feed: v1 = state of
+    // the pre-boundary prefix, v2 = state of the whole feed, v3 = the
+    // post-boundary-active keys' final state (exactly the commit-2
+    // delta: a key changes iff it has any event at/after the boundary)
+    "q_stream_cdc_lakehouse" ->
+      s"""WITH last_all AS (
+         |  SELECT user_id, event_type AS last_type, value AS last_value
+         |  FROM (
+         |    SELECT user_id, event_type, value,
+         |      ROW_NUMBER() OVER (PARTITION BY user_id
+         |        ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events)
+         |  WHERE rn = 1),
+         |last_pre AS (
+         |  SELECT user_id, event_type AS last_type, value AS last_value
+         |  FROM (
+         |    SELECT user_id, event_type, value,
+         |      ROW_NUMBER() OVER (PARTITION BY user_id
+         |        ORDER BY ts DESC, event_id DESC) AS rn
+         |    FROM events WHERE epoch_us(ts) < ${CdcCommitBoundaryUs})
+         |  WHERE rn = 1),
+         |changed AS (
+         |  SELECT DISTINCT user_id FROM events
+         |  WHERE epoch_us(ts) >= ${CdcCommitBoundaryUs})
+         |SELECT CAST(1 AS BIGINT) AS version, last_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  ${D.dsum("last_value")} AS sum_value
+         |FROM last_pre GROUP BY 2
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), last_type, CAST(COUNT(*) AS BIGINT),
+         |  ${D.dsum("last_value")}
+         |FROM last_all GROUP BY 2
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), last_type, CAST(COUNT(*) AS BIGINT),
+         |  ${D.dsum("last_value")}
+         |FROM last_all JOIN changed USING (user_id) GROUP BY 2
+         |ORDER BY version, last_type""".stripMargin,
     "q_stream_topk" ->
       s"""WITH hourly AS (
          |  SELECT ($esSql // 3600) * 3600 AS ws, event_type,

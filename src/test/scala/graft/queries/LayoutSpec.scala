@@ -392,4 +392,101 @@ class LayoutSpec extends SparkSpec {
     // where the skip ratio is real, not a 2-file artifact
     zorderProof(dir, 32)
   }
+
+  test("persisted manifests are honest: stored == live listing (round-18 serve-path contract)") {
+    val dir = sf("sf0.01")
+    // the serve paths now plan EXCLUSIVELY from manifest.tsv — this
+    // pin is what makes that safe: the manifest written at build time
+    // must equal a live (name, size) listing of the published table
+    val demo = Layout.compactDemoPath(spark, dir)
+    assert(Layout.storedManifest(spark, demo) ===
+             Layout.realManifest(spark, s"$demo/table"),
+      "demo artifact's persisted manifest drifted from its footers")
+    val plan = Layout.planBins(Layout.storedManifest(spark, demo),
+                               Layout.CompactTargetBytes)
+    val applied = Layout.compactAppliedPath(spark, dir, plan)
+    // the applied table is two-level (part=/bin=) — compare at full
+    // relative-path granularity against a live recursive walk
+    val stored = Layout.manifestEntries(applied)
+      .filter(_._1.startsWith("table/")).toSet
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+    val root = new java.io.File(s"$applied/table")
+    val live = walk(root).filter(_.getName.endsWith(".parquet"))
+      .map(f => ("table/" + root.toPath.relativize(f.toPath).toString
+                   .replace(java.io.File.separatorChar, '/'),
+                 f.length())).toSet
+    assert(stored === live,
+      "applied artifact's persisted manifest drifted from its footers")
+  }
+
+  test("merge-on-read: zero data-file rewrites, DV-delta parity, reader equals copy-on-write") {
+    val dir = sf("sf0.01")
+    val demo = Layout.compactDemoPath(spark, dir)
+    val before = Layout.realManifest(spark, s"$demo/table")
+    val morOut = Layout.qLayoutMergeMor(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the MoR pin OPPOSITE the CoW face's: the commit rewrote NO data
+    // file anywhere — base untouched AND the artifact itself holds
+    // only the deletion vector and the delta, never copied base rows
+    val after = Layout.realManifest(spark, s"$demo/table")
+    assert(after === before, "MoR commit modified a base file")
+    val mor = Layout.mergeMorPath(spark, dir)
+    val ents = Layout.manifestEntries(mor)
+    assert(ents.nonEmpty &&
+             ents.forall(e => e._1.startsWith("dv/") ||
+                              e._1.startsWith("delta/")),
+      s"MoR artifact holds more than dv/ + delta/: ${ents.map(_._1)}")
+    // every deleted position has exactly one replacement row
+    val dvN = spark.read.parquet(s"$mor/dv").count()
+    val deltaN = spark.read.parquet(s"$mor/delta").count()
+    assert(dvN > 0 && dvN === deltaN,
+      s"DV/delta row mismatch: $dvN deletes vs $deltaN replacements")
+    // the DV never names a file outside the touched window
+    val dvParts = spark.read.parquet(s"$mor/dv")
+      .select("part").distinct().collect().map(_.getLong(0))
+    assert(dvParts.forall(p => p >= 199701L && p <= 199712L),
+      s"DV leaked outside the touched window: ${dvParts.toSeq}")
+    // reader-indistinguishable from the copy-on-write strategy
+    val cow = Layout.qLayoutMergeUpsert(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(morOut.toSeq === cow.toSeq,
+      "MoR and CoW readers disagree on the merged table")
+  }
+
+  test("schema evolution: history files carry their original schema; evolved reader null-fills exactly") {
+    val dir = sf("sf0.01")
+    val root = Layout.evolvePath(spark, dir)
+    def commitFiles(sub: String): Seq[String] =
+      Layout.manifestEntries(root).filter(_._1.startsWith(sub + "/"))
+        .map { case (rel, _) => s"$root/$rel" }
+    // the add-column commit was metadata-only: pre-evolution files
+    // physically lack the column, the evolved commit's files carry it
+    val s1Fields = spark.read.parquet(commitFiles("s1"): _*)
+      .schema.fieldNames.toSet
+    val s3Fields = spark.read.parquet(commitFiles("s3"): _*)
+      .schema.fieldNames.toSet
+    assert(!s1Fields.contains("l_ret"), "history file gained the new column")
+    assert(s3Fields.contains("l_ret"), "evolved commit lacks the new column")
+    val out = Layout.qLayoutSnapshotEvolve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                 if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    // pre-evolution readers: the column does not exist → NULL
+    assert(out.filter(_._1 <= 2L).forall(_._4.isEmpty),
+      "a pre-evolution reader fabricated return counts")
+    // evolved reader: null-filled history years report 0, evolved
+    // years report the true count
+    val v3 = out.filter(_._1 == 3L)
+    assert(v3.filter(_._2 <= Layout.EvolveV2MaxYr).forall(_._4.contains(0L)),
+      "null-filled history produced nonzero return counts")
+    val wantRet = graft.Tables.lineitem(spark, dir)
+      .filter(expr(s"year(l_shipdate) > ${Layout.EvolveV2MaxYr}" +
+                   " AND l_returnflag = 'R'")).count()
+    assert(v3.filter(_._2 > Layout.EvolveV2MaxYr).flatMap(_._4).sum === wantRet,
+      "evolved years' return counts wrong")
+    // version row counts grow with the chain: v1 ⊂ v2 ⊂ v3
+    val rows = (1L to 3L).map(v => out.filter(_._1 == v).map(_._3).sum)
+    assert(rows(0) < rows(1) && rows(1) < rows(2),
+      s"snapshot row totals not strictly growing: $rows")
+  }
 }

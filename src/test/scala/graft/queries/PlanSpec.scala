@@ -528,4 +528,127 @@ class PlanSpec extends SparkSpec {
       s"o_orderdate predicate not pushed into the orders scan:\n$p")
     assert(!p.contains("CartesianProduct"), s"Q5 went cartesian:\n$p")
   }
+
+  test("q_join_tpch_q7: both dim chains broadcast pre-reduced; shipdate range pushed; one shuffled join") {
+    val df = Joins.qJoinTpchQ7(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val nodes = allNodes(plan)
+    // nation→supplier, nation→customer, sup→lineitem, cus→orders: all
+    // four dimension attachments broadcast — only lineitem⨝orders may
+    // shuffle at 100 TB
+    val nBroadcast = nodes.count {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _ => false
+    }
+    assert(nBroadcast >= 4,
+      s"expected >=4 broadcast joins in the Q7 dim chains, got $nBroadcast:\n$plan")
+    val nShuffledJoin = nodes.count {
+      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+      case _ => false
+    }
+    assert(nShuffledJoin <= 1,
+      s"Q7 shuffled more than the one lineitem⨝orders join ($nShuffledJoin):\n$plan")
+    val p = plan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"l_shipdate range not pushed into the fact scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"Q7 went cartesian:\n$p")
+  }
+
+  test("round-18 TPC-H families: Q4 semi+residual, Q8/Q9 star broadcasts, Q12 pushed range, Q15 one-pass view, Q16 anti") {
+    import org.apache.spark.sql.execution.joins._
+    def shuffledJoins(nodes: Seq[org.apache.spark.sql.execution.SparkPlan]) =
+      nodes.count {
+        case _: SortMergeJoinExec => true
+        case _: ShuffledHashJoinExec => true
+        case _ => false
+      }
+    def broadcasts(nodes: Seq[org.apache.spark.sql.execution.SparkPlan]) =
+      nodes.count {
+        case _: BroadcastHashJoinExec => true
+        case _ => false
+      }
+    // Q4: EXISTS = LEFT SEMI hashed on the equi key with the date
+    // comparison as a residual — never a nested loop
+    val q4 = Joins.qJoinTpchQ4(spark, sf("sf0.001")); q4.collect()
+    val q4n = allNodes(q4.queryExecution.executedPlan)
+    assert(q4n.exists {
+      case j: SortMergeJoinExec => j.joinType.toString == "LeftSemi"
+      case j: ShuffledHashJoinExec => j.joinType.toString == "LeftSemi"
+      case j: BroadcastHashJoinExec => j.joinType.toString == "LeftSemi"
+      case _ => false
+    }, s"Q4 EXISTS is not a hashed semi join:\n${q4.queryExecution.executedPlan}")
+    val q4p = q4.queryExecution.executedPlan.toString
+    assert(q4p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"Q4 quarter window not pushed:\n$q4p")
+    assert(!q4p.contains("NestedLoop") && !q4p.contains("CartesianProduct"),
+      s"Q4 went nested-loop:\n$q4p")
+    // Q8: 6-table star — every dim attachment broadcast, at most the
+    // one lineitem⨝orders shuffle
+    val q8 = Joins.qJoinTpchQ8(spark, sf("sf0.001")); q8.collect()
+    val q8n = allNodes(q8.queryExecution.executedPlan)
+    assert(broadcasts(q8n) >= 4 && shuffledJoins(q8n) <= 1,
+      s"Q8 star not broadcast-shaped (${broadcasts(q8n)} bc, ${shuffledJoins(q8n)} shuffled):\n${q8.queryExecution.executedPlan}")
+    assert(!q8.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    // Q9: pattern-filtered part + supplier/nation broadcast; one shuffle
+    val q9 = Joins.qJoinTpchQ9(spark, sf("sf0.001")); q9.collect()
+    val q9n = allNodes(q9.queryExecution.executedPlan)
+    assert(broadcasts(q9n) >= 2 && shuffledJoins(q9n) <= 1,
+      s"Q9 star not broadcast-shaped:\n${q9.queryExecution.executedPlan}")
+    // Q12: ship-year range pushed into the fact scan
+    val q12 = Joins.qJoinTpchQ12(spark, sf("sf0.001")); q12.collect()
+    val q12p = q12.queryExecution.executedPlan.toString
+    assert(q12p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"Q12 ship-year range not pushed:\n$q12p")
+    assert(!q12p.contains("CartesianProduct"), s"Q12 cartesian:\n$q12p")
+    // Q15: ONE fact scan (the view is materialized once for both the
+    // scalar max and the equality), max side broadcast
+    val q15 = Joins.qJoinTpchQ15(spark, sf("sf0.001")); q15.collect()
+    val q15n = allNodes(q15.queryExecution.executedPlan)
+    val q15scans = q15n.count { n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec] &&
+        n.toString.contains("lineitem")
+    }
+    assert(q15scans === 0, // the view is checkpointed — ZERO live fact scans at serve
+      s"Q15 re-scanned the fact for the scalar subquery ($q15scans):\n${q15.queryExecution.executedPlan}")
+    assert(broadcasts(q15n) >= 2,
+      s"Q15 max/supplier sides not broadcast:\n${q15.queryExecution.executedPlan}")
+    // Q16: NOT IN = broadcast anti join; no cartesian. sf0.01, NOT
+    // sf0.001: the tiny fixture has zero negative-balance suppliers,
+    // so AQE (correctly) eliminates the anti join against the empty
+    // build side and there is no node to pin
+    val q16 = Joins.qJoinTpchQ16(spark, sf("sf0.01")); q16.collect()
+    val q16n = allNodes(q16.queryExecution.executedPlan)
+    assert(q16n.exists {
+      case j: BroadcastHashJoinExec => j.joinType.toString.contains("Anti")
+      case _ => false
+    }, s"Q16 denylist not a broadcast anti join:\n${q16.queryExecution.executedPlan}")
+    assert(!q16.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("q_join_tpch_q14: ONE fact scan, part dim broadcast, date range pushed (no ratio self-join)") {
+    val df = Joins.qJoinTpchQ14(spark, sf("sf0.001"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val nodes = allNodes(plan)
+    // the single-scan pin: numerator and denominator are conditional
+    // aggregates of the SAME pass — a second lineitem scan (or a
+    // self-join) is exactly the plan this family exists to forbid
+    val nFactScans = nodes.count { n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec] &&
+        n.toString.contains("lineitem")
+    }
+    assert(nFactScans === 1,
+      s"Q14 scanned lineitem $nFactScans times (ratio must be one-pass):\n$plan")
+    val nBroadcast = nodes.count {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _ => false
+    }
+    assert(nBroadcast >= 1, s"part dim not broadcast:\n$plan")
+    val p = plan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"l_shipdate range not pushed into the fact scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"Q14 went cartesian:\n$p")
+  }
 }

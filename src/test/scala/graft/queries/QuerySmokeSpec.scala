@@ -40,7 +40,7 @@ class QuerySmokeSpec extends SparkSpec {
     * accidental registration loss into a named red test. Bump the
     * constant when ADDING queries. */
   test("registry size is pinned (silent gate-shrink tripwire)") {
-    val pin = 244
+    val pin = 255
     assert(SparkEntry.queries.size == pin,
       s"expected $pin registered queries, got ${SparkEntry.queries.size} — " +
         "if you added queries, bump this pin; if not, something unregistered")

@@ -1187,4 +1187,84 @@ class StreamingSpec extends SparkSpec {
         s"window $ws retention estimate not exact in exact mode")
     }
   }
+
+  test("CDC feed -> versioned table -> reader: streaming commits serve the same snapshots as the batch face") {
+    // the q_stream_cdc_lakehouse handoff pin: the SAME chain the batch
+    // face builds (commit 1 = first-half state, commit 2 = changed
+    // keys), but driven by the REAL stream — CdcUpsert.latestState in
+    // Update mode, each micro-batch's emitted changes committed as
+    // parquet files by foreachBatch (exactly a streaming upsert
+    // writer). Reading the chain back must reproduce the batch truth:
+    // snapshot 1 == batch state of the prefix, snapshot 2 (commits
+    // resolved last-writer-wins) == batch state of the whole feed.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdc_lake").toString
+    val committed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val mem = MemoryStream[CdcUpsert.Change]
+    val q = CdcUpsert.latestState(mem.toDS())
+      .writeStream
+      .outputMode(CdcUpsert.outputMode)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[CdcUpsert.Latest],
+                       id: Long) =>
+        // a watermark-advance micro-batch can be empty — a real writer
+        // skips the commit (an empty commit is not a snapshot)
+        if (!b.isEmpty) {
+          val path = s"$dir/c$id"
+          b.coalesce(1).write.mode("overwrite").parquet(path)
+          committed += path: Unit
+        }
+      }.start()
+    // first half of the feed: u1 has two versions (argmax inside the
+    // commit), u2 an exact-ts tie broken by event_id
+    mem.addData(CdcUpsert.Change(1L, ts(0), 10L, "view", 1.0),
+                CdcUpsert.Change(1L, ts(2), 11L, "click", 2.0),
+                CdcUpsert.Change(2L, ts(5), 20L, "view", 5.0),
+                CdcUpsert.Change(2L, ts(5), 21L, "click", 6.0))
+    q.processAllAvailable()
+    val commit1 = committed.toSeq
+    // second half: u1 changes, u3 is new, and u2 receives a STALE row
+    // (older ts than its current state) — the state must not move, and
+    // the stream re-emits u2's unchanged state into commit 2: an
+    // upsert commit is idempotent under last-writer-wins resolve, so
+    // the snapshot contract is unaffected
+    mem.addData(CdcUpsert.Change(1L, ts(30), 12L, "purchase", 9.0),
+                CdcUpsert.Change(3L, ts(40), 30L, "signup", 7.0),
+                CdcUpsert.Change(2L, ts(1), 22L, "view", 0.5))
+    q.processAllAvailable()
+    q.stop()
+    val commit2 = committed.toSeq
+    assert(commit1.nonEmpty && commit2.size > commit1.size,
+      s"expected two non-empty commits, got $commit2")
+
+    // reader-side merge-on-read resolve, identical to the face's
+    def resolve(paths: Seq[String]): Map[Long, (Long, String, Double)] =
+      s.read.parquet(paths: _*)
+        .groupBy($"userId")
+        .agg(max(struct($"tsUs", $"eventId", $"eventType", $"value")).as("st"))
+        .select($"userId", $"st.eventId", $"st.eventType", $"st.value")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getDouble(3)))
+        .toMap
+    val snap1 = resolve(commit1)
+    val snap2 = resolve(commit2)
+    // batch truth for the prefix and the full feed
+    assert(snap1 === Map(1L -> (11L, "click", 2.0),
+                         2L -> (21L, "click", 6.0)),
+      s"snapshot 1 diverged from the batch prefix state: $snap1")
+    assert(snap2 === Map(1L -> (12L, "purchase", 9.0),
+                         2L -> (21L, "click", 6.0),
+                         3L -> (30L, "signup", 7.0)),
+      s"snapshot 2 diverged from the batch full state (stale row moved state?): $snap2")
+    // the incremental consumer (commit 2 alone) sees every touched
+    // key's CURRENT state — never the stale arrival
+    val delta = resolve(commit2.diff(commit1))
+    assert(delta.keySet.contains(1L) && delta.keySet.contains(3L),
+      s"commit 2 lost a changed key: $delta")
+    assert(delta(1L) === (12L, "purchase", 9.0) &&
+           delta(3L) === (30L, "signup", 7.0) &&
+           delta.get(2L).forall(_ == (21L, "click", 6.0)),
+      s"commit 2 carries a stale state: $delta")
+  }
 }
