@@ -673,11 +673,18 @@ object Graph {
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
       .distinct()
+    // the capped list feeds FOUR consumers once the pair self-join
+    // duplicates its subtree (side a, side b, and a deg branch inside
+    // each): without the checkpoint the orders⨝lineitem distinct +
+    // TopKPerKey pipeline ran 4x — 4 lineitem scans, 8 exchanges
+    // (round-18 plan audit; ~6 s → ~1 s at sf0.1). The materialized
+    // state is bounded: ≤ LinkDegCap rows per customer, ids only.
     val capped = e
       .withColumn("rn", row_number().over(
         Window.partitionBy("c").orderBy("sp")))
       .filter(col("rn") <= LinkDegCap)
       .select("c", "sp")
+      .localCheckpoint(true)
     val deg = capped.groupBy(col("c").as("dc")).agg(count(lit(1)).as("d"))
     val w = capped.join(deg, col("c") === col("dc"))
       .select(col("c"), col("sp"), expr("1000000L div d").as("w"))

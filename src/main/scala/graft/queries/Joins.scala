@@ -440,8 +440,16 @@ object Joins {
       .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
       .filter(col("q96") * 2 > col("total_q"))
       .select(col("l_suppkey")).distinct()
+    // the qualifying key set is bounded by supplier cardinality
+    // (distinct suppkeys — dim-sized at any SF), but it sits behind a
+    // grouped aggregate whose size the planner cannot estimate, so the
+    // semi join planned as SortMergeJoin (exchange + sort on BOTH
+    // sides). The explicit broadcast is the textbook Q20 plan: semi
+    // join as a broadcast hash probe, zero supplier-side shuffle
+    // (guide §3.1 — round-18; SMJ LeftSemi → BroadcastHashJoin LeftSemi).
     Tables.supplier(s, dir)
-      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(qualifying), col("s_suppkey") === col("l_suppkey"),
+            "left_semi")
       .join(broadcast(Tables.nation(s, dir)
               .join(broadcast(Tables.region(s, dir)
                       .filter(col("r_name") === "EUROPE")

@@ -722,22 +722,40 @@ object Layout {
   def qLayoutMergeMor(s: SparkSession, dir: String): DataFrame = {
     val demo = compactDemoPath(s, dir)
     val mor = mergeMorPath(s, dir)
-    val base = s.read.option("basePath", s"$demo/table")
-      .parquet(manifestEntries(demo).filter(_._1.startsWith("table/"))
-        .map { case (rel, _) => s"$demo/$rel" }: _*)
+    // DV-apply scoped to the files that can carry deletes: the DV's
+    // positions come from the touched-window files BY CONSTRUCTION
+    // ([[mergeMorPath]] scans only [[touchedBaseFiles]]), so files
+    // outside the window anti-join against nothing. A real MoR reader
+    // makes the same split per file — a split with no DV sidecar skips
+    // the apply entirely — so the untouched months roll up directly,
+    // without materializing (file_name, row_index) per row or paying
+    // the join (round-18: ~3.5 s → ~1.5 s at sf0.1; 6/7 of the rows
+    // left the anti-join). Disjoint partition sets, so the two sides
+    // aggregate independently and union (the qLayoutMergeUpsert shape).
+    val (touchedRel, untouchedRel) = manifestEntries(demo)
+      .filter(_._1.startsWith("table/"))
+      .partition { case (rel, _) =>
+        val p = partKeyOf(rel, "part")
+        p >= MergeYmLo && p <= MergeYmHi
+      }
+    val touched = s.read.option("basePath", s"$demo/table")
+      .parquet(touchedRel.map { case (rel, _) => s"$demo/$rel" }: _*)
       .select(col("part").cast("long").as("part"), col("l_extendedprice"),
               col("_metadata.file_name").as("fname"),
               col("_metadata.row_index").as("ridx"))
     val dv = s.read.parquet(s"$mor/dv")
-    val kept = base.join(broadcast(dv), Seq("part", "fname", "ridx"),
-                         "left_anti")
+    val kept = touched.join(broadcast(dv), Seq("part", "fname", "ridx"),
+                            "left_anti")
       .select(col("part"), col("l_extendedprice"))
     val delta = s.read.parquet(s"$mor/delta")
       .select(col("part").cast("long").as("part"), col("l_extendedprice"))
-    kept.unionByName(delta)
-      .groupBy("part")
-      .agg(count(lit(1)).as("n_rows"),
-           graft.sql.Det.dsum(col("l_extendedprice")).as("sum_price"))
+    monthRollup(s, s"$demo/table",
+                untouchedRel.map { case (rel, _) => s"$demo/$rel" })
+      .unionByName(
+        kept.unionByName(delta)
+          .groupBy("part")
+          .agg(count(lit(1)).as("n_rows"),
+               graft.sql.Det.dsum(col("l_extendedprice")).as("sum_price")))
       .orderBy("part")
   }
 

@@ -467,25 +467,35 @@ object Llm {
     graft.expressions.ShingleOps.register(s)
     val docs = Tables.documents(s, dir)
       .repartition(s.sparkContext.defaultParallelism)
-    def side(isEval: Boolean): DataFrame = {
-      val f = if (isEval) col("doc_id") % 5 === 0 else col("doc_id") % 5 =!= 0
-      val (n, m) = if (isEval) ("ne", "e_min") else ("nt", "t_min")
-      docs.filter(f).groupBy("text")
-        .agg(count(lit(1)).as(n), min(col("doc_id")).as(m))
-        .select(col("text"), col(n), col(m),
-                expr("graft_minhash_sig(text)").getField("mh0").as("mh0"),
-                expr("graft_cgram_count(text, 4)").as("cg"))
-    }
-    // the PRE-GATE sides materialize once (the audioNearFrom `h`
+    // BOTH sides in ONE corpus pass: grouping by (is_eval, text) and
+    // splitting afterwards is row-identical to filtering each side
+    // then grouping by text (the flag partitions the rows), but costs
+    // one scan + one shuffle instead of two of each — the round-18
+    // fusion of the two per-side checkpoint jobs (each previously
+    // re-ran the corpus repartition + groupBy(text) + kernels).
+    // The PRE-GATE frame materializes once (the audioNearFrom `h`
     // discipline): the bucket pre-count and the pair join both consume
-    // them, and without the checkpoint the corpus-sized groupBy(text)
-    // + kernel projections re-run per consumer (measured 3x on the
-    // plain face at the 100x clone). The BLOOM GATE is deliberately
-    // NOT inside the checkpoint — it belongs to exactly one consumer
-    // (the pair join), and materializing the gated frame instead
-    // measured 1.4x slower on the bloom face at 100x.
-    val evalSide = side(isEval = true).localCheckpoint(true)
-    val trainSide = side(isEval = false).localCheckpoint(true)
+    // it, and without the checkpoint the corpus-sized groupBy + kernel
+    // projections re-run per consumer (measured 3x on the plain face
+    // at the 100x clone). The BLOOM GATE is deliberately NOT inside
+    // the checkpoint — it belongs to exactly one consumer (the pair
+    // join), and materializing the gated frame instead measured 1.4x
+    // slower on the bloom face at 100x.
+    val sides = docs
+      .select((col("doc_id") % 5 === 0).as("is_eval"), col("doc_id"),
+              col("text"))
+      .groupBy("is_eval", "text")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("m"))
+      .select(col("is_eval"), col("text"), col("n"), col("m"),
+              expr("graft_minhash_sig(text)").getField("mh0").as("mh0"),
+              expr("graft_cgram_count(text, 4)").as("cg"))
+      .localCheckpoint(true)
+    val evalSide = sides.filter(col("is_eval"))
+      .select(col("text"), col("n").as("ne"), col("m").as("e_min"),
+              col("mh0"), col("cg"))
+    val trainSide = sides.filter(!col("is_eval"))
+      .select(col("text"), col("n").as("nt"), col("m").as("t_min"),
+              col("mh0"), col("cg"))
     val evalG = evalSide
       .select(col("text").as("text_e"), col("ne"), col("e_min"),
               col("mh0"), col("cg").as("ce"))
@@ -510,8 +520,9 @@ object Llm {
     // pair join) — materializing the gated side for both consumers
     // measured 1.4x SLOWER at the 100x clone than letting these
     // minhash-pruned pre-counts share the groupBy exchange.
-    val okBuckets = evalSide.select(col("mh0"))
-      .unionByName(trainSide.select(col("mh0")))
+    // one row per (side, distinct text) in `sides`, so counting it
+    // directly equals the old union of the two sides' mh0 streams
+    val okBuckets = sides
       .groupBy("mh0").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBucket)
       .select(col("mh0"))

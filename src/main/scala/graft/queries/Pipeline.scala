@@ -148,9 +148,15 @@ object Pipeline {
         .as("pr"))
       .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
     val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
-    val uni = pairs.groupBy(col("w1").as("u1"))
-      .agg(count(lit(1)).as("n_w1"))
-    big.join(broadcast(uni), col("w1") === col("u1"))
+    // the bigram-start count is the w1-marginal of the bigram table:
+    // summing the vocab²-bounded `big` is count-identical to
+    // re-grouping the corpus-sized pair stream, one full corpus pass
+    // cheaper (round-18; big is multiply-consumed so it materializes
+    // once — without the checkpoint each consumer re-ran the explode)
+    val bigM = big.localCheckpoint(true)
+    val uni = bigM.groupBy(col("w1").as("u1"))
+      .agg(sum(col("n")).as("n_w1"))
+    bigM.join(broadcast(uni), col("w1") === col("u1"))
       .select(col("w1"), col("w2"), col("n"), col("n_w1"),
               expr("n * 1000000L div n_w1").as("p_ppm"))
       .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
@@ -182,8 +188,14 @@ object Pipeline {
           " i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"))
         .as("pr"))
       .select(col("doc_id"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+    // w1-marginal of the vocab²-bounded bigram table instead of a
+    // second corpus-sized grouping of `pairs` — the qTextNgramLm
+    // fusion (round-18): the pair stream now explodes twice (LM train,
+    // scoring), not three times. `big` materializes once (vocab²
+    // rows): it feeds both the marginal and the ratio join.
     val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
-    val uni = pairs.groupBy(col("w1").as("u1")).agg(count(lit(1)).as("n_w1"))
+      .localCheckpoint(true)
+    val uni = big.groupBy(col("w1").as("u1")).agg(sum(col("n")).as("n_w1"))
     val lm = big.join(broadcast(uni), col("w1") === col("u1"))
       .select(col("w1"), col("w2"), expr("n * 1000000L div n_w1").as("p_ppm"))
     pairs.join(broadcast(lm), Seq("w1", "w2"))
@@ -208,6 +220,7 @@ object Pipeline {
     * output IS a training manifest: (pos, doc_id, source, n_tok). */
   def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
     import graft.sql.Det.lcgBucket
+    import s.implicits._
     val sigs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         substring(md5(col("text").cast("binary")), 1, 16).as("h"),
@@ -227,10 +240,18 @@ object Pipeline {
     val deduped = gated.join(canon, "h")
       .filter(col("doc_id") === col("keep_doc"))
     val w4 = expr("CAST(substring(source, 4) AS INT)") % 4 + 1
+    // the mixed manifest feeds THREE prefix-machinery consumers
+    // (boundary sketch, bucket counts, final join): without the
+    // checkpoint the gate + dedup-join subplan re-ran per consumer
+    // (round-18 plan audit — 3 full pipeline executions per serve).
+    // Narrow ids-only rows, the Prefix.withPrefix freeze discipline.
     val mixed = deduped.filter(lcgBucket(col("doc_id"), 4) < w4)
       .select(col("doc_id"), col("source"), col("n_tok"),
         pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("k"))
-    val (bucketed, pref) = Prefix.bucketCountsWithPrefix(mixed, col("k"), 256)
+      .localCheckpoint(true)
+    val (bucketed, prefSeq) =
+      Prefix.bucketCountsPrefixDriver(mixed, col("k"), 256)
+    val pref = prefSeq.toDF("pb", "bn", "n_before")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_pb").orderBy("k")
     bucketed.join(broadcast(pref), col("_pb") === col("pb"))

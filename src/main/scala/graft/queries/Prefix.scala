@@ -129,4 +129,25 @@ object Prefix {
       .agg(coalesce(sum(col("b.bn")), lit(0L)).as("n_before"))
     (bucketed, pref)
   }
+
+  /** [[bucketCountsWithPrefix]] with the (≤ buckets row) count/prefix
+    * table FROZEN ON THE DRIVER instead of left as a DataFrame: the
+    * same bounded-collect contract as [[depthBoundaries]] (O(B) driver
+    * state, independent of N — Spark's own RangePartitioner does
+    * exactly this), and it lets callers that only LOCATE target ranks
+    * do the arithmetic driver-side instead of spending a scan per
+    * consumer of the counts table (q_sort_percentile_exact's old
+    * `pref`/`tot` pair re-aggregated the input once each — round-18).
+    * Returns (bucketed rows, (pb, bn, n_before) ascending by pb). */
+  def bucketCountsPrefixDriver(df: DataFrame, v: Column, buckets: Int)
+      : (DataFrame, Seq[(Int, Long, Long)]) = {
+    val bucketed = df.withColumn("_pb", bucketOf(v, depthBoundaries(df, v, buckets)))
+    val counts = bucketed.groupBy("_pb").agg(count(lit(1)).as("bn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var before = 0L
+    val pref = counts.map { case (pb, bn) =>
+      val row = (pb, bn, before); before += bn; row
+    }
+    (bucketed, pref.toSeq)
+  }
 }

@@ -205,15 +205,23 @@ object Semantic {
     * sampling noise at the resample size. */
   private[queries] def dsirScores(s: SparkSession, dir: String): DataFrame = {
     val tok = dsirBigrams(s, dir)
-    val raw = tok.groupBy("w").agg(count(lit(1)).as("n_r"))
-    val totals = tok
-      .agg(count(lit(1)).as("nr"), countDistinct(col("w")).as("v"))
-      .crossJoin(tok.filter(col("lang") === "en")
-        .agg(count(lit(1)).as("nt")))
-    val tgt = tok.filter(col("lang") === "en")
-      .groupBy(col("w").as("tw")).agg(count(lit(1)).as("n_t"))
-    val ratio = raw
-      .join(tgt, col("w") === col("tw"), "left")
+    // ONE grouped pass carries both frequency tables (n_t as a
+    // conditional count inside the n_r aggregate — identical to the
+    // old filter+groupBy+left-join since the en rows are a subset of
+    // each w group), and the three totals derive from the VOCAB table
+    // instead of re-scanning the corpus-sized stream: nr = Σ n_r,
+    // v = |vocab|, nt = Σ n_t. Round-18 fusion: the old shape ran 4
+    // extra passes over `tok` (raw, nr+countDistinct, nt, tgt), and
+    // the countDistinct was a full distinct shuffle of the bigram
+    // stream. The vocab table is checkpointed because totals and the
+    // ratio projection both consume it.
+    val cnts = tok.groupBy("w")
+      .agg(count(lit(1)).as("n_r"),
+           count(when(col("lang") === "en", 1)).as("n_t"))
+      .localCheckpoint(true)
+    val totals = cnts.agg(sum(col("n_r")).as("nr"), count(lit(1)).as("v"),
+                          sum(col("n_t")).as("nt"))
+    val ratio = cnts
       .crossJoin(broadcast(totals))
       .select(col("w"), expr(
         "((CAST(coalesce(n_t, 0L) AS DECIMAL(38,0)) + 1) * (nr + v)" +
@@ -272,15 +280,15 @@ object Semantic {
     val tok = dsirBigrams(s, dir)
       .select(col("doc_id"), col("lang"),
               substring(md5(encode(col("w"), "UTF-8")), 1, 4).as("b"))
-    val raw = tok.groupBy("b").agg(count(lit(1)).as("n_r"))
-    val totals = tok
-      .agg(count(lit(1)).as("nr"), countDistinct(col("b")).as("v"))
-      .crossJoin(tok.filter(col("lang") === "en")
-        .agg(count(lit(1)).as("nt")))
-    val tgt = tok.filter(col("lang") === "en")
-      .groupBy(col("b").as("tb")).agg(count(lit(1)).as("n_t"))
-    val ratio = raw
-      .join(tgt, col("b") === col("tb"), "left")
+    // same one-pass fusion as [[dsirScores]]: both frequency tables in
+    // one grouped agg, totals from the (≤ DsirBuckets row) bucket table
+    val cnts = tok.groupBy("b")
+      .agg(count(lit(1)).as("n_r"),
+           count(when(col("lang") === "en", 1)).as("n_t"))
+      .localCheckpoint(true)
+    val totals = cnts.agg(sum(col("n_r")).as("nr"), count(lit(1)).as("v"),
+                          sum(col("n_t")).as("nt"))
+    val ratio = cnts
       .crossJoin(broadcast(totals))
       .select(col("b"), expr(
         "((CAST(coalesce(n_t, 0L) AS DECIMAL(38,0)) + 1) * (nr + v)" +

@@ -39,6 +39,7 @@ object Sorts {
     * one filtered scan, no global shuffle sort, page depth irrelevant. */
   def qSortPaginate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     val (lo, hi) = (4001L, 4020L)
     val l = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
@@ -48,15 +49,18 @@ object Sorts {
     // near-unique, so a per-distinct-value grouping would be an
     // O(N)-group agg — the round-5 formulation paid exactly that),
     // count per bucket (256 groups, map-side combine), locate the
-    // page's bucket(s) on the tiny prefix table, and window ONLY their
-    // ~N/256 rows for the in-bucket tiebreak. Buckets are a function of
-    // v alone, so equal values never straddle a boundary and
-    // bucket-prefix + in-bucket row_number is the same total order as
-    // the oracle's global ROW_NUMBER. Page depth still never costs a
-    // shuffle sort.
-    val (bucketed, pref0) = Prefix.bucketCountsWithPrefix(l, col("v"), 256)
-    val pref = pref0
-      .filter(col("n_before") < hi && col("n_before") + col("bn") >= lo)
+    // page's bucket(s) ON THE DRIVER (the ≤256-row count table is the
+    // depthBoundaries bounded-collect contract; round-18 — the old
+    // DataFrame prefix table cost a triangular-join stage per serve),
+    // and window ONLY their ~N/256 rows for the in-bucket tiebreak.
+    // Buckets are a function of v alone, so equal values never
+    // straddle a boundary and bucket-prefix + in-bucket row_number is
+    // the same total order as the oracle's global ROW_NUMBER. Page
+    // depth still never costs a shuffle sort.
+    val (bucketed, prefAll) = Prefix.bucketCountsPrefixDriver(l, col("v"), 256)
+    val pref = prefAll
+      .filter { case (_, bn, nb) => nb < hi && nb + bn >= lo }
+      .toDF("pb", "bn", "n_before")
     val w = Window.partitionBy("_pb")
       .orderBy("v", "l_orderkey", "l_linenumber")
     bucketed.join(broadcast(pref), col("_pb") === col("pb"))
@@ -84,29 +88,30 @@ object Sorts {
     // selection, not prefix-sum: bucket RAW rows (no per-distinct-value
     // grouping — l_extendedprice is near-unique, a 600k-group hash agg
     // would dominate), count per bucket (256 groups, map-side combine),
-    // locate each target rank's bucket + local offset on the tiny
-    // table, then sort ONLY the hit buckets (~N/256 rows each).
-    // Equi-depth boundaries (Prefix.depthBoundaries) keep every hit
-    // bucket near N/256 rows even on heavy-tailed price domains.
-    val (bucketed, pref0) =
-      Prefix.bucketCountsWithPrefix(l, col("v"), buckets)
-    val pref = pref0.withColumnRenamed("n_before", "nb")
-    val tot = pref0.agg(sum(col("bn")).as("nt"))
-    val quants = Seq(0.25, 0.5, 0.75, 0.9, 0.99).toDF("pct")
-      .crossJoin(broadcast(tot))
-      .select(col("pct"),
-        floor((col("nt") - 1) * col("pct")).cast("long").as("rk_lo"),
-        ceil((col("nt") - 1) * col("pct")).cast("long").as("rk_hi"))
-    val targets = quants.select(col("pct"), col("rk_lo"), col("rk_hi"),
-        explode(array(
-          struct(lit("lo").as("which"), col("rk_lo").as("rk")),
-          struct(lit("hi").as("which"), col("rk_hi").as("rk")))).as("t"))
-      .select(col("pct"), col("rk_lo"), col("rk_hi"),
-              col("t.which").as("which"), col("t.rk").as("rk"))
-    val located = targets.join(pref,
-        col("nb") <= col("rk") && col("rk") < col("nb") + col("bn"))
-      .select(col("pct"), col("rk_lo"), col("rk_hi"), col("which"),
-              col("pb"), (col("rk") - col("nb")).as("off"))
+    // locate each target rank's bucket + local offset ON THE DRIVER
+    // (the ≤256-row count table is the depthBoundaries bounded-collect
+    // contract — round-18: the old DataFrame pref/tot pair each
+    // re-aggregated lineitem, 4 scans for a query whose algorithmic
+    // floor is 3 passes: sketch, counts, hit buckets), then sort ONLY
+    // the hit buckets (~N/256 rows each). Equi-depth boundaries
+    // (Prefix.depthBoundaries) keep every hit bucket near N/256 rows
+    // even on heavy-tailed price domains. Exact long arithmetic
+    // driver-side == the old exchange-side longs, so the selected
+    // values are unchanged.
+    val (bucketed, pref) =
+      Prefix.bucketCountsPrefixDriver(l, col("v"), buckets)
+    val nt = pref.map(_._2).sum
+    val located = Seq(0.25, 0.5, 0.75, 0.9, 0.99).flatMap { pct =>
+      val rkLo = math.floor((nt - 1) * pct).toLong
+      val rkHi = math.ceil((nt - 1) * pct).toLong
+      Seq(("lo", rkLo), ("hi", rkHi)).map { case (which, rk) =>
+        val (pb, _, nb) = pref
+          .find { case (_, bn, nb) => nb <= rk && rk < nb + bn }
+          .getOrElse(throw new IllegalStateException(
+            s"rank $rk outside the bucket prefix table"))
+        (pct, rkLo, rkHi, which, pb, rk - nb)
+      }
+    }.toDF("pct", "rk_lo", "rk_hi", "which", "pb", "off")
     val w = Window.partitionBy("pct", "which").orderBy("v")
     val picked = bucketed.join(broadcast(located), col("_pb") === col("pb"))
       .withColumn("rnk", row_number().over(w) - 1)
