@@ -188,8 +188,11 @@ object Graph {
       .localCheckpoint(true)
     val nodes = edges.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
+    // NOT checkpointed: a literal projection of the already-
+    // checkpointed nodes table — materializing it was one more eager
+    // job of pure setup overhead (round-18); each consumer re-projects
+    // the in-memory blocks instead
     var prev = nodes.withColumn("rank_ppm", lit(unit))
-      .localCheckpoint(true)
     var iters = 0
     var stop = false
     // TWO steps per Spark job: the orbit test compares r_t to r_{t-2},

@@ -993,7 +993,10 @@ object Llm {
   def qSimAnnIvfLearned(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.VectorOps.register(s)
     graft.expressions.VecSum6.register(s)
+    // materialized once: seeds + 3 Lloyd assign passes + the probe all
+    // consume `e`; without the checkpoint each pass re-read the parquet
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
     ivfProbe(e, ivfLearnedCentroids(e))
   }
 

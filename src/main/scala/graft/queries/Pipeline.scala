@@ -26,9 +26,13 @@ object Pipeline {
     * boilerplate/spam in a web corpus; these two are the cheap,
     * per-doc-parallel versions of the Gopher repetition gates. */
   def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
-    val uni = toks(s, dir).groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-           countDistinct(col("token")).as("n_distinct"))
+    // two-level agg (the qDedupNgramSpans shape): count+countDistinct
+    // in one agg planned through a stream-doubling Expand
+    val uni = toks(s, dir).groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("n_tok_d"))
+      .groupBy("doc_id")
+      .agg(sum(col("n_tok_d")).as("n_tokens"),
+           count(lit(1)).as("n_distinct"))
     val bg = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), explode(expr(
@@ -82,9 +86,17 @@ object Pipeline {
         "transform(sequence(1, greatest(size(tk) - 7, 1))," +
           " i -> substring(md5(concat_ws(' ', slice(tk, i, 8))), 1, 16))"))
         .as("h"))
+      // two-level agg instead of countDistinct-next-to-plain-aggs: the
+      // mixed form planned through an Expand that DOUBLED the shuffled
+      // span stream (one copy for the distinct set, one for the plain
+      // aggs — round-18); per-(h, doc) partials then per-h finals
+      // compute the identical numbers with map-side combine at both
+      // levels (n_docs = group count, n_occ = Σ per-doc occurrences)
+      .groupBy("h", "doc_id")
+      .agg(count(lit(1)).as("n_occ_d"))
       .groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-           count(lit(1)).as("n_occ"),
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_occ_d")).as("n_occ"),
            min(col("doc_id")).as("min_doc"),
            max(col("doc_id")).as("max_doc"))
       .filter(col("n_docs") > 1)

@@ -80,8 +80,14 @@ object Semantic {
     // shuffle) BEFORE the repartition; counting the repartitioned
     // projection would execute the vector shuffle just to get a Long
     val k = semDedupK(Tables.embeddings(s, dir).count())
+    // materialized ONCE: the Lloyd loop consumes `e` 4x (seeds + 3
+    // assign passes) and the final assignment a 5th time — without the
+    // checkpoint every pass re-ran the scan AND the repartition
+    // shuffle (round-18; shuffle reuse does not cross separate
+    // checkpoint jobs)
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
     val cent = Llm.ivfLearnedCentroids(e, k = k)
     // one quantization + self-norm pass per vector, materialized once:
     // the table feeds both pair sides and the final keep join (3 uses)
