@@ -230,9 +230,12 @@ object Pipeline {
     * hash into a single codegen scan pass; every later stage shuffles
     * ids/hashes only (text is dropped at the first projection). The
     * output IS a training manifest: (pos, doc_id, source, n_tok). */
-  def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+  /** The gate → dedup → mix manifest of [[qPipelineE2e]] BEFORE its
+    * checkpoint — exposed so PlanSpec can pin the documents-scan
+    * column pruning (the checkpoint hides the scan from the final
+    * plan, the Graph.triangleIds situation). */
+  private[queries] def pipelineMixed(s: SparkSession, dir: String): DataFrame = {
     import graft.sql.Det.lcgBucket
-    import s.implicits._
     val sigs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
         substring(md5(col("text").cast("binary")), 1, 16).as("h"),
@@ -252,15 +255,19 @@ object Pipeline {
     val deduped = gated.join(canon, "h")
       .filter(col("doc_id") === col("keep_doc"))
     val w4 = expr("CAST(substring(source, 4) AS INT)") % 4 + 1
+    deduped.filter(lcgBucket(col("doc_id"), 4) < w4)
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("k"))
+  }
+
+  def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     // the mixed manifest feeds THREE prefix-machinery consumers
     // (boundary sketch, bucket counts, final join): without the
     // checkpoint the gate + dedup-join subplan re-ran per consumer
     // (round-18 plan audit — 3 full pipeline executions per serve).
     // Narrow ids-only rows, the Prefix.withPrefix freeze discipline.
-    val mixed = deduped.filter(lcgBucket(col("doc_id"), 4) < w4)
-      .select(col("doc_id"), col("source"), col("n_tok"),
-        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("k"))
-      .localCheckpoint(true)
+    val mixed = pipelineMixed(s, dir).localCheckpoint(true)
     val (bucketed, prefSeq) =
       Prefix.bucketCountsPrefixDriver(mixed, col("k"), 256)
     val pref = prefSeq.toDF("pb", "bn", "n_before")

@@ -222,8 +222,12 @@ class PlanSpec extends SparkSpec {
     val pt = finalPlan(Graph.triangleIds(spark, sf("sf0.001")))
     assert(pt.contains("ReadSchema: struct<doc_id:bigint>"),
       s"triangles' id projection reads more than doc_id:\n$pt")
-    // e2e manifest: (doc_id, text, source) - lang and n_chars pruned
-    val pe = finalPlan(Pipeline.qPipelineE2e(spark, sf("sf0.001")))
+    // e2e manifest: (doc_id, text, source) - lang and n_chars pruned.
+    // Pinned on the OPERATOR'S OWN pre-checkpoint manifest subplan
+    // (Pipeline.pipelineMixed — round-18: qPipelineE2e now checkpoints
+    // it once for the three prefix-machinery consumers, which hides
+    // the scan from the final plan; the triangleIds situation)
+    val pe = finalPlan(Pipeline.pipelineMixed(spark, sf("sf0.001")))
     assert(pe.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
       s"e2e pipeline reads pruned-out columns:\n$pe")
   }
