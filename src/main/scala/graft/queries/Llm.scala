@@ -143,6 +143,12 @@ object Llm {
       .select(col("doc_id"), expr("graft_minhash_sig(text)").as("sg"))
       .select(col("doc_id") +: col("sg.sz").as("sz") +:
         (0 until nHash).map(k => col(s"sg.mh$k").as(s"mh$k")): _*)
+      // materialized ONCE (~100 B/doc): the bucket pre-count and the
+      // two join sides consume `sig` per band — without the checkpoint
+      // the md5-per-shingle signature kernel re-ran 3x per band
+      // (round-18; the same multiply-consumed-frame discipline as
+      // contaminationPairs' sides)
+      .localCheckpoint(true)
     val perBand = bands.map { band =>
       // bucket-population pre-count: a tiny agg over band keys (one row
       // per DISTINCT bucket, not per doc) that gates the self-join —
@@ -225,6 +231,9 @@ object Llm {
       .select(col("doc_id"),
               expr("graft_minhash_sig(text)").getField("mh0").as("mh0"),
               expr("graft_cgram_count(text, 4)").as("cg"))
+      // both band-join sides consume `sig`: one kernel pass, not two
+      // (round-18, the minhashPairsOn checkpoint discipline)
+      .localCheckpoint(true)
     val a = sig.select(col("doc_id").as("da"), col("mh0"), col("cg").as("ca"))
     val b = sig.select(col("doc_id").as("db"), col("mh0").as("nh0"),
                        col("cg").as("cb"))
@@ -298,6 +307,9 @@ object Llm {
       .select(col("doc_id"),
               expr("graft_minhash_sig(text)").getField("mh0").as("mh0"),
               expr("graft_cgram_count(text, 4)").as("cg"))
+      // both band-join sides consume `sig`: one kernel pass, not two
+      // (round-18, the minhashPairsOn checkpoint discipline)
+      .localCheckpoint(true)
     val a = sig.select(col("doc_id").as("da"), col("mh0"), col("cg").as("ca"))
     val b = sig.select(col("doc_id").as("db"), col("mh0").as("nh0"),
                        col("cg").as("cb"))
@@ -673,6 +685,10 @@ object Llm {
               expr("graft_minhash_sig(text)").as("sg"))
       .select(col("doc_id"), col("text"),
               col("sg.mh0").as("mh0"), col("sg.sz").as("sz"))
+      // materialized once — the scaladoc's "signature table a
+      // deployment keeps between batches" made literal: fresh (x2
+      // consumers) and index each re-ran the signing kernel (round-18)
+      .localCheckpoint(true)
     val fresh = base.filter(pmod(col("doc_id"), lit(7)) === 3)
       .select(col("doc_id").as("dn"), col("text").as("text_n"),
               col("mh0"), col("sz").as("szn"))
@@ -721,6 +737,10 @@ object Llm {
       .groupBy("vec_id")
       .agg(sum(decf(col("x")) * decf(col("qx"))).cast("double").as("dot"),
            sum(decf(col("x")) * decf(col("x"))).cast("double").as("na"))
+      // one row per vector; the nq branch and the final projection both
+      // consume it — without the checkpoint the 64x posexplode +
+      // decimal agg subtree ran twice (round-18)
+      .localCheckpoint(true)
     val nq = per.filter(col("vec_id") === 0)
       .select(col("na").as("nq"))
     per.crossJoin(nq)
