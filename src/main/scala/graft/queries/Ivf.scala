@@ -749,7 +749,11 @@ object Ivf {
   def qSimRecallEval(s: SparkSession, dir: String): DataFrame = {
     graft.expressions.VectorOps.register(s)
     graft.expressions.VecSum6.register(s)
+    // materialized once: seeds + 3 Lloyd assign passes + truth + the
+    // assignment each re-read the parquet otherwise (the
+    // qSimAnnIvfLearned round-18 fix)
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
     val cent = Llm.ivfLearnedCentroids(e)
     val q0 = e.filter(col("vec_id") === 0).select(col("embedding").as("qemb"))
     val truth = e.crossJoin(broadcast(q0))
