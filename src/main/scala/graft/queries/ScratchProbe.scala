@@ -18,36 +18,45 @@ object ScratchProbe {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def t[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"PROBE $label%-44s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
-      r
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    // one stride-2 LPA job's plan over the blocked delta graph: does
+    // the intermediate round's label frame dedup via ReusedExchange?
+    val ids = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id")).localCheckpoint(true)
+    val cand = ids.select(col("id").as("x"),
+      explode(array(Seq(1, 2, 3, 5, 8).map(d => col("id") + d): _*)).as("y"))
+    val e0 = cand.join(ids.select(col("id").as("y")), Seq("y"))
+      .select(col("x"), col("y"))
+    val sym = e0.unionByName(e0.select(col("y").as("x"), col("x").as("y")))
+      .filter(expr("x div 64 = y div 64")).localCheckpoint(true)
+    def round(l: org.apache.spark.sql.DataFrame) = {
+      val pick = sym.join(l, col("y") === col("id"))
+        .groupBy(col("x"), col("lab")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("x").as("nid"))
+        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("nid"), (-col("m.nl")).as("newlab"))
+      l.join(pick, col("id") === col("nid"), "left")
+        .select(col("id"), col("lab").as("lab0"),
+                coalesce(col("newlab"), col("lab")).as("lab"))
     }
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val l = graft.Tables.lineitem(spark, sfDir)
-      .select(col("l_extendedprice").as("v"))
-    for (r <- 1 to 3) {
-      t(s"scan only count rep$r") { l.count() }
-      val bs = t(s"depthBoundaries acc=10000 rep$r") {
-        Prefix.depthBoundaries(l, col("v"), 256)
-      }
-      t(s"depthBoundaries acc=1000 rep$r") {
-        Prefix.depthBoundaries(l, col("v"), 256, accuracy = 1000)
-      }
-      val bucketed = l.withColumn("_pb", Prefix.bucketOf(col("v"), bs))
-      t(s"bucket counts collect rep$r") {
-        bucketed.groupBy("_pb").agg(count(lit(1)).as("bn")).collect()
-      }
-      t(s"full percentile_exact rep$r") {
-        Sorts.qSortPercentileExact(spark, sfDir).count()
-      }
-      t(s"full tpch_q20 rep$r") {
-        Joins.qJoinTpchQ20(spark, sfDir).count()
-      }
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      spark.sharedState.cacheManager.clearCache()
-    }
+    val lab0 = ids.select(col("id"), col("id").as("lab"))
+    val two = round(round(lab0).select(col("id"), col("lab")))
+      .select(col("id"), col("lab"))
+    two.count() // execute so AQE finalizes
+    val p = two.queryExecution.executedPlan.toString
+    println("REUSED_EXCHANGE_COUNT=" + "ReusedExchange".r.findAllIn(p).size)
+    println("EXCHANGE_COUNT=" + "Exchange".r.findAllIn(p).size)
+    // job-count check: how many Spark jobs does the full converged face run?
+    var jobs = 0
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      })
+    val t0 = System.nanoTime()
+    Graph.qGraphCommunitiesConverged(spark, sfDir).count()
+    println(f"COMMUNITIES_CONVERGED jobs=$jobs wall=${(System.nanoTime()-t0)/1e9}%.2f s")
     spark.stop()
   }
 }
