@@ -93,9 +93,17 @@ class SketchKernelPropSpec extends AnyFunSuite {
         List(0.1, 0.5, 0.9).forall { r =>
           val q = merged.getQuantile(r,
             org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)
-          val rank = sorted.count(_ <= q).toDouble / n
+          // the returned value OWNS a rank interval [count(<q), count(<=q)]/n
+          // — duplicates widen it by their multiplicity, and the KLL
+          // guarantee is that r sits within eps of that INTERVAL, not of
+          // its upper end (the round-18 flake: 159 x2 in an 11-element
+          // draw jumps the upper rank by 2/11, past any eps bound —
+          // the sketch's answer was exact, the old property was not)
+          val lo = sorted.count(_ < q).toDouble / n
+          val hi = sorted.count(_ <= q).toDouble / n
+          val d = if (r < lo) lo - r else if (r > hi) r - hi else 0.0
           // 2x the single-sketch bound: a merge stacks compaction levels
-          math.abs(rank - r) <= 2 * eps + 1.0 / n
+          d <= 2 * eps + 1.0 / n
         }
       }
     }, n = 40)
