@@ -34,4 +34,43 @@ object Lineage {
     val ck = df.localCheckpoint(true)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
+
+  /** Run `body` with ADAPTIVE QUERY EXECUTION OFF, restoring the
+    * previous setting in `finally` — for JOIN-FREE iterative loops
+    * only (round-19: the Lloyd training loop).
+    *
+    * Why so narrow: AQE materializes every Exchange of an eagerly-
+    * executed plan as its own stage job, so a loop that issues one
+    * action per round pays several scheduler round-trips per round —
+    * but AQE is ALSO what rescues the JOIN-carrying loops (it
+    * converts their SMJ-against-unknown-stats loop state to runtime
+    * broadcasts and coalesces the tiny state exchanges). Round-19
+    * measured the trade on every loop face (JobsProbe, sf0.1,
+    * local[32]): with AQE off the graph loops got 1.4-1.9x SLOWER
+    * despite ~4x fewer jobs (communities_converged 4.8 s/86 jobs →
+    * 8.5 s/19 jobs; pagerank_converged 5.2/45 → 7.8/11), while the
+    * join-free Lloyd loop — one k-row groupBy per pass, nothing for
+    * AQE to re-plan — got strictly faster (q_sim_ann_ivf_learned
+    * 1.50 → 1.00 s, 22 → 16 jobs; q_dedup_semantic 2.19 → 2.01).
+    * So this helper is applied ONLY where the loop body has no join
+    * for AQE to improve; the graph loops keep AQE on.
+    *
+    * Scoped set + finally-restore (the readManifestFiles pattern):
+    * every plan outside the loop — including the RETURNED frame,
+    * which executes after restore — keeps the session's AQE setting.
+    *
+    * Thread-safety: session-conf mutation is visible session-wide;
+    * the Bench/Verify/BenchOne drivers construct queries one at a
+    * time on one thread (the documented single-threaded driver
+    * contract). Concurrent query construction on one session should
+    * synchronize externally or use separate sessions. */
+  def withAqeOff[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(key)
+    if (prev == "false") body
+    else {
+      s.conf.set(key, "false")
+      try body finally s.conf.set(key, prev)
+    }
+  }
 }

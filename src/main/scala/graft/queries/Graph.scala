@@ -354,21 +354,38 @@ object Graph {
   def qGraphCommunities(s: SparkSession, dir: String): DataFrame = {
     val (ids, sym) = deltaGraph(s, dir)
     var lab = ids.select(col("id"), col("id").as("lab"))
-    for (_ <- 1 to 3) {
-      val pick = sym.join(lab, col("y") === col("id"))
-        .groupBy(col("x"), col("lab")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("x").as("nid"))
-        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
-        .select(col("nid"), (-col("m.nl")).as("newlab"))
+    for (_ <- 1 to 3)
       lab = graft.Lineage.truncate(
-        lab.join(pick, col("id") === col("nid"), "left")
-          .select(col("id"), coalesce(col("newlab"), col("lab")).as("lab")))
-    }
+        lpaRound(sym, lab).select(col("id"), col("lab")))
     lab.groupBy(col("lab").as("community"))
       .agg(count(lit(1)).as("n_members"),
            min(col("id")).as("min_node"), max(col("id")).as("max_node"))
       .orderBy("community")
   }
+
+  /** One synchronous LPA round as a single BALLOT-STREAM aggregation —
+    * no per-round left join (round-19): every node casts a count-0
+    * SELF-ballot for its current label next to its neighbors'
+    * count-≥1 ballots, and the same (count DESC, label ASC) argmax
+    * picks the new label. Exactly the join+coalesce semantics:
+    * neighbor ballots always carry cnt ≥ 1, so the self-ballot wins
+    * ONLY when a node has no neighbor ballots — precisely the rows
+    * the old left join's coalesce(newlab, lab) preserved, and it can
+    * never tie a real ballot (0 ≠ ≥1). The count-0 ballot doubles as
+    * the carrier of the node's PREVIOUS label (`max(when(cnt=0))` —
+    * the unique cnt=0 row per node), so the converged face's
+    * changed-count metric needs no join either. Round cost: one
+    * equi-join against the (pre-partitioned) edge list + two hash
+    * aggs — the old shape additionally exchanged and joined the full
+    * label table a second time every round. Returns (id, lab0, lab). */
+  private def lpaRound(sym: DataFrame, lab: DataFrame): DataFrame =
+    sym.join(lab, col("y") === col("id"))
+      .groupBy(col("x"), col("lab")).agg(count(lit(1)).as("cnt"))
+      .unionByName(lab.select(col("id").as("x"), col("lab"), lit(0L).as("cnt")))
+      .groupBy(col("x"))
+      .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"),
+           max(when(col("cnt") === 0, col("lab"))).as("lab0"))
+      .select(col("x").as("id"), col("lab0"), (-col("m.nl")).as("lab"))
 
   /** The deterministic DELTA GRAPH on doc_ids shared by the
     * communities / BFS / SSSP / k-core loops: (checkpointed ids,
@@ -595,16 +612,12 @@ object Graph {
     var changed = Long.MaxValue
     while (changed > 0L && iters < maxRounds) {
       iters += 1
-      val pick = sym.join(lab, col("y") === col("id"))
-        .groupBy(col("x"), col("lab")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("x").as("nid"))
-        .agg(max(struct(col("cnt"), (-col("lab")).as("nl"))).as("m"))
-        .select(col("nid"), (-col("m.nl")).as("newlab"))
       val obs = Observation(s"lpa_${inv}_round_$iters")
+      // ballot-stream round ([[lpaRound]]): the count-0 self-ballot
+      // carries each node's previous label, so the changed-count
+      // metric rides the same aggregation — no per-round label join
       val next = graft.Lineage.truncate(
-        lab.join(pick, col("id") === col("nid"), "left")
-          .select(col("id"), col("lab").as("lab0"),
-                  coalesce(col("newlab"), col("lab")).as("lab"))
+        lpaRound(sym, lab)
           .observe(obs, coalesce(sum(when(col("lab") =!= col("lab0"), 1L)
                                        .otherwise(0L)), lit(0L)).as("n_changed"))
           .select(col("id"), col("lab")))

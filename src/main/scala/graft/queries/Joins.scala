@@ -440,13 +440,17 @@ object Joins {
       .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
       .filter(col("q96") * 2 > col("total_q"))
       .select(col("l_suppkey")).distinct()
-    // the qualifying key set is bounded by supplier cardinality
-    // (distinct suppkeys — dim-sized at any SF), but it sits behind a
-    // grouped aggregate whose size the planner cannot estimate, so the
-    // semi join planned as SortMergeJoin (exchange + sort on BOTH
-    // sides). The explicit broadcast is the textbook Q20 plan: semi
-    // join as a broadcast hash probe, zero supplier-side shuffle
-    // (guide §3.1 — round-18; SMJ LeftSemi → BroadcastHashJoin LeftSemi).
+    // the qualifying key set is bounded by supplier CARDINALITY
+    // (distinct suppkeys), which is SF-PROPORTIONAL — not a fixed dim
+    // like nation/region: ~10k keys per SF unit, so the broadcast is
+    // ~80 KB at SF 1 and still only ~80 MB of longs at SF 1000; past
+    // that a size-gated hint or the runtime Bloom filter is the right
+    // tool (round-18 advice item). It sits behind a grouped aggregate
+    // whose size the planner cannot estimate, so the semi join planned
+    // as SortMergeJoin (exchange + sort on BOTH sides). The explicit
+    // broadcast is the textbook Q20 plan: semi join as a broadcast
+    // hash probe, zero supplier-side shuffle (guide §3.1 — round-18;
+    // SMJ LeftSemi → BroadcastHashJoin LeftSemi).
     Tables.supplier(s, dir)
       .join(broadcast(qualifying), col("s_suppkey") === col("l_suppkey"),
             "left_semi")

@@ -957,7 +957,8 @@ object Llm {
     * previous centroid. */
   private[queries] def ivfLearnedCentroids(e: DataFrame,
                                            iters: Int = 3,
-                                           k: Int = 8): DataFrame = {
+                                           k: Int = 8): DataFrame =
+      graft.Lineage.withAqeOff(e.sparkSession) {
     var cent = ivfSeedCentroids(e, k)
     for (_ <- 1 to iters) {
       val sums = ivfAssign(e, cent).groupBy("cid")

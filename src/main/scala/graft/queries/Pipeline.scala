@@ -26,8 +26,9 @@ object Pipeline {
     * boilerplate/spam in a web corpus; these two are the cheap,
     * per-doc-parallel versions of the Gopher repetition gates. */
   def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
-    // two-level agg (the qDedupNgramSpans shape): count+countDistinct
-    // in one agg planned through a stream-doubling Expand
+    // two-level agg (the qDedupNgramSpans shape; see the corrected
+    // rationale there — the win is narrower distinct-stage buffers
+    // with map-side combine at both levels, NOT a removed Expand)
     val uni = toks(s, dir).groupBy("doc_id", "token")
       .agg(count(lit(1)).as("n_tok_d"))
       .groupBy("doc_id")
@@ -86,12 +87,16 @@ object Pipeline {
         "transform(sequence(1, greatest(size(tk) - 7, 1))," +
           " i -> substring(md5(concat_ws(' ', slice(tk, i, 8))), 1, 16))"))
         .as("h"))
-      // two-level agg instead of countDistinct-next-to-plain-aggs: the
-      // mixed form planned through an Expand that DOUBLED the shuffled
-      // span stream (one copy for the distinct set, one for the plain
-      // aggs — round-18); per-(h, doc) partials then per-h finals
-      // compute the identical numbers with map-side combine at both
-      // levels (n_docs = group count, n_occ = Σ per-doc occurrences)
+      // two-level agg instead of countDistinct-next-to-plain-aggs.
+      // CORRECTED rationale (round-19; the round-18 comment claimed an
+      // Expand the committed before-plan does not contain — a SINGLE
+      // distinct agg plans as a multi-stage HashAggregate, Expand
+      // appears only with several distincts): the mixed form carries
+      // count+min+max partial buffers per (h, doc_id) pair through the
+      // distinct stage, while the per-(h, doc) partial then per-h
+      // final computes the identical numbers (n_docs = group count,
+      // n_occ = Σ per-doc occurrences) with a count-only buffer and
+      // map-side combine at both levels
       .groupBy("h", "doc_id")
       .agg(count(lit(1)).as("n_occ_d"))
       .groupBy("h")

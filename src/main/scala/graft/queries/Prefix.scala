@@ -138,7 +138,17 @@ object Prefix {
     * do the arithmetic driver-side instead of spending a scan per
     * consumer of the counts table (q_sort_percentile_exact's old
     * `pref`/`tot` pair re-aggregated the input once each — round-18).
-    * Returns (bucketed rows, (pb, bn, n_before) ascending by pb). */
+    * Returns (bucketed rows, (pb, bn, n_before) ascending by pb).
+    *
+    * REQUIRES a DETERMINISTIC input frame (same freeze rationale as
+    * [[depthBoundaries]]): the counts are collected from ONE execution
+    * of `bucketed`, but the returned `bucketed` plan is re-executed by
+    * the caller's final query — a non-deterministic upstream (sampling,
+    * engine rand()) could produce rows that disagree with the frozen
+    * prefix table and silently shift ranks. Current callers feed raw
+    * parquet scans or checkpointed frames, which are deterministic by
+    * construction; callers with volatile upstreams must localCheckpoint
+    * the input first (round-18 advice item). */
   def bucketCountsPrefixDriver(df: DataFrame, v: Column, buckets: Int)
       : (DataFrame, Seq[(Int, Long, Long)]) = {
     val bucketed = df.withColumn("_pb", bucketOf(v, depthBoundaries(df, v, buckets)))

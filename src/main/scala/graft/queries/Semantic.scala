@@ -76,18 +76,21 @@ object Semantic {
     // thousands of partitions and AQE leaves this a no-op coalesce).
     // Measured at the 100x clone: without it the 200-cell assignment
     // serialized on 2 cores (loadavg ~1 on a 32-core host).
-    // count the RAW table (parquet metadata count — no scan, no
-    // shuffle) BEFORE the repartition; counting the repartitioned
-    // projection would execute the vector shuffle just to get a Long
-    val k = semDedupK(Tables.embeddings(s, dir).count())
     // materialized ONCE: the Lloyd loop consumes `e` 4x (seeds + 3
     // assign passes) and the final assignment a 5th time — without the
     // checkpoint every pass re-ran the scan AND the repartition
     // shuffle (round-18; shuffle reuse does not cross separate
-    // checkpoint jobs)
+    // checkpoint jobs). The corpus count that derives k RIDES this
+    // checkpoint as an Observation (settled when the eager checkpoint
+    // returns — the ConnectedComponents one-action discipline) instead
+    // of its own count job (round-19; the face was Lloyd-job-count-
+    // bound, ~8 sequential driver jobs per serve).
+    val nObs = org.apache.spark.sql.Observation()
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .observe(nObs, count(lit(1)).as("n"))
       .repartition(s.sparkContext.defaultParallelism)
       .localCheckpoint(true)
+    val k = semDedupK(nObs.get("n").asInstanceOf[Long])
     val cent = Llm.ivfLearnedCentroids(e, k = k)
     // one quantization + self-norm pass per vector, materialized once:
     // the table feeds both pair sides and the final keep join (3 uses)

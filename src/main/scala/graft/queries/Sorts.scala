@@ -101,7 +101,13 @@ object Sorts {
     val (bucketed, pref) =
       Prefix.bucketCountsPrefixDriver(l, col("v"), buckets)
     val nt = pref.map(_._2).sum
-    val located = Seq(0.25, 0.5, 0.75, 0.9, 0.99).flatMap { pct =>
+    // nt == 0 (empty input): no rank exists — degrade to an empty
+    // result like the old DataFrame-join formulation did, instead of
+    // throwing at construction time (round-18 advice item); the
+    // declared corpus is never empty, so bench/oracle rows are
+    // unaffected
+    val located = (if (nt == 0L) Nil
+                   else Seq(0.25, 0.5, 0.75, 0.9, 0.99)).flatMap { pct =>
       val rkLo = math.floor((nt - 1) * pct).toLong
       val rkHi = math.ceil((nt - 1) * pct).toLong
       Seq(("lo", rkLo), ("hi", rkHi)).map { case (which, rk) =>
