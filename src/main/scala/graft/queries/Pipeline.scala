@@ -26,14 +26,13 @@ object Pipeline {
     * boilerplate/spam in a web corpus; these two are the cheap,
     * per-doc-parallel versions of the Gopher repetition gates. */
   def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
-    // two-level agg (the qDedupNgramSpans shape; see the corrected
-    // rationale there — the win is narrower distinct-stage buffers
-    // with map-side combine at both levels, NOT a removed Expand)
-    val uni = toks(s, dir).groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("n_tok_d"))
-      .groupBy("doc_id")
-      .agg(sum(col("n_tok_d")).as("n_tokens"),
-           count(lit(1)).as("n_distinct"))
+    // single mixed agg, REVERTED from the round-18 two-level rewrite
+    // (see the qDedupNgramSpans note): the rewrite's rationale was
+    // wrong and its flat-canary A-B-B-A re-measurement reversed the
+    // claimed delta (0.74/0.87 s here vs 0.98 s two-level)
+    val uni = toks(s, dir).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           countDistinct(col("token")).as("n_distinct"))
     val bg = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"), explode(expr(
@@ -87,21 +86,20 @@ object Pipeline {
         "transform(sequence(1, greatest(size(tk) - 7, 1))," +
           " i -> substring(md5(concat_ws(' ', slice(tk, i, 8))), 1, 16))"))
         .as("h"))
-      // two-level agg instead of countDistinct-next-to-plain-aggs.
-      // CORRECTED rationale (round-19; the round-18 comment claimed an
-      // Expand the committed before-plan does not contain — a SINGLE
-      // distinct agg plans as a multi-stage HashAggregate, Expand
-      // appears only with several distincts): the mixed form carries
-      // count+min+max partial buffers per (h, doc_id) pair through the
-      // distinct stage, while the per-(h, doc) partial then per-h
-      // final computes the identical numbers (n_docs = group count,
-      // n_occ = Σ per-doc occurrences) with a count-only buffer and
-      // map-side combine at both levels
-      .groupBy("h", "doc_id")
-      .agg(count(lit(1)).as("n_occ_d"))
+      // single mixed countDistinct+plain agg, REVERTED from the
+      // round-18 two-level rewrite (round-19): that rewrite's stated
+      // mechanism was wrong — the before-plan carried NO Expand (a
+      // single distinct agg plans as a multi-stage HashAggregate;
+      // Expand appears only with several distincts) — and the
+      // flat-host A-B-B-A re-measurement the r18 verdict ordered
+      // REVERSED the claimed delta: mixed form 1.67/1.66 s vs
+      // two-level 2.53 s solo (the extra full (h, doc_id) hash-agg
+      // level cost more than the narrower buffers saved). Catalyst's
+      // distinct-agg planning already runs the same two-level
+      // partial/merge pipeline internally with map-side combine.
       .groupBy("h")
-      .agg(count(lit(1)).as("n_docs"),
-           sum(col("n_occ_d")).as("n_occ"),
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_occ"),
            min(col("doc_id")).as("min_doc"),
            max(col("doc_id")).as("max_doc"))
       .filter(col("n_docs") > 1)
